@@ -1,0 +1,163 @@
+"""Topic catalog: the engine's metadata plane.
+
+Replaces the reference's broker/controller metadata stack
+(metadata/InMemoryTopicMetadataRepository.java:24-79,
+metadata/snapshots/ClusterSnapshot.java) with a driver-side catalog persisted
+as JSON in the warehouse. Topic validation mirrors Broker.java:340-353:
+non-empty unique name, partitions >= 1, 0 <= replication_factor <= 3.
+
+Scale note: catalog state is O(#topics) — a few KB even with thousands of
+topics — so a JSON file with atomic replace is appropriate; on a real cluster
+this would live in a metastore / Delta commit log, and the high-water-mark map
+would be updated by the same transaction that commits data files. Writes are
+serialized by a per-process lock; ingest is single-writer per topic
+(PartitionWriteManager.java:17-84 analog) which makes the read-modify-write
+of the hwm safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from .errors import InvalidTopicError, TopicExistsError, ValidationError
+
+_CATALOG_FILE = "_catalog.json"
+_TOPIC_NAME_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+@dataclass
+class TopicMetadata:
+    """FluxTopic + PartitionMetadata analog (commons/FluxTopic.java:7-16)."""
+
+    name: str
+    num_partitions: int
+    replication_factor: int = 1
+    created_at: float = 0.0
+    # next offset to assign, per partition id (the high-water mark).
+    hwm: dict[int, int] = field(default_factory=dict)
+
+    def partition_ids(self) -> list[int]:
+        # Partitions are 0-indexed per topic (Broker.java:105-110).
+        return list(range(self.num_partitions))
+
+    def next_offset(self, partition: int) -> int:
+        return self.hwm.get(partition, 0)
+
+
+class Catalog:
+    def __init__(self, warehouse: str | os.PathLike):
+        self.warehouse = Path(warehouse)
+        self.warehouse.mkdir(parents=True, exist_ok=True)
+        self._lock = threading.RLock()
+
+    # -- persistence -------------------------------------------------------
+    @property
+    def _path(self) -> Path:
+        return self.warehouse / _CATALOG_FILE
+
+    def _load(self) -> dict:
+        if not self._path.exists():
+            return {"topics": {}}
+        with open(self._path) as f:
+            return json.load(f)
+
+    def _save(self, state: dict) -> None:
+        # Atomic replace so readers never see a torn file.
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, prefix=".catalog-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(state, f, indent=1, sort_keys=True)
+            os.replace(tmp, self._path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    @staticmethod
+    def _to_meta(name: str, raw: dict) -> TopicMetadata:
+        return TopicMetadata(
+            name=name,
+            num_partitions=raw["num_partitions"],
+            replication_factor=raw.get("replication_factor", 1),
+            created_at=raw.get("created_at", 0.0),
+            hwm={int(k): v for k, v in raw.get("hwm", {}).items()},
+        )
+
+    # -- DDL (A1-A3) -------------------------------------------------------
+    def create_topic(
+        self, name: str, num_partitions: int, replication_factor: int = 1
+    ) -> TopicMetadata:
+        """Validated create — Broker.createTopics (Broker.java:87-116)."""
+        if not name or not name.strip():
+            raise ValidationError("topic name must be non-empty")
+        if not _TOPIC_NAME_RE.match(name):
+            raise ValidationError(f"invalid topic name {name!r}")
+        if num_partitions < 1:
+            raise ValidationError("num_partitions must be >= 1")
+        if not (0 <= replication_factor <= 3):
+            raise ValidationError("replication_factor must be in [0, 3]")
+        with self._lock:
+            state = self._load()
+            if name in state["topics"]:
+                raise TopicExistsError(f"topic {name!r} already exists")
+            state["topics"][name] = {
+                "num_partitions": num_partitions,
+                "replication_factor": replication_factor,
+                "created_at": time.time(),
+                "hwm": {},
+            }
+            self._save(state)
+            # Eagerly create partition dirs like Partition.java:14-19 does
+            # for log/index files.
+            for p in range(num_partitions):
+                (self.warehouse / name / f"partition={p}").mkdir(
+                    parents=True, exist_ok=True
+                )
+            return self._to_meta(name, state["topics"][name])
+
+    def delete_topic(self, name: str, drop_data: bool = False) -> None:
+        """InMemoryTopicMetadataRepository.deleteTopic (44-49); the reference
+        does no disk GC — data drop is opt-in here."""
+        with self._lock:
+            state = self._load()
+            if name not in state["topics"]:
+                raise InvalidTopicError(f"topic {name!r} does not exist")
+            del state["topics"][name]
+            self._save(state)
+        if drop_data:
+            import shutil
+
+            shutil.rmtree(self.warehouse / name, ignore_errors=True)
+
+    def topic_exists(self, name: str) -> bool:
+        return name in self._load()["topics"]
+
+    def get_topic(self, name: str) -> TopicMetadata:
+        state = self._load()
+        if name not in state["topics"]:
+            raise InvalidTopicError(f"topic {name!r} does not exist")
+        return self._to_meta(name, state["topics"][name])
+
+    def list_topics(self) -> list[str]:
+        """getActiveTopics (InMemoryTopicMetadataRepository.java:57-63)."""
+        return sorted(self._load()["topics"].keys())
+
+    def partitions_for(self, name: str) -> list[int]:
+        return self.get_topic(name).partition_ids()
+
+    # -- hwm maintenance (called by LogStore under the ingest lock) --------
+    def advance_hwm(self, name: str, new_next_offsets: dict[int, int]) -> None:
+        with self._lock:
+            state = self._load()
+            if name not in state["topics"]:
+                raise InvalidTopicError(f"topic {name!r} does not exist")
+            hwm = state["topics"][name].setdefault("hwm", {})
+            for p, nxt in new_next_offsets.items():
+                hwm[str(p)] = max(int(hwm.get(str(p), 0)), int(nxt))
+            self._save(state)

@@ -1,0 +1,320 @@
+"""Parquet-backed topic log: the storage engine.
+
+Replaces the reference's Partition/Log/LogSegment/IndexEntries stack
+(server/internal/storage/Partition.java:8-65, Log.java:18-115,
+LogSegment.java:28-434, IndexEntries.java:17-54) with immutable Parquet files
+under ``warehouse/<topic>/partition=<p>/``:
+
+* **LogSegment -> parquet file**: files are immutable once committed, like a
+  rolled segment (LogSegment.java:381-388); "segment roll" is
+  ``maxRecordsPerFile`` on the writer (Log.java:65-72 analog).
+* **IndexEntries -> rowgroup stats**: the offset->byte index
+  (IndexEntries.java:17-54) becomes Parquet rowgroup min/max statistics on the
+  sorted ``offset`` column — Catalyst predicate pushdown gives the same
+  skip-scan for free (README.md:198's "costly full table scans" avoidance).
+* **Partition dir -> partition pruning**: Hive-style ``partition=<p>`` dirs
+  mean a (topic, partition, offset) point read prunes to one directory and
+  then to one rowgroup.
+
+Offset assignment (the one genuinely stateful primitive, SURVEY.md §4):
+per-(topic, partition) offsets are contiguous from 0 across appends. The
+reference serializes writers with a fair per-partition ReentrantLock
+(commons/utils/PartitionWriteManager.java:17-84); here each *ingest batch* is
+the unit of serialization — a per-topic driver lock orders batches, and within
+a batch ``row_number() OVER (PARTITION BY partition ORDER BY arrival)`` plus
+the catalog high-water mark assigns gap-free offsets. The shuffle implied by
+the window is the same shuffle needed to co-locate each log partition's rows
+into one write task, so ordering costs no extra stage.
+
+Durability: the reference acks before fsync and can drop batches after 3
+retries (FluxProducer.java:229-233, LogSegment.java:165-218); Spark's
+file-commit protocol gives committed-write durability — a deliberate upgrade
+(SURVEY.md §7 risk 4).
+
+Scale notes (100 TB design point): one shuffle per ingest batch, hash-
+partitioned on the log partition id; `maxRecordsPerFile` bounds file size;
+`compact()` is the OPTIMIZE-style maintenance job that rewrites small files
+into large offset-sorted ones to keep listing + pruning cheap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .catalog import Catalog
+from .errors import InvalidTopicError
+from .routing import assign_partitions
+from pyspark.sql.types import IntegerType, StructField
+
+from .schema import RECORD_SCHEMA, STORED_FILE_SCHEMA
+
+# stored columns + the Hive-style partition-dir column
+READ_SCHEMA = StructType(
+    STORED_FILE_SCHEMA.fields + [StructField("partition", IntegerType(), False)]
+)
+
+_ARRIVAL = "__arrival"
+
+
+class LogStore:
+    """Topic-log storage over a warehouse directory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str | os.PathLike,
+        max_records_per_file: int = 1_000_000,
+        compression: str = "zstd",
+    ):
+        self.spark = spark
+        self.warehouse = Path(warehouse)
+        self.catalog = Catalog(warehouse)
+        self.max_records_per_file = max_records_per_file
+        self.compression = compression
+        self._ingest_locks: dict[str, threading.Lock] = {}
+        self._locks_guard = threading.Lock()
+
+    # ------------------------------------------------------------------
+    def topic_path(self, topic: str) -> str:
+        return str(self.warehouse / topic)
+
+    def _ingest_lock(self, topic: str) -> threading.Lock:
+        with self._locks_guard:
+            return self._ingest_locks.setdefault(topic, threading.Lock())
+
+    # -- write path (S1-S6, §3.1) --------------------------------------
+    def append(
+        self,
+        topic: str,
+        df: DataFrame,
+        ordering_col: str | None = None,
+    ) -> dict[int, tuple[int, int]]:
+        """Append a batch of records to a topic log.
+
+        ``df`` must contain ``value``; ``key``/``partition``/``timestamp``/
+        ``headers`` are optional and defaulted like ProducerRecord
+        (ProducerRecord.java:19-89; timestamp -> now, ProducerRecord.java:47-50).
+        ``ordering_col`` is a column whose ascending order defines arrival
+        order (and round-robin sequence) deterministically; without it,
+        arrival order is the DataFrame's incidental order.
+
+        Returns ``{partition: (first_offset, last_offset)}`` for the batch.
+        """
+        meta = self.catalog.get_topic(topic)  # raises InvalidTopicError
+        n = meta.num_partitions
+
+        with self._ingest_lock(topic):
+            # refresh hwm under the lock
+            meta = self.catalog.get_topic(topic)
+
+            work = df
+            if "value" not in work.columns:
+                raise ValueError("record batch must have a 'value' column")
+            work = work.withColumn(
+                _ARRIVAL,
+                F.col(ordering_col).cast("long")
+                if ordering_col
+                else F.monotonically_increasing_id(),
+            )
+            if "timestamp" in work.columns:
+                work = work.withColumn(
+                    "timestamp",
+                    F.coalesce(
+                        F.col("timestamp").cast("timestamp"), F.current_timestamp()
+                    ),
+                )
+            else:
+                work = work.withColumn("timestamp", F.current_timestamp())
+            if "key" not in work.columns:
+                work = work.withColumn("key", F.lit(None).cast("string"))
+            if "headers" not in work.columns:
+                work = work.withColumn(
+                    "headers", F.lit(None).cast(RECORD_SCHEMA["headers"].dataType)
+                )
+            work = work.withColumn("value", F.col("value").cast("string"))
+
+            work = assign_partitions(
+                work, n, ordering_col=_ARRIVAL if ordering_col else None
+            )
+
+            # One shuffle: co-locate each log partition into (at most) one
+            # task, which both preserves per-partition arrival order and
+            # writes each partition dir from a single writer (C6 analog).
+            work = work.repartition(n, "partition")
+
+            hwm_map = F.create_map(
+                *[
+                    x
+                    for p in range(n)
+                    for x in (F.lit(p), F.lit(meta.next_offset(p)))
+                ]
+            )
+            w = Window.partitionBy("partition").orderBy(_ARRIVAL)
+            work = work.withColumn(
+                "offset",
+                (F.row_number().over(w) - F.lit(1) + F.element_at(hwm_map, F.col("partition"))).cast(
+                    "long"
+                ),
+            )
+
+            out = work.select(
+                "partition",
+                "offset",
+                "timestamp",
+                F.col("key").cast("string").alias("key"),
+                "value",
+                "headers",
+            )
+            out.persist()
+            try:
+                (
+                    out.sortWithinPartitions("offset")
+                    .write.mode("append")
+                    .option("maxRecordsPerFile", self.max_records_per_file)
+                    .option("compression", self.compression)
+                    .partitionBy("partition")
+                    .parquet(self.topic_path(topic))
+                )
+                stats = {
+                    int(r["partition"]): (int(r["first"]), int(r["last"]))
+                    for r in out.groupBy("partition")
+                    .agg(F.min("offset").alias("first"), F.max("offset").alias("last"))
+                    .collect()
+                }
+            finally:
+                out.unpersist()
+
+            self.catalog.advance_hwm(
+                topic, {p: last + 1 for p, (_, last) in stats.items()}
+            )
+            return stats
+
+    # -- read path (S8, S10, §3.2) -------------------------------------
+    def read(
+        self,
+        topic: str,
+        partitions: list[int] | None = None,
+        start_offsets: dict[int, int] | None = None,
+        end_offsets: dict[int, int] | None = None,
+    ) -> DataFrame:
+        """Batch scan of a topic log as the canonical RECORD_SCHEMA.
+
+        Offset bounds are per-partition ``[start, end)``. All predicates are
+        plain column comparisons -> pushed to the parquet scan (partition-dir
+        pruning on ``partition``, rowgroup skipping on ``offset``).
+        """
+        meta = self.catalog.get_topic(topic)
+        df = (
+            self.spark.read.schema(READ_SCHEMA)
+            .option("basePath", self.topic_path(topic))
+            .parquet(self.topic_path(topic))
+        )
+        if partitions is not None:
+            df = df.where(F.col("partition").isin([int(p) for p in partitions]))
+        if start_offsets:
+            cond = None
+            for p in partitions if partitions is not None else meta.partition_ids():
+                lo = start_offsets.get(p, 0)
+                hi = (end_offsets or {}).get(p)
+                c = (F.col("partition") == p) & (F.col("offset") >= lo)
+                if hi is not None:
+                    c = c & (F.col("offset") < hi)
+                cond = c if cond is None else (cond | c)
+            if cond is not None:
+                df = df.where(cond)
+        elif end_offsets:
+            cond = None
+            for p, hi in end_offsets.items():
+                c = (F.col("partition") == p) & (F.col("offset") < hi)
+                cond = c if cond is None else (cond | c)
+            df = df.where(cond)
+        return df.select(
+            F.lit(topic).alias("topic"),
+            F.col("partition"),
+            "offset",
+            "timestamp",
+            "key",
+            "value",
+            "headers",
+        )
+
+    def read_at(self, topic: str, partition: int, offset: int) -> Row | None:
+        """Point fetch — Broker.consumeMessage (Broker.java:437-443) /
+        LogSegment.getRecordFromSegmentAtOffset (LogSegment.java:278-339).
+
+        The index-seek becomes a pruned scan: partition-dir pruning + rowgroup
+        min/max skipping on ``offset``. Unlike the reference (which only
+        searches the active segment, Log.java:109-115), this reads the whole
+        partition history.
+        """
+        rows = (
+            self.read(topic, partitions=[partition])
+            .where(F.col("offset") == int(offset))
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def high_water_marks(self, topic: str) -> dict[int, int]:
+        """Next-offset-to-assign per partition, from the catalog."""
+        meta = self.catalog.get_topic(topic)
+        return {p: meta.next_offset(p) for p in meta.partition_ids()}
+
+    def recover_hwm_from_data(self, topic: str) -> dict[int, int]:
+        """Rebuild the high-water marks by scanning the log (crash recovery
+        for a lost catalog): max(offset)+1 per partition."""
+        meta = self.catalog.get_topic(topic)
+        rows = (
+            self.read(topic)
+            .groupBy("partition")
+            .agg(F.max("offset").alias("mx"))
+            .collect()
+        )
+        recovered = {p: 0 for p in meta.partition_ids()}
+        recovered.update({int(r["partition"]): int(r["mx"]) + 1 for r in rows})
+        self.catalog.advance_hwm(topic, recovered)
+        return recovered
+
+    # -- maintenance (SURVEY.md §7 phase 4 "batch indexing") ------------
+    def compact(self, topic: str, target_records_per_file: int | None = None) -> None:
+        """Rewrite each partition's many small segment files into few large
+        offset-sorted ones (small-file compaction / OPTIMIZE).
+
+        Keeps rowgroup-stat pruning effective as segment counts grow; the
+        poll-latency mitigation from SURVEY.md §7 risk 2.
+        """
+        meta = self.catalog.get_topic(topic)
+        n = meta.num_partitions
+        tmp = self.warehouse / f".compact-{topic}-{uuid.uuid4().hex[:8]}"
+        df = self.read(topic).drop("topic")
+        (
+            df.repartition(n, "partition")
+            .sortWithinPartitions("offset")
+            .write.mode("overwrite")
+            .option(
+                "maxRecordsPerFile",
+                target_records_per_file or self.max_records_per_file,
+            )
+            .option("compression", self.compression)
+            .partitionBy("partition")
+            .parquet(str(tmp))
+        )
+        live = Path(self.topic_path(topic))
+        backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
+        with self._ingest_lock(topic):
+            os.replace(live, backup)
+            os.replace(tmp, live)
+        shutil.rmtree(backup, ignore_errors=True)
+
+    def delete_topic(self, topic: str, drop_data: bool = True) -> None:
+        if not self.catalog.topic_exists(topic):
+            raise InvalidTopicError(f"topic {topic!r} does not exist")
+        self.catalog.delete_topic(topic, drop_data=drop_data)

@@ -1,0 +1,108 @@
+"""Producer facade: the reference's whole client pipeline, Spark-first.
+
+FluxProducer (producer/FluxProducer.java) + RecordAccumulator
+(producer/RecordAccumulator.java) + RecordBatch/BufferPool collapse into a
+driver-side row buffer flushed as ONE Catalyst plan (SURVEY.md §3.1 rewrite):
+route -> shuffle by partition -> assign offsets -> parquet append. Per-batch
+semantics that Spark subsumes:
+
+* batching/linger (RecordAccumulator.java:278-318)   -> explicit/auto flush
+* retries + in-flight caps (FluxProducer.java:146-239) -> Spark task retries +
+  file-commit protocol (non-lossy, an upgrade over retry-drop)
+* batch compression (RecordBatch.java:120-137)        -> parquet codec
+* buffer pool (BufferPool.java:64-160)                -> JVM/Spark memory mgmt
+
+``send`` mirrors ProducerRecord defaulting (ProducerRecord.java:19-89):
+topic+value required, key/partition/timestamp optional. The producer keeps a
+global arrival sequence so that unkeyed records round-robin exactly like
+PartitionSelector.java:20,50 and offsets follow send order.
+
+For bulk ingest of an existing DataFrame use :meth:`ingest` — it never
+collects rows to the driver and scales to arbitrarily large inputs.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .errors import InvalidTopicError
+from .log import LogStore
+
+_BUFFER_SCHEMA = StructType(
+    [
+        StructField("__arrival_seq", LongType(), False),
+        StructField("partition", IntegerType(), True),
+        StructField("timestamp", TimestampType(), True),
+        StructField("key", StringType(), True),
+        StructField("value", StringType(), False),
+    ]
+)
+
+
+class FluxProducer:
+    def __init__(self, store: LogStore, batch_size: int = 100_000):
+        self.store = store
+        self.batch_size = batch_size
+        self._buffers: dict[str, list[tuple]] = {}
+        self._seq = itertools.count()
+        self._lock = threading.Lock()
+
+    # -- row-at-a-time API (FluxProducer.send, FluxProducer.java:82-103) --
+    def send(
+        self,
+        topic: str,
+        value: str,
+        key: str | None = None,
+        partition: int | None = None,
+        timestamp: datetime | None = None,
+    ) -> None:
+        if not self.store.catalog.topic_exists(topic):
+            raise InvalidTopicError(f"topic {topic!r} does not exist")
+        if value is None:
+            raise ValueError("value is required")
+        with self._lock:
+            self._buffers.setdefault(topic, []).append(
+                (next(self._seq), partition, timestamp, key, str(value))
+            )
+            full = len(self._buffers[topic]) >= self.batch_size
+        if full:
+            self.flush(topic)
+
+    def flush(self, topic: str | None = None) -> dict[str, dict[int, tuple[int, int]]]:
+        """Drain buffered records into the log (scheduled-flush analog,
+        FluxProducer.java:62-64,110-245). Returns per-topic offset ranges."""
+        with self._lock:
+            topics = [topic] if topic else list(self._buffers)
+            drained = {t: self._buffers.pop(t, []) for t in topics}
+        results: dict[str, dict[int, tuple[int, int]]] = {}
+        for t, rows in drained.items():
+            if not rows:
+                continue
+            df = self.store.spark.createDataFrame(rows, _BUFFER_SCHEMA)
+            results[t] = self.store.append(t, df, ordering_col="__arrival_seq")
+        return results
+
+    # -- bulk API (the Spark-native path) ---------------------------------
+    def ingest(
+        self, topic: str, df: DataFrame, ordering_col: str | None = None
+    ) -> dict[int, tuple[int, int]]:
+        """Append a whole DataFrame as one produce batch (S2/S3: the
+        reference's multi-record produce, Broker.java:383-419 — but as a
+        single distributed plan instead of a loop of single appends)."""
+        return self.store.append(topic, df, ordering_col=ordering_col)
+
+    def close(self) -> None:
+        self.flush()

@@ -1,0 +1,64 @@
+"""Topic catalog DDL semantics (A1-A3, Broker.java:87-116,340-353)."""
+
+import pytest
+
+from flux_spark.catalog import Catalog
+from flux_spark.errors import InvalidTopicError, TopicExistsError, ValidationError
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(tmp_path / "wh")
+
+
+def test_create_and_get(catalog):
+    meta = catalog.create_topic("Bob", 3)
+    assert meta.num_partitions == 3
+    assert meta.partition_ids() == [0, 1, 2]
+    assert catalog.topic_exists("Bob")
+    assert catalog.get_topic("Bob").replication_factor == 1
+
+
+def test_fixture_topics(catalog):
+    # SharedTestServer fixture set (FIXTURES.md F2)
+    for name, n in [("Bob", 3), ("TestTopic", 5), ("Topic", 3), ("test-topic", 3)]:
+        catalog.create_topic(name, n)
+    assert catalog.list_topics() == ["Bob", "TestTopic", "Topic", "test-topic"]
+    assert catalog.partitions_for("TestTopic") == [0, 1, 2, 3, 4]
+
+
+def test_validation(catalog):
+    with pytest.raises(ValidationError):
+        catalog.create_topic("", 3)
+    with pytest.raises(ValidationError):
+        catalog.create_topic("   ", 3)
+    with pytest.raises(ValidationError):
+        catalog.create_topic("t", 0)
+    with pytest.raises(ValidationError):
+        catalog.create_topic("t", 3, replication_factor=4)
+    with pytest.raises(ValidationError):
+        catalog.create_topic("t", 3, replication_factor=-1)
+    catalog.create_topic("t", 1, replication_factor=0)
+    with pytest.raises(TopicExistsError):
+        catalog.create_topic("t", 2)
+
+
+def test_delete(catalog):
+    catalog.create_topic("t", 2)
+    catalog.delete_topic("t")
+    assert not catalog.topic_exists("t")
+    with pytest.raises(InvalidTopicError):
+        catalog.delete_topic("t")
+    with pytest.raises(InvalidTopicError):
+        catalog.get_topic("nonexistenttopic")
+
+
+def test_hwm_roundtrip(catalog):
+    catalog.create_topic("t", 2)
+    catalog.advance_hwm("t", {0: 10, 1: 5})
+    meta = catalog.get_topic("t")
+    assert meta.next_offset(0) == 10
+    assert meta.next_offset(1) == 5
+    # hwm never regresses
+    catalog.advance_hwm("t", {0: 7})
+    assert catalog.get_topic("t").next_offset(0) == 10
