@@ -1,38 +1,93 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the flux_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end flow: produce the sf0.001 ``events``
+table into a topic log through the engine, consume it back, and run an
+hourly windowed aggregation on the consumed records.
+
+``queries()`` / ``oracle_sql()`` — every implemented operator (SURVEY.md §2
+re-expressed Spark-first, plus the analytics & LLM-pipeline layers), each
+with its DuckDB oracle when SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: produce -> consume -> hourly agg on /root/testdata/sf0.001."""
+    from pyspark.sql import functions as F
+
+    from flux_spark import FluxConsumer, FluxProducer, LogStore
+    from flux_spark.analytics.registry import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    store = LogStore(spark, tempfile.mkdtemp(prefix="flux-entry-"))
+    store.catalog.create_topic("events", 3)
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("value"),
+    )
+    FluxProducer(store).ingest("events", events, ordering_col="seq")
+
+    consumer = FluxConsumer(store, group_id="entry")
+    consumer.subscribe(["events"])
+    records = consumer.poll().records
+
+    parsed = records.select(
+        "partition",
+        "offset",
+        "timestamp",
+        F.from_json(
+            "value", "event_id LONG, event_type STRING, value DOUBLE"
+        ).alias("v"),
+    )
+    return (
+        parsed.groupBy(
+            F.date_trunc("hour", F.col("timestamp")).alias("window_start"),
+            F.col("v.event_type").alias("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("v.value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def _registry():
+    from flux_spark.analytics.log_queries import LOG_QUERIES
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    merged = {}
+    merged.update(LOG_QUERIES)
+    merged.update(ANALYTICS_QUERIES)
+    try:
+        from flux_spark.llm.queries import LLM_QUERIES
+
+        merged.update(LLM_QUERIES)
+    except ImportError:
+        pass
+    return merged
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle
+        for name, spec in _registry().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,237 @@
+"""Correctness-gate queries that exercise the *log engine itself*.
+
+Each query routes the ``events`` table into a topic through the real
+produce path (LogStore.append: routing -> shuffle -> offset window ->
+parquet commit) and reads it back through the real consume path, with a
+deterministic routing rule (``event_id % 3``) and arrival order
+(``event_id``) so a plain-SQL oracle can recompute the expected
+(partition, offset) mapping with ``row_number()``.
+
+The murmur2-keyed variant has no SQL oracle (DuckDB has no murmur2) and is
+registered as a rows-only check; its placement parity is asserted exactly in
+tests/test_log.py instead.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import QuerySpec, load_table, register
+
+LOG_QUERIES: dict[str, QuerySpec] = {}
+
+# Shared oracle CTE: the expected routed/offset-assigned log records.
+_ROUTED_CTE = """
+WITH routed AS (
+  SELECT
+    CAST(event_id % 3 AS INTEGER) AS part_id,
+    ROW_NUMBER() OVER (PARTITION BY event_id % 3 ORDER BY event_id) - 1 AS record_offset,
+    ts AS event_ts,
+    CAST(user_id AS VARCHAR) AS rec_key,
+    CAST(event_id AS VARCHAR) AS rec_value
+  FROM events
+)
+"""
+
+
+def _ingest_events(spark: SparkSession, sf_dir: str):
+    """Produce events into a fresh 3-partition topic via the engine."""
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-logq-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("events", 3)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("events", e, ordering_col="seq")
+    return store
+
+
+def _records(store) -> DataFrame:
+    return store.read("events").select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("timestamp").alias("event_ts"),
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("rec_value"),
+    )
+
+
+@register(
+    LOG_QUERIES,
+    "log_ingest_roundtrip",
+    _ROUTED_CTE + "SELECT part_id, record_offset, event_ts, rec_key, rec_value FROM routed",
+    "full produce->consume roundtrip: explicit routing + gap-free offset assignment",
+)
+def log_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _records(_ingest_events(spark, sf_dir))
+
+
+@register(
+    LOG_QUERIES,
+    "log_fetch_at_offset",
+    _ROUTED_CTE
+    + "SELECT part_id, record_offset, rec_key, rec_value FROM routed "
+    + "WHERE part_id = 1 AND record_offset = 5",
+    "point fetch (Broker.consumeMessage analog): partition-dir + rowgroup pruned",
+)
+def log_fetch_at_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    return (
+        store.read("events", partitions=[1])
+        .where(F.col("offset") == 5)
+        .select(
+            F.col("partition").alias("part_id"),
+            F.col("offset").alias("record_offset"),
+            F.col("key").alias("rec_key"),
+            F.col("value").alias("rec_value"),
+        )
+    )
+
+
+@register(
+    LOG_QUERIES,
+    "log_partition_stats",
+    _ROUTED_CTE
+    + """
+    SELECT part_id,
+           COUNT(*) AS n_records,
+           MIN(record_offset) AS first_offset,
+           MAX(record_offset) AS last_offset
+    FROM routed GROUP BY part_id
+    """,
+    "per-partition hwm/contiguity stats (UniquePartitionIdsPerTopicTest invariant)",
+)
+def log_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    return (
+        _records(store)
+        .groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("record_offset").alias("first_offset"),
+            F.max("record_offset").alias("last_offset"),
+        )
+    )
+
+
+@register(
+    LOG_QUERIES,
+    "log_consume_from_offset",
+    _ROUTED_CTE
+    + """
+    SELECT part_id, record_offset, rec_value FROM routed
+    WHERE record_offset >= 100
+    """,
+    "resume-from-committed-offset scan: [start, hwm) per partition",
+)
+def log_consume_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    starts = {p: 100 for p in (0, 1, 2)}
+    return store.read("events", partitions=[0, 1, 2], start_offsets=starts).select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("value").alias("rec_value"),
+    )
+
+
+@register(
+    LOG_QUERIES,
+    "log_key_route_murmur2",
+    None,  # murmur2 not expressible in ANSI SQL; placement parity in tests/test_log.py
+    "keyed ingest via Kafka-compatible murmur2 routing (rows-only check)",
+)
+def log_key_route_murmur2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-logq-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("keyed", 5)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("keyed", e, ordering_col="seq")
+    return (
+        store.read("keyed")
+        .groupBy("partition", "key")
+        .agg(F.count("*").alias("n_records"))
+        .select(
+            F.col("partition").alias("part_id"), F.col("key").alias("rec_key"), "n_records"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consumer-group assignor parity: the Python assignors vs independent SQL math
+# ---------------------------------------------------------------------------
+
+_MEMBERS = ["m1", "m2", "m3"]
+# FIXTURES.md F2 topic set
+_TOPICS = {"Bob": 3, "TestTopic": 5, "Topic": 3, "test-topic": 3}
+
+_FIXTURE_CTE = """
+WITH members(member_id, mi) AS (VALUES ('m1', 0), ('m2', 1), ('m3', 2)),
+topics(topic, np) AS (VALUES ('Bob', 3), ('TestTopic', 5), ('Topic', 3), ('test-topic', 3)),
+parts AS (SELECT topic, np, CAST(unnest(range(0, np)) AS INTEGER) AS part_id FROM topics)
+"""
+
+
+def _assignment_df(spark: SparkSession, assignment) -> DataFrame:
+    rows = [
+        (m, t, p)
+        for m, tps in assignment.items()
+        for t, parts in tps.items()
+        for p in parts
+    ]
+    return spark.createDataFrame(rows, "member_id string, topic string, part_id int")
+
+
+@register(
+    LOG_QUERIES,
+    "group_assign_range",
+    _FIXTURE_CTE
+    + """
+    SELECT m.member_id, p.topic, p.part_id
+    FROM parts p
+    JOIN members m
+      ON p.part_id >= m.mi * (p.np // 3) + LEAST(m.mi, p.np % 3)
+     AND p.part_id <  m.mi * (p.np // 3) + LEAST(m.mi, p.np % 3)
+                      + (p.np // 3) + CASE WHEN m.mi < p.np % 3 THEN 1 ELSE 0 END
+    """,
+    "RangeAssignor parity vs independent SQL derivation (floor(P/M)+remainder blocks)",
+)
+def group_assign_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..assignors import range_assign
+
+    return _assignment_df(spark, range_assign(_MEMBERS, _TOPICS))
+
+
+@register(
+    LOG_QUERIES,
+    "group_assign_roundrobin",
+    _FIXTURE_CTE
+    + """
+    , universe AS (
+      SELECT topic, part_id,
+             ROW_NUMBER() OVER (ORDER BY topic, part_id) - 1 AS rn
+      FROM parts
+    )
+    SELECT m.member_id, u.topic, u.part_id
+    FROM universe u JOIN members m ON m.mi = u.rn % 3
+    """,
+    "RoundRobinAssignor parity: sorted (topic,partition) dealt cyclically",
+)
+def group_assign_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..assignors import round_robin_assign
+
+    return _assignment_df(spark, round_robin_assign(_MEMBERS, _TOPICS))

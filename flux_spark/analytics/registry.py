@@ -1,0 +1,70 @@
+"""Shared query-registry plumbing.
+
+Each engine query is a :class:`QuerySpec`: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the equivalent
+ANSI SQL for the DuckDB oracle. Column names/aliases must match exactly —
+the driver's comparator sorts columns by name and hashes values.
+
+Float determinism contract (applies to every spec here): per-row arithmetic
+is done in DOUBLE (bit-identical across engines), aggregates over floats go
+through a per-row CAST to DECIMAL so the SUM is exact and order-independent,
+and the final value is CAST back to DOUBLE. Integer/count/min/max aggregates
+are exact as-is. This removes summation-order nondeterminism — the only way
+distributed Spark and single-threaded DuckDB can disagree on identical input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # parquet reader rejects; read as int64 nanos and truncate to micros
+        # (exactly what DuckDB's ns->us cast does, keeping oracles aligned).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # ANSI SQL for DuckDB; None -> rows-only check
+    description: str = ""
+
+
+ANALYTICS_QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(registry: dict[str, QuerySpec], name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        registry[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
