@@ -1,0 +1,381 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families over a document corpus, each built from JVM-side
+Catalyst expressions (no Python in the hot path) so a 100 TB corpus runs at
+scan speed plus exactly the shuffles listed per-operator:
+
+* **exact** — hash-groupBy on content digest; one shuffle keyed by digest.
+* **MinHash + LSH** — shingle -> salted-md5 minhash signature -> banded
+  bucket join -> Jaccard verification. Candidate generation is a
+  self-join co-partitioned on band hash, so pair cost is O(sum of
+  bucket^2), not O(n^2).
+* **SimHash** — bitwise-majority token-hash signature; near-dup candidates
+  share a signature band; verification is exact Hamming distance.
+* **n-gram Jaccard** — exact pairwise Jaccard via an inverted shingle
+  index (explode + co-partitioned join), with a document-frequency cap to
+  drop stop-shingles (the classic skew guard: a shingle appearing in k
+  docs produces k^2 join rows).
+* **embedding cosine** — see similarity.py (sign-LSH bucketed near-dup).
+
+Everything is deterministic: hashes are md5 (identical across engines),
+min/argmax ties break on doc id, and float math is integer-ratio division
+only — which is why every operator here has an exact DuckDB oracle in
+flux_spark/llm/queries.py.
+
+Reference: tferdous17/flux has no dedup surface (SURVEY.md §2.7); these are
+the BASELINE.json north-star additions. The only reference-adjacent piece is
+content hashing, cf. MurmurHash2.java:12-59 (we use md5 for cross-engine
+parity rather than murmur2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles; short docs (<k tokens) contribute the
+    whole text as one shingle. Pure array expressions — codegen'd."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(
+        F.when(n < k, F.array(F.col(text_col))).otherwise(grams)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical content by digest; canonical id = min id per group.
+
+    One shuffle keyed on the 128-bit digest (not the text itself), so
+    shuffle volume at 100 TB is ~16 B/doc + ids regardless of doc size.
+    Returns (canonical_id, n_copies).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("__digest"), F.col(id_col))
+        .groupBy("__digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content value."""
+    w_ids = df.select(F.md5(F.col(text_col)).alias("__digest"), F.col(id_col))
+    keep = w_ids.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: element i is the lexicographic MIN over shingles
+    of md5(i || ':' || shingle).
+
+    Salted md5 plays the role of the i-th independent hash function; string
+    MIN is a valid minhash because md5 output is uniformly distributed over
+    hex strings. md5 is bit-identical in every engine, which buys an exact
+    SQL oracle — a property murmur-based minhash can't give us.
+    """
+
+    def salted(salt: str):
+        # single-arg lambda: a two-arg lambda would make F.transform pass
+        # the element *index* as the second argument, clobbering the salt
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, salted(f"{i}:")))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_hashes(signature: Column, bands: int, rows: int) -> Column:
+    """Band the signature: band b's bucket key is md5 over its `rows`
+    consecutive minhashes. Docs agreeing on any band become candidates."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(signature, b * rows + 1, rows)))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact Jaccard verification.
+
+    Plan shape (the part that matters at 100 TB):
+      1. one narrow pass computes shingles + signature + band hashes
+         (no shuffle, column-pruned to (id, text));
+      2. candidate generation: posexplode bands, self-join co-partitioned
+         on (band_id, band_hash) — pair cost is sum over buckets of
+         |bucket|^2, the LSH payoff;
+      3. `max_bucket_size` drops degenerate buckets (boilerplate shingles
+         produce mega-buckets; at k docs a bucket costs k^2 join rows —
+         the standard skew guard, off by default for oracle parity);
+      4. verification: inverted-index join on shared shingles counts the
+         intersection; Jaccard = |A∩B| / (|A|+|B|-|A∩B|) as exact integer
+         division in double.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    # Persist the shingle and band tables: each feeds both sides of a
+    # self-join (and the verification join), and recomputing the 16-way
+    # md5 minhash per branch dominates runtime otherwise. At warehouse
+    # scale this is "materialize the signature table once" — the standard
+    # production shape for LSH dedup.
+    sh = (
+        df.select(F.col(id_col), word_shingles(text_col, k).alias("__shingles"))
+        .withColumn("__n_sh", F.size("__shingles"))
+        .persist()
+    )
+    sig = sh.withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+    banded = sig.select(
+        id_col,
+        F.posexplode(lsh_band_hashes(F.col("__sig"), bands, rows)).alias(
+            "__band", "__bhash"
+        ),
+    ).persist()
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        cnt = Window.partitionBy("__band", "__bhash")
+        banded = banded.withColumn("__bn", F.count("*").over(cnt)).where(
+            F.col("__bn") <= max_bucket_size
+        ).drop("__bn")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bhash") == F.col("b.__bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    ex = sh.select(id_col, "__n_sh", F.explode("__shingles").alias("__s"))
+    ea = ex.select(
+        F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__na"), "__s"
+    )
+    eb = ex.select(
+        F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"), "__s"
+    )
+    common = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "__s"])
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count("*").alias("__common"))
+    )
+    jac = F.col("__common").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__common")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via an inverted shingle index.
+
+    No LSH approximation: every pair sharing >= 1 (rare-enough) shingle is
+    scored. `max_doc_freq` prunes shingles appearing in more than that many
+    docs — both a skew guard (a df-k shingle emits k^2 pair rows) and the
+    reason this stays tractable: near-dup pairs share *rare* shingles.
+    Note the Jaccard denominator still uses the full shingle-set sizes, so
+    scores are exact; only candidate *recall* depends on the cap.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__shingles")
+    ).withColumn("__n_sh", F.size("__shingles"))
+    # persisted: both sides of the pair join read this inverted index
+    ex = sh.select(id_col, "__n_sh", F.explode("__shingles").alias("__s")).persist()
+    if max_doc_freq is not None:
+        rare = (
+            ex.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("__s")
+        )
+        ex = ex.join(rare, "__s")
+    ea = ex.select(F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__na"), "__s")
+    eb = ex.select(F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"), "__s")
+    common = (
+        ea.join(eb, "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count("*").alias("__common"))
+    )
+    jac = F.col("__common").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__common")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _hex_digit_val(c: Column) -> Column:
+    """Value of one lowercase hex digit char via ascii arithmetic —
+    portable (same expression shape in the DuckDB oracles)."""
+    a = F.ascii(c)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """n_bits-wide SimHash over distinct word k-gram shingles.
+
+    Bit j of a feature's hash is bit (j%4) of hex digit (j//4) of
+    md5(shingle); the document bit is the majority vote (sum of +-1 > 0)
+    across features. Shingles (not bare tokens) are the features so that
+    documents over a small vocabulary still hash distinctively. Computed
+    distributed: explode distinct shingles -> per-feature contribution
+    columns -> sum groupBy doc. One shuffle keyed by doc id; contribution
+    math is pure integer codegen. Ties (sum == 0) resolve to bit 0 —
+    deterministic, mirrored exactly in the SQL oracle.
+    """
+    assert n_bits % 4 == 0 and n_bits <= 128
+    toks = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, k)).alias("__t"),
+    ).withColumn("__h", F.md5("__t"))
+
+    def digit_val(d: int) -> Column:
+        return _hex_digit_val(F.substring("__h", d + 1, 1))
+
+    contribs = [
+        (
+            (F.floor(digit_val(j // 4) / F.lit(2 ** (j % 4))) % 2) * 2 - 1
+        ).alias(f"__c{j}")
+        for j in range(n_bits)
+    ]
+    summed = toks.select(id_col, *contribs).groupBy(id_col).agg(
+        *[F.sum(f"__c{j}").alias(f"__s{j}") for j in range(n_bits)]
+    )
+    sim = None
+    for j in range(n_bits):
+        bit = (F.col(f"__s{j}") > 0).cast("long") * F.lit(2**j)
+        sim = bit if sim is None else sim + bit
+    return summed.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in <= max_hamming bits.
+
+    Candidates: split the signature into `bands` equal bit-slices; a pair
+    with Hamming distance <= bands-1 must agree exactly on >= 1 slice
+    (pigeonhole), so bucketing on (band_id, slice_value) finds all such
+    pairs with a co-partitioned self-join. Verification computes exact
+    Hamming distance with integer bit arithmetic (codegen, no UDF).
+    """
+    width = n_bits // bands
+    s = simhash(df, text_col, id_col, n_bits).persist()
+    slices = F.array(
+        *[
+            (F.col("simhash").bitwiseOR(0) / F.lit(2 ** (b * width)))
+            .cast("long")
+            .__mod__(F.lit(2**width))
+            for b in range(bands)
+        ]
+    )
+    banded = s.select(
+        id_col, "simhash", F.posexplode(slices).alias("__band", "__sl")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__sl") == F.col("b.__sl"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    ham = None
+    for j in range(n_bits):
+        ba = (F.col("__ha") / F.lit(2**j)).cast("long") % 2
+        bb = (F.col("__hb") / F.lit(2**j)).cast("long") % 2
+        d = (ba != bb).cast("long")
+        ham = d if ham is None else ham + d
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

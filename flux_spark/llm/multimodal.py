@@ -1,0 +1,130 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct (modality, width/height or sample-rate, n_bytes). The
+Spark-side plumbing — schema, Arrow-batched mapInPandas decode, partition
+sizing — is real and tested; the actual codec calls are STUBBED because
+image/audio libraries are not in this container:
+
+* :func:`decode_image` / :func:`decode_audio` / :func:`sample_frames`
+  raise ``NotImplementedError`` with the exact integration point named.
+* :func:`byte_features` is the deterministic fake decoder used by tests
+  and the oracle gate: per-payload byte statistics computed vectorized in
+  pandas — the same batch shape a real decoder would use.
+
+Scale notes: payload columns dominate row width, so feature extraction
+selects only (id, media, meta) — column pruning keeps the scan narrow; and
+``spark.sql.files.maxPartitionBytes`` (not row count) governs partition
+sizing when payloads are MBs. mapInPandas streams Arrow batches, so peak
+executor memory is one batch of payloads, not one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_TYPE = (
+    "modality STRING, width INT, height INT, sample_rate INT, n_bytes INT"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id LONG, n_bytes INT, byte_sum LONG, first_byte INT, last_byte INT, "
+    "hex_digit_sum LONG"
+)
+
+
+def with_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic synthetic media payload to each row.
+
+    Payload = raw bytes of md5(text) (16 bytes) — a stand-in for image
+    bytes that is reproducible in any engine. Metadata is derived from
+    n_chars so downstream operators can filter/partition on typed fields
+    without touching payloads (the real-world pattern: predicate pushdown
+    on metadata, payloads only decoded after pruning).
+    """
+    digest = F.md5(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.to_binary(digest, F.lit("hex")).alias("media"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            (F.length(text_col) % 640 + 16).cast("int").alias("width"),
+            (F.length(text_col) % 480 + 16).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(16).cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake "decode": per-payload byte statistics via
+    Arrow-batched mapInPandas — the exact plumbing a real image decoder
+    would use (swap the loop body for PIL/torchvision calls).
+
+    hex_digit_sum = sum of the two hex-digit values of every byte
+    ((b >> 4) + (b & 15)) — chosen because a SQL oracle can recompute it
+    from the md5 *hex string*, giving this pandas-UDF path an exact
+    correctness check.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["media"]
+            rows = {
+                id_col: pdf[id_col].values,
+                "n_bytes": [len(b) for b in payloads],
+                "byte_sum": [int(sum(b)) for b in payloads],
+                "first_byte": [int(b[0]) if len(b) else -1 for b in payloads],
+                "last_byte": [int(b[-1]) if len(b) else -1 for b in payloads],
+                "hex_digit_sum": [
+                    int(sum((x >> 4) + (x & 15) for x in b)) for b in payloads
+                ],
+            }
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "media").mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real-codec integration points (stubbed: no image/audio libs in container)
+# ---------------------------------------------------------------------------
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """STUB — real implementation plugs PIL/cv2 into the mapInPandas loop
+    of :func:`byte_features` and returns (id, height, width, channels,
+    pixel_mean). The Spark plumbing is identical; only the per-payload
+    function changes."""
+    raise NotImplementedError(
+        "image codecs not available in this environment; "
+        "use byte_features() for the plumbing-equivalent deterministic path"
+    )
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """STUB — soundfile/librosa decode into (id, duration_s, rms)."""
+    raise NotImplementedError(
+        "audio codecs not available in this environment; "
+        "use byte_features() for the plumbing-equivalent deterministic path"
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB — video frame sampling (ffmpeg/pyav) producing one row per
+    sampled frame: (id, frame_idx, frame_bytes). posexplode over the
+    decoded frame list keeps it one narrow mapInPandas + explode."""
+    raise NotImplementedError(
+        "video codecs not available in this environment"
+    )
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB — batched resize; same mapInPandas shape as byte_features."""
+    raise NotImplementedError(
+        "image codecs not available in this environment"
+    )

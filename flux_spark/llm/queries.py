@@ -1,0 +1,533 @@
+"""Oracle-gated queries for the LLM-pipeline layer.
+
+Each entry pairs the Spark operator (dedup.py / similarity.py /
+multimodal.py / text.py) with a DuckDB SQL twin computing the *same
+algorithm* — same md5 hashing, same fold order for float sums, same
+tie-breaks — so the driver's value-hash comparison is exact, even for
+approximate ops like MinHash-LSH (approximation is deterministic, both
+engines approximate identically).
+
+Dedup queries run over an augmented corpus (documents + exact copies of
+every 17th doc + suffix-perturbed copies of every 23rd doc) because the
+synthetic tables contain no duplicates; the augmentation is pure SQL and
+mirrored on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analytics.registry import QuerySpec, load_table, register
+from . import dedup, multimodal, similarity, text
+
+LLM_QUERIES: dict[str, QuerySpec] = {}
+
+# ---------------------------------------------------------------------------
+# shared corpus construction (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+_NEAR_SUFFIX = " near dup suffix"
+
+_CORPUS_CTE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || '{_NEAR_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 23 = 0
+)
+"""
+
+
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEAR_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+# SQL helpers -----------------------------------------------------------------
+
+
+def _hexval(c: str) -> str:
+    """SQL twin of dedup._hex_digit_val."""
+    return f"(CASE WHEN ascii({c}) >= 97 THEN ascii({c}) - 87 ELSE ascii({c}) - 48 END)"
+
+
+# distinct word-3-gram shingles, SQL twin of dedup.word_shingles(k=3)
+_SHINGLE_CTES = """
+, __toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus)
+, __sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      ELSE list_transform(range(1, len(tk) - 1),
+                          i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+  FROM __toks)
+, __sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM __sh)
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(num_hashes)
+    )
+    return (
+        _CORPUS_CTE
+        + _SHINGLE_CTES
+        + f"""
+, __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __sized)
+, __bh AS (
+  SELECT s.doc_id, r.band,
+         md5(array_to_string(s.sig[r.band*{rows}+1 : r.band*{rows}+{rows}], '|')) AS bhash
+  FROM __sigs s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r)
+, __cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __bh a JOIN __bh b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+, __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __common AS (
+  SELECT c.id_a, c.id_b, ea.n_sh AS na, eb.n_sh AS nb, COUNT(*) AS cc
+  FROM __cand c
+  JOIN __ex ea ON ea.doc_id = c.id_a
+  JOIN __ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(cc AS DOUBLE) / (na + nb - cc) AS jaccard
+FROM __common
+WHERE CAST(cc AS DOUBLE) / (na + nb - cc) >= {threshold}
+"""
+    )
+
+
+def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return (
+        _CORPUS_CTE
+        + _SHINGLE_CTES
+        + f"""
+, __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS cc
+  FROM __ex a JOIN __ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(cc AS DOUBLE) / (na + nb - cc) AS jaccard
+FROM __common
+WHERE CAST(cc AS DOUBLE) / (na + nb - cc) >= {threshold}
+"""
+    )
+
+
+def _simhash_cte(n_bits: int = 32) -> str:
+    """CTEs computing __sims(doc_id, simhash) — twin of dedup.simhash."""
+    n_digits = n_bits // 4
+    digit_cols = ", ".join(
+        f"{_hexval(f'substr(h, {d + 1}, 1)')} AS v{d}" for d in range(n_digits)
+    )
+    sum_cols = ", ".join(
+        f"SUM(((v{j // 4} // {2 ** (j % 4)}) % 2) * 2 - 1) AS s{j}"
+        for j in range(n_bits)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(n_bits)
+    )
+    return (
+        _SHINGLE_CTES
+        + f"""
+, __feat AS (SELECT doc_id, md5(unnest(sh)) AS h FROM __sized)
+, __digits AS (SELECT doc_id, {digit_cols} FROM __feat)
+, __sums AS (SELECT doc_id, {sum_cols} FROM __digits GROUP BY doc_id)
+, __sims AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM __sums)
+"""
+    )
+
+
+def _simhash_sql(n_bits: int = 32) -> str:
+    return _CORPUS_CTE + _simhash_cte(n_bits) + "SELECT doc_id, simhash FROM __sims"
+
+
+def _simhash_pairs_sql(n_bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    width = n_bits // bands
+    ham = " + ".join(
+        f"(CASE WHEN (ha // {2 ** j}) % 2 <> (hb // {2 ** j}) % 2 THEN 1 ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return (
+        _CORPUS_CTE
+        + _simhash_cte(n_bits)
+        + f"""
+, __banded AS (
+  SELECT s.doc_id, s.simhash, r.band,
+         (s.simhash // CAST(power(2, r.band * {width}) AS BIGINT)) % {2 ** width} AS sl
+  FROM __sims s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r)
+, __cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS ha, b.simhash AS hb
+  FROM __banded a JOIN __banded b
+    ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+FROM __cand
+WHERE {ham} <= {max_hamming}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_exact",
+    _CORPUS_CTE
+    + "SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies FROM corpus GROUP BY text",
+    "exact dedup: hash-groupBy on content digest, canonical id = min per group",
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(dup_corpus(spark, sf_dir))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_minhash_lsh",
+    _minhash_lsh_sql(),
+    "MinHash(16) + LSH(4x4 bands) near-dup pairs, Jaccard>=0.5 verified",
+)
+def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(dup_corpus(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_ngram_jaccard",
+    _ngram_jaccard_sql(),
+    "exact n-gram Jaccard pairs via inverted shingle index, >=0.5",
+)
+def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(dup_corpus(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_simhash",
+    _simhash_sql(),
+    "32-bit SimHash signature per document over shingle features",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(dup_corpus(spark, sf_dir))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_simhash",
+    _simhash_pairs_sql(),
+    "SimHash banded near-dup pairs, Hamming<=3 verified",
+)
+def doc_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(dup_corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# text-analysis queries
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = "['" + "', '".join(text.STOPWORDS) + "']"
+
+
+@register(
+    LLM_QUERIES,
+    "doc_quality_scores",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOP_LIST}, x))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS uniq_token_ratio
+      FROM documents)
+    SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, uniq_token_ratio,
+      round(
+        least(CAST(n_tokens AS DOUBLE) / CAST(200 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+        + uniq_token_ratio * CAST(0.4 AS DOUBLE)
+        + (1 - least(stopword_ratio * 4, CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+      6) AS quality_score
+    FROM feat
+    """,
+    "quality features + composite score (length/stopword/uniqueness ratios)",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_score(d).select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "uniq_token_ratio",
+        "quality_score",
+    )
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang, markers in text.LANG_MARKERS.items():
+        lst = "['" + "', '".join(markers) + "']"
+        scores.append(
+            f"len(list_filter(string_split(text, ' '), x -> list_contains({lst}, x))) AS score_{lang}"
+        )
+    return f"""
+    WITH scored AS (SELECT doc_id, {", ".join(scores)} FROM documents)
+    SELECT doc_id, score_en, score_fr, score_de,
+      CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+           WHEN score_fr >= score_de THEN 'fr'
+           ELSE 'de' END AS pred_lang
+    FROM scored
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "doc_language_id",
+    _lang_sql(),
+    "marker-frequency language id heuristic (argmax with deterministic ties)",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_language_id(d).select(
+        "doc_id", "score_en", "score_fr", "score_de", "pred_lang"
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_token_frequencies",
+    """
+    SELECT tok AS token, COUNT(*) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    """,
+    "corpus token frequency (explode + partial-agg groupBy)",
+)
+def doc_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % {text.FINGERPRINT_MOD}) AS fingerprint
+    FROM documents
+    """,
+    "rolling polynomial content fingerprint (char fold mod 1e9+7)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+@register(
+    LLM_QUERIES,
+    "doc_token_counts",
+    r"""
+    WITH pieces AS (
+      SELECT doc_id,
+        list_filter(
+          string_split_regex(regexp_replace(text, '([0-9]+|[^\w\s]+)', ' \1 ', 'g'), '\s+'),
+          x -> x <> '') AS pc
+      FROM documents)
+    SELECT doc_id,
+      len(pc) AS n_ws_tokens,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(pc, w -> CAST(ceil(len(w) / CAST(6 AS DOUBLE)) AS BIGINT))),
+        (acc, x) -> acc + x) AS n_subword_tokens
+    FROM pieces
+    """,
+    "whitespace + BPE-ish subword token counting",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.token_count_bpe_ish(d).select(
+        "doc_id", "n_ws_tokens", "n_subword_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity-search queries
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+@register(
+    LLM_QUERIES,
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {similarity.sql_cosine("qv", "cv", _DIM)} AS cos_sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= 5
+    """,
+    "brute-force exact cosine top-5 for 5 query vectors (broadcast queries)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+_PLANES = similarity.hyperplanes(8, _DIM)
+
+_EMB_AUG_CTE = f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % 29 = 0
+  UNION ALL
+  SELECT vec_id + 20000,
+    list_prepend(CAST(embedding[1] AS DOUBLE) * CAST(1.5 AS DOUBLE),
+                 list_transform(embedding[2:{_DIM}], x -> CAST(x AS DOUBLE)))
+  FROM embeddings WHERE vec_id % 31 = 0
+)
+"""
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select(F.col("vec_id"), as_double.alias("v"))
+    copies = e.where(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), as_double.alias("v")
+    )
+    perturbed = e.where(F.col("vec_id") % 31 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") * F.lit(1.5)),
+            F.transform(
+                F.slice("embedding", 2, _DIM - 1), lambda x: x.cast("double")
+            ),
+        ).alias("v"),
+    )
+    return base.unionByName(copies).unionByName(perturbed)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_near_dup_lsh",
+    _EMB_AUG_CTE
+    + f"""
+, sigs AS (SELECT vec_id, v, {similarity.sql_signature_bits("v", _PLANES, _DIM)} AS sig FROM aug)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {similarity.sql_cosine("a.v", "b.v", _DIM)} AS cos_sim
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+""",
+    "sign-LSH bucketed embedding near-dup pairs, cosine>=0.98 verified",
+)
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_near_dup_pairs(
+        _aug_embeddings(spark, sf_dir), vec_col="v", threshold=0.98
+    )
+
+
+def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    cos_vc = similarity.sql_cosine("vv", "cv", _DIM)
+    return f"""
+    WITH cen AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_centroids}),
+    corpus AS (SELECT vec_id, embedding AS vv FROM embeddings),
+    assign_scored AS (
+      SELECT c.vec_id, c.vv, n.cid, {cos_vc} AS ccos,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY {cos_vc} DESC, n.cid ASC) AS r
+      FROM corpus c CROSS JOIN cen n),
+    assigned AS (SELECT vec_id AS neighbor_id, vv AS cv2, cid AS bucket FROM assign_scored WHERE r = 1),
+    queries AS (SELECT vec_id, vv FROM corpus WHERE vec_id < 5),
+    probe_scored AS (
+      SELECT q.vec_id, q.vv, n.cid, {similarity.sql_cosine("q.vv", "cv", _DIM)} AS ccos,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {similarity.sql_cosine("q.vv", "cv", _DIM)} DESC, n.cid ASC) AS r
+      FROM queries q CROSS JOIN cen n),
+    probes AS (SELECT vec_id AS query_id, vv AS qv, cid AS bucket FROM probe_scored WHERE r <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {similarity.sql_cosine("p.qv", "a.cv2", _DIM)} AS cos_sim
+      FROM probes p JOIN assigned a USING (bucket)
+      WHERE a.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "ann_cosine_ivf",
+    _ivf_sql(),
+    "IVF ANN: 8 seed centroids, nprobe=2 bucket-pruned cosine top-5",
+)
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 5), centroids, k=5, nprobe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal query
+# ---------------------------------------------------------------------------
+
+
+def _media_sql() -> str:
+    hv = _hexval
+    byte_terms = " + ".join(
+        f"({hv(f'substr(h, {2 * i + 1}, 1)')} * 16 + {hv(f'substr(h, {2 * i + 2}, 1)')})"
+        for i in range(16)
+    )
+    hex_terms = " + ".join(hv(f"substr(h, {i + 1}, 1)") for i in range(32))
+    first = f"({hv('substr(h, 1, 1)')} * 16 + {hv('substr(h, 2, 1)')})"
+    last = f"({hv('substr(h, 31, 1)')} * 16 + {hv('substr(h, 32, 1)')})"
+    return f"""
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+    SELECT doc_id, 16 AS n_bytes, CAST({byte_terms} AS BIGINT) AS byte_sum,
+           {first} AS first_byte, {last} AS last_byte,
+           CAST({hex_terms} AS BIGINT) AS hex_digit_sum
+    FROM m
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "media_byte_features",
+    _media_sql(),
+    "binary media column -> Arrow-batched mapInPandas feature extraction",
+)
+def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.byte_features(multimodal.with_fake_media(d))

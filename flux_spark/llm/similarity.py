@@ -1,0 +1,247 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three operators, all with the same portable cosine kernel:
+
+* **brute_force_topk** — exact top-k neighbors for a (small) query set.
+  Plan: broadcast the queries, one pass over the corpus, per-query
+  TakeOrdered. At 100 TB the corpus side stays partition-parallel and
+  nothing shuffles except the k rows per query per partition.
+* **sign-LSH near-dup** — random-hyperplane signatures bucket the corpus;
+  pairs sharing a full signature are verified with exact cosine. The
+  hyperplanes are deterministic (md5-seeded +-1 components), so results
+  are reproducible and oracle-checkable.
+* **IVF top-k** — the scale path: vectors are assigned to their nearest
+  of K centroids (one narrow pass); a query probes only `nprobe` centroid
+  buckets, cutting the scanned fraction to ~nprobe/K. Recall tracks
+  cluster quality; exactness is restored by raising nprobe to K.
+
+Float determinism: every dot product folds left-to-right over the array
+in float64 (exact float32->float64 widening, IEEE-identical sequential
+adds), so Spark and DuckDB produce bit-identical cosines — the oracle
+compares exactly, no tolerance.
+
+The reference has no similarity surface (SURVEY.md §2.7); this is the
+BASELINE.json LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# portable cosine kernel
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right float64 fold of elementwise products (codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sql_dot(a: str, b: str, dim: int) -> str:
+    """DuckDB twin of :func:`dot` — same order, same widening."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def sql_cosine(a: str, b: str, dim: int) -> str:
+    return (
+        f"({sql_dot(a, b, dim)} / "
+        f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force exact top-k
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    `queries` is broadcast (it is the small side by construction); ranking
+    is a window per query id — ties break on neighbor id ascending so the
+    result is total-ordered and engine-independent.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes: component (i, d) is +1 iff the first
+    md5 hex digit of "i:d" is odd. Seedless and engine-independent — the
+    same literals are embedded in the Spark plan and the SQL oracle."""
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{i}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def signature_bits(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH signature as an integer: bit i = 1 iff dot(vec, plane_i) > 0."""
+    sig = None
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(x) for x in p])
+        bit = (dot(vec_col, lit) > 0).cast("long") * F.lit(2**i)
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def sql_signature_bits(vec: str, planes: list[list[float]], dim: int) -> str:
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN {sql_dot(vec, lit, dim)} > 0 THEN {2**i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Near-duplicate vector pairs: bucket on the full sign signature,
+    verify candidates with exact cosine >= threshold.
+
+    The self-join is co-partitioned on the signature (one shuffle); at
+    100 TB bucket sizes stay ~n/2^n_planes, and raising n_planes trades
+    recall for candidate volume.
+    """
+    planes = hyperplanes(n_planes, dim)
+    # persisted: both sides of the bucket self-join read the signatures
+    s = corpus.select(
+        F.col(id_col), F.col(vec_col), signature_bits(F.col(vec_col), planes).alias("__sig")
+    ).persist()
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate top-k
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF ANN: assign corpus vectors to their max-cosine centroid, then
+    each query scans only its `nprobe` closest centroid buckets.
+
+    Centroids are broadcast in both the assignment and probe joins; the
+    only shuffle is the bucket-pruned candidate join keyed on centroid id.
+    Ties in assignment/probe/rank all break on ascending id, keeping the
+    operator deterministic (and oracle-checkable) despite being approximate.
+    """
+    from pyspark.sql import Window
+
+    cen = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+
+    def nearest(df: DataFrame, idc: str, vecc: str, n: int, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cen)).withColumn(
+            "__ccos", cosine(F.col(vecc), F.col("__cvec"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("__ccos"), F.asc("__cid"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= n)
+            .select(df["*"], F.col("__cid").alias(out))
+        )
+
+    assigned = nearest(corpus, id_col, vec_col, 1, "bucket")
+    probes = nearest(queries, id_col, vec_col, nprobe, "bucket")
+
+    q = probes.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

