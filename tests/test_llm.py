@@ -1,0 +1,223 @@
+"""Unit tests for the LLM-pipeline layer (dedup / similarity / multimodal /
+text). Cross-engine value parity is covered by tests/oracle_check.py; these
+tests pin the operator *semantics* on small controlled inputs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flux_spark.llm import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines and logs"),
+        (5, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- shingling --------------------------------------------------------------
+
+
+def test_word_shingles(spark, docs):
+    out = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", dedup.word_shingles().alias("sh")).collect()
+    }
+    assert out[1][0] == "the quick brown"
+    assert len(out[1]) == 7  # 9 tokens -> 7 trigrams, all distinct
+    assert out[5] == ["ab"]  # short doc falls back to whole text
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def test_exact_dedup(spark, docs):
+    groups = {
+        r.canonical_id: r.n_copies for r in dedup.exact_dedup_groups(docs).collect()
+    }
+    assert groups == {1: 2, 3: 1, 4: 1, 5: 1}
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+# -- minhash ----------------------------------------------------------------
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id",
+            dedup.minhash_signature(dedup.word_shingles(), 16).alias("sig"),
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1]) == 16
+    # near-dup docs share most minhashes
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree >= 8
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    # unrelated docs never pair up
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_scores(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3 differ in the last token: 7 trigrams each, 6 shared
+    assert math.isclose(pairs[(1, 3)], 6 / 8)
+
+
+# -- simhash ----------------------------------------------------------------
+
+
+def test_simhash_properties(spark, docs):
+    sims = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sims[1] == sims[2]  # identical content -> identical signature
+    assert 0 <= sims[1] < 2**32
+    ham13 = bin(sims[1] ^ sims[3]).count("1")
+    ham14 = bin(sims[1] ^ sims[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated doc
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+# -- similarity -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.1, 0.0, 0.0]),  # close to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [1.0, 0.0, 0.0, 0.0]),  # identical to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_kernel(spark, vecs):
+    a = vecs.where(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    pairs = a.crossJoin(vecs.select(F.col("embedding").alias("b"), "vec_id"))
+    out = {
+        r.vec_id: r.c
+        for r in pairs.select("vec_id", similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    }
+    assert out[0] == 1.0 and out[4] == 1.0
+    assert out[1] == 0.0
+    assert out[3] == -1.0
+    assert math.isclose(out[2], 1 / math.sqrt(1.01))
+
+
+def test_brute_force_topk(spark, vecs):
+    res = similarity.brute_force_topk(vecs, vecs.where(F.col("vec_id") == 0), k=2)
+    rows = sorted(res.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [4, 2]
+    assert rows[0].cos_sim == 1.0
+
+
+def test_lsh_near_dup(spark, vecs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_near_dup_pairs(
+            vecs, dim=4, threshold=0.99
+        ).collect()
+    }
+    assert (0, 4) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_hyperplanes_deterministic(spark):
+    assert similarity.hyperplanes(2, 8) == similarity.hyperplanes(2, 8)
+    assert all(x in (1.0, -1.0) for row in similarity.hyperplanes(3, 16) for x in row)
+
+
+def test_ivf_topk_exact_when_probing_all(spark, vecs):
+    cents = vecs.where(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    res = similarity.ivf_topk(
+        vecs, vecs.where(F.col("vec_id") == 0), cents, k=2, nprobe=2
+    )
+    rows = sorted(res.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [4, 2]
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_media_plumbing(spark, docs):
+    media = multimodal.with_fake_media(docs)
+    feats = {r.doc_id: r for r in multimodal.byte_features(media).collect()}
+    assert set(feats) == {1, 2, 3, 4, 5}
+    import hashlib
+
+    raw = hashlib.md5(b"ab").digest()
+    assert feats[5].n_bytes == 16
+    assert feats[5].byte_sum == sum(raw)
+    assert feats[5].first_byte == raw[0]
+    assert feats[5].last_byte == raw[-1]
+    assert feats[5].hex_digit_sum == sum((x >> 4) + (x & 15) for x in raw)
+
+
+def test_codec_stubs_marked(spark, docs):
+    m = multimodal.with_fake_media(docs)
+    for fn in (multimodal.decode_image, multimodal.decode_audio):
+        with pytest.raises(NotImplementedError):
+            fn(m)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(m)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(m, 32, 32)
+
+
+# -- text -------------------------------------------------------------------
+
+
+def test_quality_and_tokens(spark, docs):
+    q = {r.doc_id: r for r in text.quality_score(docs).collect()}
+    assert q[1].n_tokens == 9
+    assert q[1].uniq_token_ratio == 8 / 9  # 'the' repeats
+    assert q[5].n_tokens == 1
+    assert 0.0 <= q[1].quality_score <= 1.0
+    c = {r.doc_id: r for r in text.token_count_bpe_ish(docs).collect()}
+    assert c[1].n_ws_tokens == 9
+    assert c[5].n_subword_tokens == 1
+
+
+def test_fingerprint_rolling_hash(spark, docs):
+    fp = {r.doc_id: r.fingerprint for r in text.with_fingerprint(docs).collect()}
+
+    def ref(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % text.FINGERPRINT_MOD
+        return acc
+
+    assert fp[5] == ref("ab")
+    assert fp[1] == fp[2] == ref("the quick brown fox jumps over the lazy dog")
