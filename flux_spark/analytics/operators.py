@@ -1,0 +1,119 @@
+"""Custom relational operators Spark lacks as built-ins.
+
+The reference has no relational operators at all (SURVEY.md §2.7); these are
+the engine-level additions a log-analytics user expects, each expressed as a
+composition of existing DataFrame ops (option (a) of the custom-operator
+ladder — no UDFs, no mapInPandas), so Catalyst/AQE still optimize them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    right_value_cols: list[str],
+    prefix: str = "asof_",
+    strict: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, attach the most recent right row with
+    the same key and right.time <= left.time (or < when ``strict``).
+
+    Implementation is the merge-scan form, NOT a join: union both sides
+    with a side marker, then one window per key ordered by (time, side)
+    carries the latest right-side values forward with
+    ``last(..., ignorenulls=True)``. This shuffles each row exactly once
+    (hash by key) and never materializes the O(|L| x |R|) inequality-join
+    intermediate — the property that makes it survive 100 TB, where a
+    naive ``left.join(right, time <= time)`` degrades to a per-key cross
+    product. Ties on time resolve right-before-left (so "<=") unless
+    ``strict``; ``tiebreak`` (a member of ``right_value_cols``) makes the
+    choice among equal-time right rows deterministic (highest wins).
+    """
+    lcols = left.columns
+    # ties on time: right rows sort before left (included, "<=") unless
+    # strict, where they sort after left (excluded, "<")
+    right_side = 0 if not strict else 2
+    r = right.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(right_side).alias("__side"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key, time_col)],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in right_value_cols],
+        *[F.col(c) for c in lcols if c not in (key, time_col)],
+    )
+    unioned = r.unionByName(l)
+    order = [F.col(time_col).asc(), F.col("__side").asc()]
+    if tiebreak is not None:
+        # explicit NULLS FIRST: left rows carry NULL here and must not
+        # outrank real right rows (also matches the SQL oracles verbatim)
+        order.append(F.col(f"{prefix}{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"__carry_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.where(F.col("__side") == 1).select(
+        F.col(key),
+        F.col(time_col),
+        *[F.col(c) for c in lcols if c not in (key, time_col)],
+        *[F.col(f"__carry_{c}").alias(f"{prefix}{c}") for c in right_value_cols],
+    )
+
+
+def range_join_keyed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower: Column,
+    upper: Column,
+) -> DataFrame:
+    """Keyed interval join: right rows with ``left_time + lower <= right_time
+    <= left_time + upper`` per key. The equi-key keeps this a hash join with
+    a residual range filter (NOT a nested-loop); at scale, bucketing both
+    sides on the key pre-shuffles it away entirely."""
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    return (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (rt >= lt + lower)
+            & (rt <= lt + upper),
+        )
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Deterministic top-k rows per group (row_number window + filter);
+    Spark executes the per-partition rank before the shuffle when the
+    window partitions align, keeping shuffled volume ~k per group."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

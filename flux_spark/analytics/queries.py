@@ -470,3 +470,148 @@ def events_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# custom operators & wider relational coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_asof_purchase",
+    """
+    WITH r AS (
+      SELECT user_id, ts, 0 AS side, event_id AS prior_event_id,
+             CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
+      FROM events WHERE event_type = 'click'),
+    l AS (
+      SELECT user_id, ts, 1 AS side, CAST(NULL AS BIGINT) AS prior_event_id,
+             event_id, value
+      FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+    c AS (
+      SELECT *, last_value(prior_event_id IGNORE NULLS) OVER (
+        PARTITION BY user_id
+        ORDER BY ts ASC, side ASC, prior_event_id ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+      FROM u)
+    SELECT user_id, ts, event_id, value, carry AS prior_event_id
+    FROM c WHERE side = 1
+    """,
+    "as-of join: each purchase gets the latest prior-or-same-time click "
+    "(merge-scan union+window form — one shuffle, no inequality join)",
+)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        time_col="ts",
+        right_value_cols=["event_id"],
+        prefix="prior_",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "orders_priority_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    "hierarchical rollup (grouping sets): per (priority,status), per priority, grand total",
+)
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "customer_segments_setops",
+    """
+    WITH high_bal AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+    buyers97 AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT 'active_high_bal' AS segment, c_custkey
+    FROM (SELECT c_custkey FROM high_bal INTERSECT SELECT c_custkey FROM buyers97)
+    UNION ALL
+    SELECT 'dormant_high_bal' AS segment, c_custkey
+    FROM (SELECT c_custkey FROM high_bal EXCEPT SELECT c_custkey FROM buyers97)
+    """,
+    "set operations: INTERSECT / EXCEPT customer segments with labels",
+)
+def customer_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    high_bal = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    buyers97 = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    active = high_bal.intersect(buyers97).select(
+        F.lit("active_high_bal").alias("segment"), "c_custkey"
+    )
+    dormant = high_bal.subtract(buyers97).select(
+        F.lit("dormant_high_bal").alias("segment"), "c_custkey"
+    )
+    return active.unionByName(dormant)
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "orders_scalar_funcs",
+    """
+    SELECT o_orderkey,
+      upper(o_orderstatus) AS status_upper,
+      substr(o_orderpriority, 1, 1) AS prio_code,
+      lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+      year(o_orderdate) AS order_year,
+      month(o_orderdate) AS order_month,
+      day(o_orderdate) AS order_day,
+      o_orderdate + INTERVAL 30 DAY AS due_ts,
+      sqrt(o_totalprice) AS price_sqrt,
+      CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      o_orderkey % 7 AS key_mod7
+    FROM orders
+    """,
+    "per-row scalar function coverage: string / date-part / interval / math "
+    "(IEEE-exact ops only, all inside whole-stage codegen)",
+)
+def orders_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+    )

@@ -1,0 +1,63 @@
+"""Semantics tests for custom relational operators (asof/range/top-k)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flux_spark.analytics.operators import asof_join, range_join_keyed, top_k_per_group
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 100), ("A", 20, 200), ("B", 15, 300), ("A", 5, 400)],
+        "sym string, t long, qty long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 1.0), ("A", 10, 2.0), ("A", 18, 3.0), ("B", 20, 9.0)],
+        "sym string, t long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_inclusive(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {
+        (r.sym, r.t): r.q_px
+        for r in asof_join(
+            trades, quotes, key="sym", time_col="t",
+            right_value_cols=["px"], prefix="q_", tiebreak="px",
+        ).collect()
+    }
+    assert out[("A", 5)] is None      # no quote yet
+    assert out[("A", 10)] == 2.0      # equal time included
+    assert out[("A", 20)] == 3.0      # latest earlier quote
+    assert out[("B", 15)] is None     # B's only quote is later
+
+
+def test_asof_join_strict(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {
+        (r.sym, r.t): r.q_px
+        for r in asof_join(
+            trades, quotes, key="sym", time_col="t",
+            right_value_cols=["px"], prefix="q_", strict=True, tiebreak="px",
+        ).collect()
+    }
+    assert out[("A", 10)] == 1.0      # equal time excluded under strict
+
+
+def test_range_join_keyed(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = range_join_keyed(
+        trades, quotes, key="sym", left_time="t", right_time="t",
+        lower=F.lit(-2), upper=F.lit(2),
+    ).select(F.col("l.sym"), F.col("l.t").alias("lt"), F.col("r.t").alias("rt"))
+    got = {(r.sym, r.lt, r.rt) for r in out.collect()}
+    assert got == {("A", 10, 8), ("A", 10, 10), ("A", 20, 18)}
+
+
+def test_top_k_per_group(spark, quotes_trades):
+    trades, _ = quotes_trades
+    out = top_k_per_group(trades, ["sym"], [F.desc("qty")], 1).collect()
+    got = {(r.sym, r.qty) for r in out}
+    assert got == {("A", 400), ("B", 300)}
