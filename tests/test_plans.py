@@ -1,0 +1,96 @@
+"""Plan-quality regression guards.
+
+Correctness says the answer is right; these tests say the *plan* is the one
+that survives 100 TB: filters reach the parquet scan, dimension joins
+broadcast instead of shuffling the fact table, scans are column-pruned, and
+point reads prune to one partition directory. A regression here is a perf
+bug even when results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_point_fetch_prunes_partition_dir_and_pushes_offset(store, spark):
+    store.catalog.create_topic("t", 3)
+    e = spark.range(300).select(
+        F.col("id").alias("seq"),
+        F.pmod("id", F.lit(3)).cast("int").alias("partition"),
+        F.col("id").cast("string").alias("value"),
+    )
+    store.append("t", e, ordering_col="seq")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
+    fetch = store.read("t", partitions=[1]).where(F.col("offset") == 5)
+    plan = executed_plan(fetch)
+    # offset predicate pushed to the scan (rowgroup-stat skipping)
+    assert "EqualTo(offset,5)" in plan
+    # partition-dir pruning via PartitionFilters on the Hive-style layout
+    assert "PartitionFilters" in plan and "(partition" in plan and "= 1)" in plan
+
+
+def test_q3_broadcasts_dims_no_sort_merge(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["q3_shipping_priority"].fn(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # selective customer filter pushed to the scan
+    assert "c_mktsegment" in plan and "BUILDING" in plan
+
+
+def test_q5_six_table_join_all_broadcast(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["q5_local_supplier"].fn(spark, sf))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_column_pruned_single_exchange(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    df = ANALYTICS_QUERIES["q1_pricing_summary"].fn(spark, sf)
+    df.collect()  # run so AQE finalizes the plan (isFinalPlan=true)
+    plan = executed_plan(df)
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    # scan reads only the 7 needed columns, not the full lineitem schema
+    assert "l_orderkey" not in final.split("FileScan")[1][:400]
+    # one shuffle total: the partial->final aggregation exchange
+    assert final.count("Exchange") == 1
+    # codegen'd stages marked *(n) in the final adaptive plan
+    assert "*(1)" in final
+
+
+def test_asof_join_is_single_shuffle_window_not_join(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_asof_purchase"].fn(spark, sf))
+    # merge-scan form: a window over a union — never an inequality join
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_log_scan_keeps_offset_range_filters_pushed(store, spark):
+    store.catalog.create_topic("r", 2)
+    e = spark.range(100).select(
+        F.col("id").alias("seq"),
+        F.pmod("id", F.lit(2)).cast("int").alias("partition"),
+        F.col("id").cast("string").alias("value"),
+    )
+    store.append("r", e, ordering_col="seq")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
+    df = store.read("r", partitions=[0, 1], start_offsets={0: 10, 1: 20})
+    plan = executed_plan(df)
+    assert "offset" in plan and ">= 10" in plan
+    # the per-partition disjunction still reaches the parquet reader
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(offset,10)" in plan
