@@ -615,3 +615,31 @@ def orders_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("long").alias("price_floor"),
         (F.col("o_orderkey") % 7).alias("key_mod7"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_json_props",
+    """
+    SELECT event_type,
+      CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      COUNT(*) AS n_events,
+      MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10
+    """,
+    "semi-structured JSON extraction (from_json) + bucketed aggregation",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k LONG").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
