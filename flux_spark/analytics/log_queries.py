@@ -235,3 +235,29 @@ def group_assign_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..assignors import round_robin_assign
 
     return _assignment_df(spark, round_robin_assign(_MEMBERS, _TOPICS))
+
+
+@register(
+    LOG_QUERIES,
+    "stream_windowed_counts",
+    _ROUTED_CTE
+    + """
+    SELECT
+      time_bucket(INTERVAL 1 HOUR, event_ts) AS window_start,
+      part_id AS partition,
+      COUNT(*) AS n_events,
+      MIN(record_offset) AS first_offset,
+      MAX(record_offset) AS last_offset
+    FROM routed
+    GROUP BY 1, 2
+    """,
+    "Structured Streaming windowed aggregation over the topic log "
+    "(readStream -> watermark -> tumbling window, AvailableNow drain)",
+)
+def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import drain_available_now, stream_topic, stream_windowed_counts
+
+    store = _ingest_events(spark, sf_dir)
+    src = stream_topic(store, "events")
+    agg = stream_windowed_counts(src, window="1 hour", watermark="30 minutes")
+    return drain_available_now(agg, output_mode="complete")

@@ -117,3 +117,55 @@ def top_k_per_group(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+_COMBINE = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+_PARTIAL = {
+    "count": lambda c: F.count(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation with explicit key salting for skewed keys.
+
+    ``aggs`` maps output alias -> ("count"|"sum"|"min"|"max", column).
+    Phase 1 groups by (keys, salt) so a hot key's rows spread over
+    ``n_salts`` reducers; phase 2 combines the partials per key (sum of
+    counts/sums, min of mins, ...). Results are identical to a direct
+    groupBy — this is the manual form of what AQE's skew handling does for
+    joins, needed when one grouping key dominates (the classic null-key /
+    celebrity-user problem). ``salt_col`` defaults to a deterministic
+    spread (hash of all columns is overkill; spark_partition_id mixes
+    enough) — pass an explicit column for reproducible tests.
+
+    Spark already does map-side partial aggregation, so salting groupBy is
+    only needed when phase-2 combiners themselves skew (billions of rows
+    per key after partials) — the operator exists for that regime and as
+    the documented pattern.
+    """
+    salt = salt_col if salt_col is not None else (F.spark_partition_id() % n_salts)
+    partials = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[_PARTIAL[kind](col).alias(f"__p_{alias}") for alias, (kind, col) in aggs.items()])
+    )
+    return partials.groupBy(*keys).agg(
+        *[
+            _COMBINE[kind](f"__p_{alias}").alias(alias)
+            for alias, (kind, _) in aggs.items()
+        ]
+    )

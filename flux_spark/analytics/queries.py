@@ -643,3 +643,36 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_salted_user_stats",
+    """
+    SELECT user_id,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+      MIN(event_id) AS first_event,
+      MAX(event_id) AS last_event
+    FROM events
+    GROUP BY user_id
+    """,
+    "skew-safe salted two-phase aggregation (identical result to direct "
+    "groupBy; spreads hot keys over n_salts reducers)",
+)
+def events_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("count", F.lit(1)),
+            "total_value": ("sum", F.col("value").cast(_DEC)),
+            "first_event": ("min", F.col("event_id")),
+            "last_event": ("max", F.col("event_id")),
+        },
+        salt_col=F.pmod(F.col("event_id"), F.lit(16)),
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
