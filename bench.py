@@ -1,13 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"""Benchmark harness (BASELINE.md plan): at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], measure
 
-Each query is forced with a full count() so the measured time includes the
-entire plan (scan -> shuffle -> agg), not just plan construction. The first
-query absorbs JVM/session warmup; a tiny warmup count runs first so the
-headline numbers reflect steady-state execution.
+1. ingest throughput — events table produced into a 3-partition topic log
+   through the full routing/offset/commit path (reference floor: ~2.5k
+   rec/s, optimistic reading ~22.6k rec/s, ProducerBenchmark.java:65-72);
+2. consume throughput — poll-everything round-trip via the offset-bounded
+   reader (reference published none, ConsumerBenchmark.java:15-19);
+3. analytics + LLM-pipeline headline queries (the layer the reference
+   lacks; correctness gated by the DuckDB oracle at sf0.01).
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(name -> sec), "sf"} plus a supplementary "records_per_s" map for the
+throughput items. Each query is forced with count() so timings cover the
+full plan execution.
 """
 
 from __future__ import annotations
@@ -15,21 +21,23 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: log-engine roundtrip + scan-heavy agg + multi-join + windows
-# + LLM-pipeline ops. Names must exist in __spark_entry__.queries().
-HEADLINE = [
-    "log_ingest_roundtrip",
+ANALYTICS_HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "events_hourly",
     "events_sessionize",
+    "events_asof_purchase",
+    "events_salted_user_stats",
     "doc_dedup_minhash_lsh",
+    "doc_simhash",
     "ann_cosine_topk",
+    "emb_near_dup_lsh",
 ]
 
 
@@ -41,37 +49,84 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    from flux_spark.session import get_spark
-
     import __spark_entry__ as entry_mod
+
+    from pyspark.sql import functions as F
+
+    from flux_spark import FluxConsumer, LogStore
+    from flux_spark.analytics.registry import load_table
+    from flux_spark.session import get_spark
 
     spark = get_spark(
         app_name="flux-spark-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    registry = entry_mod.queries()
-    names = [n for n in HEADLINE if n in registry]
 
-    # warmup: touch the fact table so JVM/codegen startup isn't billed
-    # to the first headline query
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    # Spark job latency on a shared box is jittery; best-of-N absorbs it
+    # (same spirit as the reference's JMH warmup+iterations,
+    # ProducerBenchmark.java:14-16). Override with SPARK_GRAFT_BENCH_ROUNDS.
+    rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2")))
 
     timings: dict[str, float] = {}
-    for name in names:
+    rates: dict[str, float] = {}
+
+    # -- 1. ingest: events -> 3-partition topic through the produce path --
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    n_events = events.count()  # warms the JVM + caches file listing
+    store = LogStore(spark, tempfile.mkdtemp(prefix="flux-bench-"))
+    best = None
+    for r in range(rounds):
+        topic = f"events_r{r}"
+        store.catalog.create_topic(topic, 3)
         t0 = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        store.append(topic, events, ordering_col="seq")
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["ingest_events"] = round(best, 4)
+    rates["ingest_events"] = round(n_events / best)
+
+    # -- 2. consume: poll everything back (offset-bounded scan) -----------
+    best = None
+    for r in range(rounds):
+        consumer = FluxConsumer(store, group_id=f"bench{r}")
+        consumer.assign({"events_r0": [0, 1, 2]})
+        t0 = time.perf_counter()
+        got = consumer.poll().records.count()
+        dt = time.perf_counter() - t0
+        assert got == n_events, (got, n_events)
+        best = dt if best is None else min(best, dt)
+    timings["consume_events"] = round(best, 4)
+    rates["consume_events"] = round(n_events / best)
+
+    # -- 3. analytics + LLM headline --------------------------------------
+    registry = entry_mod.queries()
+    for name in ANALYTICS_HEADLINE:
+        if name not in registry:
+            continue
+        best = None
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "ingest_consume_and_headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "records_per_s": rates,
+                "n_events": n_events,
             }
         )
     )
