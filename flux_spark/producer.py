@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 
 from .errors import InvalidTopicError
 from .log import LogStore
+from .schema import HEADER_TYPE
 
 _BUFFER_SCHEMA = StructType(
     [
@@ -48,6 +49,7 @@ _BUFFER_SCHEMA = StructType(
         StructField("timestamp", TimestampType(), True),
         StructField("key", StringType(), True),
         StructField("value", StringType(), False),
+        StructField("headers", HEADER_TYPE, True),
     ]
 )
 
@@ -68,14 +70,18 @@ class FluxProducer:
         key: str | None = None,
         partition: int | None = None,
         timestamp: datetime | None = None,
+        headers: list[tuple[str, bytes | None]] | None = None,
     ) -> None:
+        """``headers`` is an ordered list of (key, value-bytes) pairs —
+        repeated keys allowed, the reference's multimap semantics
+        (commons/headers/Headers.java:8-96)."""
         if not self.store.catalog.topic_exists(topic):
             raise InvalidTopicError(f"topic {topic!r} does not exist")
         if value is None:
             raise ValueError("value is required")
         with self._lock:
             self._buffers.setdefault(topic, []).append(
-                (next(self._seq), partition, timestamp, key, str(value))
+                (next(self._seq), partition, timestamp, key, str(value), headers)
             )
             full = len(self._buffers[topic]) >= self.batch_size
         if full:

@@ -148,3 +148,26 @@ def test_producer_autoflush_at_batch_size(topic_store):
     assert sum(topic_store.high_water_marks("t").values()) == 20
     prod.close()
     assert sum(topic_store.high_water_marks("t").values()) == 25
+
+
+def test_headers_roundtrip(topic_store):
+    prod = FluxProducer(topic_store)
+    prod.send(
+        "t",
+        value="with-headers",
+        key="hk",
+        headers=[("trace", b"abc"), ("trace", b"def"), ("empty", None)],
+    )
+    prod.send("t", value="no-headers")
+    prod.flush()
+    c = FluxConsumer(topic_store, group_id="g")
+    c.subscribe(["t"])
+    rows = {r.value: r for r in c.poll().records.collect()}
+    hs = rows["with-headers"].headers
+    # ordered multimap semantics (Headers.java:8-96): duplicate keys kept
+    assert [(h.key, bytes(h.value) if h.value is not None else None) for h in hs] == [
+        ("trace", b"abc"),
+        ("trace", b"def"),
+        ("empty", None),
+    ]
+    assert rows["no-headers"].headers is None
