@@ -173,24 +173,33 @@ class LogStore:
                 "value",
                 "headers",
             )
-            out.persist()
-            try:
-                (
-                    out.sortWithinPartitions("offset")
-                    .write.mode("append")
-                    .option("maxRecordsPerFile", self.max_records_per_file)
-                    .option("compression", self.compression)
-                    .partitionBy("partition")
-                    .parquet(self.topic_path(topic))
-                )
-                stats = {
-                    int(r["partition"]): (int(r["first"]), int(r["last"]))
-                    for r in out.groupBy("partition")
-                    .agg(F.min("offset").alias("first"), F.max("offset").alias("last"))
-                    .collect()
-                }
-            finally:
-                out.unpersist()
+            # Per-partition offset ranges are collected DURING the write via
+            # the Observation API — ingest is exactly one job over the data
+            # (no persist + second stats pass). 2 aggregates per partition;
+            # fine for realistic topic widths (Kafka-style 10s-1000s).
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            aggs = []
+            for p in range(n):
+                on_p = F.when(F.col("partition") == p, F.col("offset"))
+                aggs.append(F.min(on_p).alias(f"min_{p}"))
+                aggs.append(F.max(on_p).alias(f"max_{p}"))
+            out = out.observe(obs, aggs[0], *aggs[1:])
+            (
+                out.sortWithinPartitions("offset")
+                .write.mode("append")
+                .option("maxRecordsPerFile", self.max_records_per_file)
+                .option("compression", self.compression)
+                .partitionBy("partition")
+                .parquet(self.topic_path(topic))
+            )
+            vals = obs.get
+            stats = {
+                p: (int(vals[f"min_{p}"]), int(vals[f"max_{p}"]))
+                for p in range(n)
+                if vals.get(f"min_{p}") is not None
+            }
 
             self.catalog.advance_hwm(
                 topic, {p: last + 1 for p, (_, last) in stats.items()}
