@@ -676,3 +676,39 @@ def events_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col=F.pmod(F.col("event_id"), F.lit(16)),
     )
     return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_distinct_users_sketch",
+    None,  # HLL/KLL sketches are engine-specific; exactness asserted in-query
+    "approximate sketches at scale: approx_count_distinct (HLL) and "
+    "approx_percentile (KLL-style) vs their exact counterparts, with "
+    "relative-error columns the rows-only gate pins down",
+)
+def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch operators are THE tool for distinct/quantile at 100 TB (fixed
+    memory, one pass, mergeable partials) but their estimates are
+    engine-implementation-specific, so instead of a DuckDB twin the query
+    emits both the sketch and the exact value plus the observed relative
+    error — downstream assertions (and readers) can see the sketch is
+    within its documented accuracy (HLL rsd default 5%)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
+        F.expr("percentile(value, 0.5)").alias("exact_median_value"),
+    )
+    return agg.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ).alias("users_rel_err"),
+        "approx_median_value",
+        "exact_median_value",
+    )
