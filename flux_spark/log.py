@@ -292,6 +292,56 @@ class LogStore:
         self.catalog.advance_hwm(topic, recovered)
         return recovered
 
+    def offsets_for_times(self, topic: str, ts) -> dict[int, int | None]:
+        """Per-partition earliest offset whose record timestamp >= ``ts`` —
+        the Kafka ``offsetsForTimes`` analog the reference lacks. One
+        aggregation pass; the timestamp predicate prunes rowgroups via
+        parquet min/max stats. None for partitions with no such record."""
+        meta = self.catalog.get_topic(topic)
+        rows = (
+            self.read(topic)
+            .where(F.col("timestamp") >= F.lit(ts).cast("timestamp"))
+            .groupBy("partition")
+            .agg(F.min("offset").alias("first_offset"))
+            .collect()
+        )
+        out: dict[int, int | None] = {p: None for p in meta.partition_ids()}
+        out.update({int(r["partition"]): int(r["first_offset"]) for r in rows})
+        return out
+
+    def truncate_before(self, topic: str, min_offsets: dict[int, int]) -> None:
+        """Retention: drop records below ``min_offsets[partition]`` (offsets
+        of retained records are preserved — consumers' positions stay
+        valid). Implemented as a filtered rewrite + atomic directory swap,
+        like compact(); at warehouse scale the same operation would drop
+        whole files below the watermark first and rewrite only the
+        boundary file."""
+        meta = self.catalog.get_topic(topic)
+        n = meta.num_partitions
+        keep = None
+        for p, lo in min_offsets.items():
+            c = (F.col("partition") == int(p)) & (F.col("offset") >= int(lo))
+            keep = c if keep is None else (keep | c)
+        untouched = ~F.col("partition").isin([int(p) for p in min_offsets])
+        cond = untouched if keep is None else (keep | untouched)
+        df = self.read(topic).drop("topic").where(cond)
+        tmp = self.warehouse / f".trunc-{topic}-{uuid.uuid4().hex[:8]}"
+        (
+            df.repartition(n, "partition")
+            .sortWithinPartitions("offset")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", self.max_records_per_file)
+            .option("compression", self.compression)
+            .partitionBy("partition")
+            .parquet(str(tmp))
+        )
+        live = Path(self.topic_path(topic))
+        backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
+        with self._ingest_lock(topic):
+            os.replace(live, backup)
+            os.replace(tmp, live)
+        shutil.rmtree(backup, ignore_errors=True)
+
     # -- maintenance (SURVEY.md §7 phase 4 "batch indexing") ------------
     def compact(self, topic: str, target_records_per_file: int | None = None) -> None:
         """Rewrite each partition's many small segment files into few large

@@ -141,3 +141,41 @@ def test_timestamp_defaulted(spark, store):
     store.append("t", df, ordering_col="seq")
     row = store.read("t").collect()[0]
     assert row["timestamp"] is not None
+
+
+def test_offsets_for_times(spark, store):
+    from pyspark.sql import functions as F
+
+    store.catalog.create_topic("ts", 2)
+    df = spark.createDataFrame(
+        [(i, i % 2, f"2024-01-01 00:{i:02d}:00", f"v{i}") for i in range(20)],
+        "seq long, partition int, timestamp string, value string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    store.append("ts", df, ordering_col="seq")
+    # records i=0..19; partition p holds i where i%2==p, offsets 0..9 in order
+    found = store.offsets_for_times("ts", "2024-01-01 00:10:00")
+    # first record with ts >= 00:10 is i=10 (p0, its 6th record -> offset 5)
+    # and i=11 (p1, offset 5)
+    assert found == {0: 5, 1: 5}
+    assert store.offsets_for_times("ts", "2025-01-01 00:00:00") == {0: None, 1: None}
+    assert store.offsets_for_times("ts", "2020-01-01 00:00:00") == {0: 0, 1: 0}
+
+
+def test_truncate_before_preserves_offsets(spark, store):
+    from pyspark.sql import functions as F
+
+    store.catalog.create_topic("ret", 2)
+    df = spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(20)],
+        "seq long, partition int, value string",
+    )
+    store.append("ret", df, ordering_col="seq")
+    store.truncate_before("ret", {0: 7})  # partition 1 untouched
+    rows = store.read("ret").groupBy("partition").agg(
+        F.min("offset").alias("lo"), F.max("offset").alias("hi"), F.count("*").alias("n")
+    ).collect()
+    got = {r.partition: (r.lo, r.hi, r.n) for r in rows}
+    assert got == {0: (7, 9, 3), 1: (0, 9, 10)}
+    # appends continue from the same hwm (offsets never reused)
+    store.append("ret", spark.createDataFrame([(100, 0, "new")], "seq long, partition int, value string"), ordering_col="seq")
+    assert store.read_at("ret", 0, 10).value == "new"
