@@ -62,6 +62,13 @@ def partition_for_key(key: str, num_partitions: int) -> int:
 def murmur2_partition_udf(num_partitions: int):
     """Pandas UDF: string key column -> partition id in [0, num_partitions).
 
+    The hash arithmetic is fully numpy-vectorized: keys are packed into one
+    padded uint8 matrix, the 4-byte mixing loop runs over *block columns*
+    (so its trip count is max_key_len/4, not row count), and tail/avalanche
+    steps are masked array ops. Python-per-row work is limited to utf-8
+    encode + one C-level row copy — this keeps key routing off the critical
+    path even for billion-row keyed ingest.
+
     The closure is deliberately self-contained (no references to module-level
     names) so cloudpickle ships it by value and executors never need
     ``flux_spark`` on their PYTHONPATH — it works on a bare cluster without
@@ -71,35 +78,52 @@ def murmur2_partition_udf(num_partitions: int):
 
     @pandas_udf("int")
     def _route(keys: pd.Series) -> pd.Series:
-        seed, m, mask = 0x9747B28C, 0x5BD1E995, 0xFFFFFFFF
+        import numpy as np
 
-        def _mm2_partition(key):
-            if key is None:
-                return None
-            data = key.encode("utf-8")
-            length = len(data)
-            h = (seed ^ length) & mask
-            end = length - (length % 4)
-            for i in range(0, end, 4):
-                k = int.from_bytes(data[i : i + 4], "little")
-                k = (k * m) & mask
-                k ^= k >> 24
-                k = (k * m) & mask
-                h = (h * m) & mask
-                h ^= k
-            rem = length % 4
-            if rem == 3:
-                h ^= (data[end + 2] & 0xFF) << 16
-            if rem >= 2:
-                h ^= (data[end + 1] & 0xFF) << 8
-            if rem >= 1:
-                h ^= data[end] & 0xFF
-                h = (h * m) & mask
-            h ^= h >> 13
-            h = (h * m) & mask
-            h ^= h >> 15
-            return (h & 0x7FFFFFFF) % n
+        SEED, M, MASK = 0x9747B28C, 0x5BD1E995, 0xFFFFFFFF
+        vals = keys.to_numpy(dtype=object)
+        rows = len(vals)
+        if rows == 0:
+            return pd.Series([], dtype="Int32")
+        null = np.array([v is None for v in vals])
+        bs = [b"" if v is None else str(v).encode("utf-8") for v in vals]
+        lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=rows)
+        width = max(4, int(-(-max(lens.max(), 1) // 4) * 4))
+        buf = np.zeros((rows, width), dtype=np.uint8)
+        for i, b in enumerate(bs):
+            if b:
+                buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        blocks = buf.view("<u4").astype(np.uint64)  # (rows, width//4)
+        nblocks = lens // 4
 
-        return keys.map(_mm2_partition).astype("Int32")
+        h = (np.uint64(SEED) ^ lens.astype(np.uint64)) & MASK
+        for j in range(blocks.shape[1]):
+            active = nblocks > j
+            if not active.any():
+                break
+            k = blocks[:, j]
+            k = (k * M) & MASK
+            k ^= k >> np.uint64(24)
+            k = (k * M) & MASK
+            h2 = (((h * M) & MASK) ^ k) & MASK
+            h = np.where(active, h2, h)
+
+        rem = lens % 4
+        end = nblocks * 4
+        idx = np.arange(rows)
+        b0 = buf[idx, np.minimum(end, width - 1)].astype(np.uint64)
+        b1 = buf[idx, np.minimum(end + 1, width - 1)].astype(np.uint64)
+        b2 = buf[idx, np.minimum(end + 2, width - 1)].astype(np.uint64)
+        h = np.where(rem == 3, h ^ (b2 << np.uint64(16)), h)
+        h = np.where(rem >= 2, h ^ (b1 << np.uint64(8)), h)
+        h = np.where(rem >= 1, ((h ^ b0) * M) & MASK, h)
+
+        h ^= h >> np.uint64(13)
+        h = (h * M) & MASK
+        h ^= h >> np.uint64(15)
+        part = ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int64")
+        out = pd.array(part, dtype="Int32")
+        out[null] = pd.NA
+        return pd.Series(out)
 
     return _route

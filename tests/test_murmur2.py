@@ -76,3 +76,32 @@ def test_known_vectors():
     for data, expected in KNOWN.items():
         assert murmur2(data) == expected
         assert _reference_murmur2(data) == expected
+
+
+def test_vectorized_udf_matches_scalar_fuzz(spark):
+    """Fuzz the numpy-vectorized routing UDF against the scalar reference:
+    mixed lengths (all rem classes), unicode multibyte, empty, long, null."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flux_spark.murmur2 import murmur2_partition_udf, partition_for_key
+
+    rng = random.Random(7)
+    pool = "abcdefghijklmnopqrstuvwxyz0123456789-_.éßñ漢字🚀"
+    keys = [""] + [
+        "".join(rng.choice(pool) for _ in range(rng.randint(1, 67)))
+        for _ in range(500)
+    ]
+    n = 12
+    df = spark.createDataFrame([(k,) for k in keys], "key string").withColumn(
+        "p", murmur2_partition_udf(n)(F.col("key"))
+    )
+    got = {r.key: r.p for r in df.collect()}
+    for k in keys:
+        assert got[k] == partition_for_key(k, n), repr(k)
+    # nulls stay null
+    null_df = spark.createDataFrame([(None,)], "key string").withColumn(
+        "p", murmur2_partition_udf(n)(F.col("key"))
+    )
+    assert null_df.collect()[0].p is None
