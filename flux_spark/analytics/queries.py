@@ -712,3 +712,30 @@ def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_median_value",
         "exact_median_value",
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "orders_above_customer_avg",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+    "correlated scalar subquery (each order vs its customer's average) — "
+    "Catalyst decorrelates to an aggregate+join; expressed as a window to "
+    "shuffle the fact table once",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg = F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double") / F.count(
+        "*"
+    ).over(w)
+    return (
+        o.withColumn("__avg", avg)
+        .where(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

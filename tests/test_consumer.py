@@ -209,3 +209,23 @@ def test_parallel_producers_no_loss(topic_store):
     for w, pairs in by_worker.items():
         ordered = [i for _, i in sorted(pairs)]
         assert ordered == list(range(20)), (w, ordered)
+
+
+def test_sticky_rebalance_end_to_end(store):
+    """Sticky protocol through the full consumer surface: after a member
+    leaves, the survivor keeps every partition it already owned
+    (StickyAssignor.java:41-145 phase-1 semantics)."""
+    store.catalog.create_topic("s", 6)
+    coord = GroupCoordinator()
+    c1 = FluxConsumer(store, group_id="g", coordinator=coord, protocols=("sticky",))
+    c2 = FluxConsumer(store, group_id="g", coordinator=coord, protocols=("sticky",))
+    c1.subscribe(["s"])
+    c2.subscribe(["s"])
+    a1 = c1.subscribe(["s"])  # re-sync after c2's join bumped the generation
+    owned_before = set(a1.get("s", []))
+    assert len(owned_before) == 3
+    c2.unsubscribe()
+    a1_after = c1.subscribe(["s"])
+    owned_after = set(a1_after.get("s", []))
+    assert owned_after == {0, 1, 2, 3, 4, 5}
+    assert owned_before <= owned_after  # stickiness: nothing it had moved
