@@ -739,3 +739,198 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_totalprice") > F.col("__avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "q6_forecast_revenue",
+    """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE)
+        AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 forecast-revenue: pure filter+agg — every predicate reaches the "
+    "parquet scan (PushedFilters), zero shuffles beyond the final 1-row agg",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "q10_returned_items",
+    """
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+        AS revenue,
+      n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    "TPC-H Q10 returned items: fact-fact join on orderkey + two broadcast "
+    "dims, top-20 as TakeOrdered (no global sort)",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    # lineitem<->orders shuffle on orderkey; customer and nation broadcast so
+    # the aggregated fact stream never reshuffles for the dimensions.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "q14_promo_revenue",
+    """
+    SELECT
+      100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount)
+                     ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(25,6))) AS DOUBLE) AS promo_revenue_pct,
+      COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    "TPC-H Q14 promo revenue share: conditional aggregation over a "
+    "broadcast part join — one scan, one 1-row agg",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo.cast(_DEC)).cast("double")
+            / F.sum(disc.cast(_DEC)).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "customer_order_gaps",
+    """
+    WITH gaps AS (
+      SELECT
+        o_custkey,
+        date_diff('day',
+                  LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT
+      o_custkey,
+      COUNT(gap_days) AS n_gaps,
+      CAST(SUM(CAST(gap_days AS DECIMAL(25,6))) AS DOUBLE) / COUNT(gap_days)
+        AS avg_gap_days,
+      MAX(gap_days) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    "inter-order gap stats per customer: LAG window then re-aggregate — "
+    "window and groupBy share the o_custkey shuffle (one exchange total)",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").alias("n_gaps"),
+        (
+            F.sum(F.col("gap_days").cast(_DEC)).cast("double")
+            / F.count("gap_days")
+        ).alias("avg_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_user_retention",
+    """
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      c.cohort_day,
+      date_trunc('day', e.ts) AS active_day,
+      COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN cohorts c ON e.user_id = c.user_id
+    GROUP BY c.cohort_day, date_trunc('day', e.ts)
+    """,
+    "cohort retention matrix: first-activity day per user joined back to "
+    "activity days (testdata spans 30 days) — both the cohort agg and the join key on user_id, so "
+    "AQE coalesces to one user_id exchange; at 100 TB the cohort side is "
+    "orders-of-magnitude smaller and broadcast",
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(cohorts, "user_id")
+        .groupBy("cohort_day", F.date_trunc("day", F.col("ts")).alias("active_day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
