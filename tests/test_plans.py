@@ -94,3 +94,46 @@ def test_log_scan_keeps_offset_range_filters_pushed(store, spark):
     assert "offset" in plan and ">= 10" in plan
     # the per-partition disjunction still reaches the parquet reader
     assert "PushedFilters" in plan and "GreaterThanOrEqual(offset,10)" in plan
+
+
+def test_q6_all_predicates_pushed_to_scan(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    plan = executed_plan(ANALYTICS_QUERIES["q6_forecast_revenue"].fn(spark, sf))
+    # every predicate reaches the parquet reader
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.03)",
+        "LessThanOrEqual(l_discount,0.05)",
+        "LessThan(l_quantity,24",
+    ):
+        assert pushed in plan, pushed
+    assert "Join" not in plan
+    # scan is pruned to the 4 referenced columns
+    scan = plan.split("FileScan")[1][:500]
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan
+
+
+def test_q10_broadcasts_dims_single_fact_shuffle_join(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["q10_returned_items"].fn(spark, sf))
+    # customer + nation broadcast; only lineitem<->orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    # returnflag + orderdate filters pushed down
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_customer_order_gaps_window_and_agg_share_one_exchange(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    df = ANALYTICS_QUERIES["customer_order_gaps"].fn(spark, sf)
+    df.collect()
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    # the LAG window and the groupBy both key on o_custkey: one shuffle,
+    # then the aggregation reuses the window's partitioning
+    assert plan.count("Exchange") == 1
