@@ -115,3 +115,21 @@ def test_incremental_microbatches(filled_store, spark, tmp_path):
     assert total.count() == 66
     late = sorted(r.value for r in total.collect() if r.value.startswith("late"))
     assert late == [f"late{i}" for i in range(6)]
+
+
+def test_stream_dedup_within_watermark(filled_store):
+    # 60 records share 5 routing keys -> dedup on key keeps exactly 5
+    src = streaming.stream_topic(filled_store, "src")
+    deduped = streaming.stream_dedup(src, ["key"])
+    out = streaming.drain_available_now(deduped)
+    assert out.count() == 5
+    assert {r.key for r in out.select("key").collect()} == {f"k{i}" for i in range(5)}
+
+
+def test_stream_dedup_on_content_digest(filled_store, spark):
+    # dedup on a derived content digest column instead of the routing key
+    src = streaming.stream_topic(filled_store, "src").withColumn(
+        "digest", F.md5(F.substring("value", 1, 1))  # all values start 'v'
+    )
+    out = streaming.drain_available_now(streaming.stream_dedup(src, ["digest"]))
+    assert out.count() == 1
