@@ -390,3 +390,76 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve pairwise near-dup edges into transitive duplicate clusters.
+
+    Iterative min-label propagation: every vertex starts labeled with its
+    own id; each round a vertex takes the min label over itself and its
+    neighbors; fixpoint = connected components, cluster_id = min vertex id
+    in the component (matching the canonical-id convention of
+    exact_dedup_groups).
+
+    Scale shape: each round is one co-partitioned join (edges x labels,
+    both keyed on vertex id) + one min-groupBy — no driver-side data, the
+    only collect is a 1-row SUM(label) used as the convergence test (the
+    label vector is non-increasing, so an unchanged sum IS the fixpoint).
+    Rounds needed = graph diameter; dedup graphs are near-cliques with
+    tiny diameter, so 2-4 rounds in practice. For adversarial
+    long-chain graphs swap in large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce"), same interface.
+
+    If ``vertices`` (a 1-column DataFrame of ids) is given, isolated ids
+    appear in the output as their own singleton cluster.
+    Returns (doc_id, cluster_id).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # localCheckpoint (not persist) on the iteration state: it truncates the
+    # logical plan, so round N's analysis cost is O(1) instead of O(N) —
+    # without it Catalyst re-analyzes a lineage that grows one
+    # join+union+agg deeper every round and planning time dominates.
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        by_dst = labels.select(F.col("id").alias("dst"), "comp")
+        prop = sym.join(by_dst, "dst").select(F.col("src"), "comp")
+        new_labels = (
+            prop.unionByName(labels.select(F.col("id").alias("src"), "comp"))
+            .groupBy("src")
+            .agg(F.min("comp").alias("comp"))
+            .select(F.col("src").alias("id"), "comp")
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    if vertices is not None:
+        vcol = vertices.columns[0]
+        v = vertices.select(F.col(vcol).alias("doc_id")).distinct()
+        out = v.join(out, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    return out

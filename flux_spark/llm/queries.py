@@ -531,3 +531,49 @@ def _media_sql() -> str:
 def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return multimodal.byte_features(multimodal.with_fake_media(d))
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def _dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """Recursive-CTE twin of minhash pairs -> connected components: walk
+    enumerates every (vertex, reachable-vertex) over the symmetric edge
+    set; MIN over reachables = the component's canonical id."""
+    body = _minhash_lsh_sql(threshold=threshold)
+    # reuse the minhash CTE chain up to __common, then cluster recursively
+    prefix = body[: body.index("SELECT id_a, id_b,")]
+    return (
+        prefix.replace("WITH corpus AS", "WITH RECURSIVE corpus AS")
+        + f"""
+, __pairs AS (
+  SELECT id_a, id_b FROM __common
+  WHERE CAST(cc AS DOUBLE) / (na + nb - cc) >= {threshold})
+, __edges AS (
+  SELECT id_a AS src, id_b AS dst FROM __pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM __pairs)
+, walk(id, comp) AS (
+  SELECT DISTINCT src, src FROM __edges
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN __edges e ON e.dst = w.id)
+, comps AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id)
+SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS cluster_id
+FROM corpus c LEFT JOIN comps k ON k.id = c.doc_id
+"""
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_clusters",
+    _dedup_clusters_sql(),
+    "transitive duplicate clusters: MinHash-LSH pairs -> iterative "
+    "min-label-propagation connected components (singletons keep own id)",
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+    return dedup.connected_components(pairs, vertices=corpus.select("doc_id"))

@@ -221,3 +221,30 @@ def test_fingerprint_rolling_hash(spark, docs):
 
     assert fp[5] == ref("ab")
     assert fp[1] == fp[2] == ref("the quick brown fox jumps over the lazy dog")
+
+
+def test_connected_components_transitive_chain(spark):
+    from flux_spark.llm.dedup import connected_components
+
+    # chain 1-2-3 plus pair 10-11 plus isolated vertex 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    out = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, vertices=verts).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from flux_spark.llm.dedup import connected_components
+
+    # worst-case diameter: a 12-vertex path; min label must walk end to end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == 12
