@@ -934,3 +934,80 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.date_trunc("day", F.col("ts")).alias("active_day"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 55
+    )
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      o.o_orderkey,
+      o.o_orderdate,
+      o.o_totalprice,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big b      ON b.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    "TPC-H Q18 large-volume orders: HAVING-filtered agg semi-joined back to "
+    "the facts — the big-order key set is tiny after the HAVING, so it "
+    "broadcasts and the second lineitem pass never shuffles",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
+        .where(F.col("__q") > 55)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big), "l_orderkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "orders_with_bulk_lines",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_quantity >= 45
+        AND l.l_discount < 0.02
+    )
+    """,
+    "EXISTS correlated predicate -> left-semi join; the lineitem side is "
+    "filtered before the join so the semi-join probe set is small",
+)
+def orders_with_bulk_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 45) & (F.col("l_discount") < 0.02)
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
