@@ -1011,3 +1011,43 @@ def orders_with_bulk_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_sliding_windows",
+    """
+    SELECT
+      ws AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT
+        time_bucket(INTERVAL '15 minutes', ts)
+          - (k.k * INTERVAL '15 minutes') AS ws,
+        event_type, value
+      FROM events CROSS JOIN (SELECT range AS k FROM range(0, 4)) k)
+    GROUP BY ws, event_type
+    """,
+    "sliding 1h windows every 15 min (each event lands in exactly 4 hops); "
+    "the batch twin of a hop-window streaming aggregation — Spark expands "
+    "the 4 window instances per row before one partial-agg shuffle",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -137,3 +137,12 @@ def test_customer_order_gaps_window_and_agg_share_one_exchange(spark, sf):
     # the LAG window and the groupBy both key on o_custkey: one shuffle,
     # then the aggregation reuses the window's partitioning
     assert plan.count("Exchange") == 1
+
+
+def test_q18_having_set_broadcast_back(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["q18_large_orders"].fn(spark, sf))
+    # the HAVING-filtered key set and customer both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
