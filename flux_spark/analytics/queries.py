@@ -373,8 +373,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
       SELECT
         user_id, event_id, ts,
-        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM ordered
     )
     SELECT

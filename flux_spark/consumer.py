@@ -17,6 +17,8 @@ index-seek property, README.md:198).
 
 from __future__ import annotations
 
+import itertools
+import threading
 import time
 from dataclasses import dataclass
 
@@ -41,24 +43,35 @@ _OFFSETS_SCHEMA = StructType(
         StructField("partition", IntegerType(), False),
         StructField("offset", LongType(), False),
         StructField("commit_ts", DoubleType(), False),
+        StructField("seq", LongType(), True),
         StructField("metadata", StringType(), True),
     ]
 )
 
 
 class OffsetStore:
-    """G10 — the ``_offsets`` table (group_id, topic, partition, offset)."""
+    """G10 — the ``_offsets`` table (group_id, topic, partition, offset).
+
+    Latest-wins resolution orders by (commit_ts, seq): ``seq`` is a
+    store-local monotonic counter that breaks ties when two commits land
+    within one wall-clock tick (or under clock skew), so fetch() cannot
+    return a stale offset for same-store commit races.
+    """
 
     def __init__(self, store: LogStore):
         self.store = store
         self.path = str(store.warehouse / "_offsets")
+        self._seq = itertools.count()
+        self._seq_lock = threading.Lock()
 
     def commit(
         self, group_id: str, offsets: dict[tuple[str, int], int], metadata: str | None = None
     ) -> None:
         now = time.time()
+        with self._seq_lock:
+            seq = next(self._seq)
         rows = [
-            (group_id, t, int(p), int(off), now, metadata)
+            (group_id, t, int(p), int(off), now, seq, metadata)
             for (t, p), off in offsets.items()
         ]
         df = self.store.spark.createDataFrame(rows, _OFFSETS_SCHEMA)
@@ -74,7 +87,12 @@ class OffsetStore:
         rows = (
             df.where(F.col("group_id") == group_id)
             .groupBy("topic", "partition")
-            .agg(F.max_by("offset", "commit_ts").alias("offset"))
+            .agg(
+                F.max_by(
+                    "offset",
+                    F.struct(F.col("commit_ts"), F.coalesce(F.col("seq"), F.lit(-1))),
+                ).alias("offset")
+            )
             .collect()
         )
         return {(r["topic"], int(r["partition"])): int(r["offset"]) for r in rows}

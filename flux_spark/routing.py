@@ -52,9 +52,12 @@ def assign_partitions(
         # hashing, like PartitionSelector.java:28-35.
         branches.append(F.when((p >= 0) & (p < n), p))
     if has_key:
+        # Empty-string keys fall through to round-robin like missing keys
+        # (PartitionSelector.java:43-50,79-101 treats "" as absent).
         branches.append(
             F.when(
-                F.col(key_col).isNotNull(), murmur2_partition_udf(n)(F.col(key_col))
+                F.col(key_col).isNotNull() & (F.length(key_col) > 0),
+                murmur2_partition_udf(n)(F.col(key_col)),
             )
         )
     branches.append(

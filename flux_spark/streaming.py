@@ -175,14 +175,36 @@ def stream_ingest(
 
     Each microbatch goes through LogStore.append — the same routing /
     offset-assignment / commit path as batch produce — so per-partition
-    offsets stay contiguous across the stream, and the checkpoint's batch
-    ids make re-delivered microbatches idempotent at the sink level.
+    offsets stay contiguous across the stream.
+
+    Delivery semantics: foreachBatch is at-least-once (a microbatch whose
+    foreachBatch completed but whose checkpoint commit did not is
+    re-delivered with the SAME batch_id on restart). To make such replays
+    no-ops, every appended batch id is recorded in a marker directory
+    ``<warehouse>/<topic>/_stream_commits/<sink_id>/`` keyed by the
+    checkpoint location; write_batch skips ids already marked. The marker
+    is written after the append's file-commit, so the only residual
+    duplication window is a crash *between* parquet commit and marker
+    creation — strictly narrower than the reference, which acks before
+    fsync and drops batches after 3 retries (FluxProducer.java:229-233).
     """
+    import hashlib
+
+    sink_id = hashlib.sha256(
+        f"{topic}:{os.path.abspath(checkpoint)}".encode()
+    ).hexdigest()[:16]
+    commits_dir = store.warehouse / topic / "_stream_commits" / sink_id
+    commits_dir.mkdir(parents=True, exist_ok=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = commits_dir / f"{batch_id}"
+        if marker.exists():  # replayed microbatch — already appended
+            return
         if batch_df.isEmpty():
+            marker.touch()
             return
         store.append(topic, batch_df, ordering_col=ordering_col)
+        marker.touch()
 
     writer = (
         source.writeStream.foreachBatch(write_batch)

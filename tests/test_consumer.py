@@ -74,6 +74,18 @@ def test_commit_resume_across_consumers(topic_store):
     assert c3.poll().count == 30
 
 
+def test_rapid_recommits_latest_wins(topic_store):
+    """Two commits for the same (group, topic, partition) within one clock
+    tick must resolve to the later one — the per-store seq counter breaks
+    commit_ts ties (OffsetStore latest-wins)."""
+    from flux_spark.consumer import OffsetStore
+
+    s = OffsetStore(topic_store)
+    for off in (3, 7, 11, 5):  # final commit wins even if not the max offset
+        s.commit("g", {("t", 0): off})
+    assert s.fetch("g")[("t", 0)] == 5
+
+
 def test_seek_rewinds(topic_store):
     fill(topic_store, 30)
     c = FluxConsumer(topic_store, group_id="g")

@@ -87,6 +87,20 @@ def test_unkeyed_round_robin(spark, store):
     assert counts == {0: 10, 1: 10, 2: 10}
 
 
+def test_empty_key_routes_round_robin(spark, store):
+    """'' keys behave like missing keys: round-robin, not murmur2-hashed
+    (PartitionSelector.java:43-50,79-101 falls through on empty keys)."""
+    store.catalog.create_topic("t", 3)
+    rows = [(i, "", f"v{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "seq long, key string, value string")
+    store.append("t", df, ordering_col="seq")
+    counts = {
+        r["partition"]: r["n"]
+        for r in store.read("t").groupBy("partition").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 10, 1: 10, 2: 10}
+
+
 def test_read_at_point_fetch(spark, store):
     store.catalog.create_topic("t", 1)
     store.append("t", _mk_records(spark, 25, with_key=False), ordering_col="seq")

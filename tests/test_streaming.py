@@ -117,6 +117,30 @@ def test_incremental_microbatches(filled_store, spark, tmp_path):
     assert late == [f"late{i}" for i in range(6)]
 
 
+def test_stream_ingest_replay_is_noop(filled_store, spark, tmp_path):
+    """Simulated crash between foreachBatch and checkpoint commit: delete
+    the checkpoint's commit marker so Spark re-delivers batch 0 with the
+    same batch_id on restart — the sink-side _stream_commits marker must
+    make the replay a no-op (no duplicate records, hwm unchanged)."""
+    import shutil
+
+    filled_store.catalog.create_topic("replay-sink", 2)
+    ckpt = tmp_path / "replay-ckpt"
+    src = streaming.stream_topic(filled_store, "src")
+    q = streaming.stream_ingest(src, filled_store, "replay-sink", str(ckpt))
+    q.awaitTermination(120)
+    assert filled_store.read("replay-sink").count() == 60
+    hwm = filled_store.high_water_marks("replay-sink")
+
+    # drop the streaming engine's commit record for batch 0 -> replay
+    shutil.rmtree(ckpt / "commits")
+    src2 = streaming.stream_topic(filled_store, "src")
+    q2 = streaming.stream_ingest(src2, filled_store, "replay-sink", str(ckpt))
+    q2.awaitTermination(120)
+    assert filled_store.read("replay-sink").count() == 60
+    assert filled_store.high_water_marks("replay-sink") == hwm
+
+
 def test_stream_dedup_within_watermark(filled_store):
     # 60 records share 5 routing keys -> dedup on key keeps exactly 5
     src = streaming.stream_topic(filled_store, "src")
