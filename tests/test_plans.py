@@ -146,3 +146,53 @@ def test_q18_having_set_broadcast_back(spark, sf):
     # the HAVING-filtered key set and customer both broadcast
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_correlated_min_is_window_single_lineitem_scan(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["q2_min_cost_supplier"].fn(spark, sf))
+    # the correlated scalar MIN is a window over the supply agg — lineitem
+    # is scanned once, not re-scanned per part
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_decorrelated_two_lineitem_scans_only(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["q21_sole_returned_supplier"].fn(spark, sf))
+    # EXISTS + NOT EXISTS collapse into one per-order aggregate: lineitem is
+    # scanned twice (stats + probe), never three times
+    assert plan.count("lineitem.parquet") == 2
+    assert "EqualTo(l_returnflag,R)" in plan  # probe-side filter pushed down
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_threshold_join_no_correlated_rescan(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["q17_small_quantity_revenue"].fn(spark, sf))
+    assert plan.count("lineitem.parquet") == 2  # probe + per-part averages
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunctive_predicate_broadcast_join(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["q19_discounted_revenue"].fn(spark, sf))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # quantity bounds survive as a pushed scan filter (disjunction-derived)
+    assert "l_quantity" in plan
+
+
+def test_q22_anti_join_and_broadcast_threshold(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["q22_dormant_customers"].fn(spark, sf))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count("BroadcastNestedLoopJoin") == 1
+    assert "GreaterThanOrEqual(o_orderdate" in plan
