@@ -30,6 +30,8 @@ ANALYTICS_HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q9_product_profit",
+    "q21_sole_returned_supplier",
     "events_hourly",
     "events_sessionize",
     "events_asof_purchase",

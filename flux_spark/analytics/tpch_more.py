@@ -588,12 +588,17 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     # Both EXISTS subqueries only ask about the set of (supplier, returnflag)
     # per order — precompute per-order distinct supplier counts once instead
-    # of two correlated scans (classic decorrelation).
-    order_stats = l.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
-            "n_ret_supps"
-        ),
+    # of two correlated scans (classic decorrelation). Two-level aggregation
+    # rather than countDistinct: the (order, supplier) pre-agg map-side
+    # combines, and the plan avoids the Expand a multi-countDistinct needs.
+    order_stats = (
+        l.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("__has_r"))
+        .groupBy(F.col("l_orderkey").alias("os_orderkey"))
+        .agg(
+            F.count("*").alias("n_supps"),
+            F.sum("__has_r").alias("n_ret_supps"),
+        )
     )
     l1 = l.where(F.col("l_returnflag") == "R")
     return (

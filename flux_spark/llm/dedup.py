@@ -273,13 +273,6 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _hex_digit_val(c: Column) -> Column:
-    """Value of one lowercase hex digit char via ascii arithmetic —
-    portable (same expression shape in the DuckDB oracles)."""
-    a = F.ascii(c)
-    return F.when(a >= 97, a - 87).otherwise(a - 48)
-
-
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -290,47 +283,41 @@ def simhash(
     """n_bits-wide SimHash over distinct word k-gram shingles.
 
     Bit j of a feature's hash is bit (j%4) of hex digit (j//4) of
-    md5(shingle); the document bit is the majority vote (sum of +-1 > 0)
-    across features. Shingles (not bare tokens) are the features so that
-    documents over a small vocabulary still hash distinctively. Computed
-    distributed: explode distinct shingles -> per-feature contribution
-    columns -> sum groupBy doc. One shuffle keyed by doc id; contribution
-    math is pure integer codegen. Ties (sum == 0) resolve to bit 0 —
-    deterministic, mirrored exactly in the SQL oracle.
-    """
-    assert n_bits % 4 == 0 and n_bits <= 128
-    toks = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, k)).alias("__t"),
-    ).withColumn("__h", F.md5("__t"))
+    md5(shingle); the document bit is the majority vote across features
+    (count of ones doubled > feature count; ties resolve to bit 0 —
+    deterministic, mirrored exactly in the SQL oracle). Shingles (not bare
+    tokens) are the features so that documents over a small vocabulary
+    still hash distinctively.
 
-    # Materialize each hex-digit value ONCE in its own projection, then
-    # derive the 4 bits of every digit with shift/AND. Semantically
-    # identical to recomputing substring+ascii per bit, but the codegen'd
-    # expression tree is ~4x smaller — on a 32-bit signature this cut
-    # cold-start wall time ~3x (compile dominates at small SF; at 100 TB
-    # the same tree is evaluated per row, so it's a hot-path win too).
-    digits = toks.select(
-        F.col(id_col),
-        *[
-            _hex_digit_val(F.substring("__h", d + 1, 1)).alias(f"__d{d}")
-            for d in range(n_bits // 4)
-        ],
+    Computed entirely per-row with higher-order array functions: the
+    shingle array folds into an n_bits-wide one-bit-count accumulator via
+    ``aggregate``/``zip_with`` — ZERO shuffles and no explode (an earlier
+    explode + n_bits-column groupBy-sum form cost one shuffle and ~3x the
+    wall time). Each document computes its own signature inside one
+    codegen'd projection, so the operator scales with scan bandwidth at
+    100 TB. The first n_bits/4 hex digits of md5 decode to one bigint via
+    ``conv``; the hex-digit bit layout maps to bit (4*(D-1) - j + 2*(j%4))
+    of that integer (digit 0 is most significant).
+    """
+    assert n_bits % 4 == 0 and n_bits <= 32
+    d = n_bits // 4  # hex digits used; conv(8 hex) fits signed 64-bit
+    sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
+    xs = F.expr(
+        f"transform(__sh, s -> cast(conv(substring(md5(s),1,{d}),16,10) as bigint))"
     )
-    contribs = [
-        (
-            F.shiftright(F.col(f"__d{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"__c{j}")
-        for j in range(n_bits)
-    ]
-    summed = digits.select(id_col, *contribs).groupBy(id_col).agg(
-        *[F.sum(f"__c{j}").alias(f"__s{j}") for j in range(n_bits)]
+    ones = F.expr(
+        f"aggregate(__xs, array_repeat(0L, {n_bits}), (acc, x) -> "
+        f"zip_with(acc, transform(sequence(0,{n_bits - 1}), "
+        f"j -> shiftright(x, {4 * (d - 1)} - j + 2*(j%4)) & 1L), (a,b) -> a+b))"
     )
+    withc = sh.select(
+        F.col(id_col), F.size("__sh").alias("__n"), xs.alias("__xs")
+    ).select(id_col, "__n", ones.alias("__c"))
     sim = None
     for j in range(n_bits):
-        bit = (F.col(f"__s{j}") > 0).cast("long") * F.lit(2**j)
+        bit = (F.element_at("__c", j + 1) * 2 > F.col("__n")).cast("long") * F.lit(2**j)
         sim = bit if sim is None else sim + bit
-    return summed.select(F.col(id_col), sim.alias("simhash"))
+    return withc.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
