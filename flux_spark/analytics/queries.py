@@ -1051,3 +1051,132 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_clicks_before_purchase",
+    """
+    SELECT
+      p.event_id AS purchase_id,
+      p.user_id,
+      COUNT(*) AS n_clicks
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+    "bounded time-range join: clicks within the hour before each purchase "
+    "(operators.range_join_keyed — equi-key hash join + residual range "
+    "filter, never a nested loop)",
+)
+def events_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import range_join_keyed
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join_keyed(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        lower=F.expr("INTERVAL -1 HOUR"),
+        upper=F.expr("INTERVAL 0 SECONDS"),
+    )
+    return joined.groupBy(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    ).agg(F.count("*").alias("n_clicks"))
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_time_rollup",
+    """
+    SELECT
+      event_type,
+      date_trunc('day', ts) AS day,
+      date_trunc('hour', ts) AS hour,
+      CAST(GROUPING(event_type, date_trunc('day', ts), date_trunc('hour', ts)) AS INT) AS gid,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type, date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    "hypertable-style continuous-aggregate rollup: one pass produces the "
+    "hour, day, per-type, and grand-total granularities (ROLLUP expands "
+    "before a single partial-agg shuffle; a materialized cascade at scale)",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return e.rollup("event_type", "day", "hour").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_events"),
+        _dec_sum(F.col("value"), "total_value"),
+    ).select("event_type", "day", "hour", "gid", "n_events", "total_value")
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_value_percentiles",
+    """
+    SELECT
+      event_type,
+      quantile_cont(value, 0.25) AS p25,
+      quantile_cont(value, 0.5)  AS p50,
+      quantile_cont(value, 0.9)  AS p90,
+      quantile_cont(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    "exact linear-interpolation percentiles per event type (Spark "
+    "percentile == DuckDB quantile_cont bit-for-bit; at 100 TB swap in "
+    "approx_percentile and drop the per-group sort)",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "doc_lang_pivot",
+    """
+    SELECT
+      source,
+      COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+      COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+      COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+      COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+      COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+    FROM documents
+    GROUP BY source
+    """,
+    "pivot: per-source document counts pivoted by language (explicit value "
+    "list keeps it one pass, no distinct-values pre-query)",
+)
+def doc_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    pivoted = d.groupBy("source").pivot("lang", langs).agg(F.count(F.lit(1)))
+    # empty cells come back NULL from pivot; the SQL COUNT form yields 0
+    return pivoted.select(
+        "source", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in langs]
+    )

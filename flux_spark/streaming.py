@@ -140,6 +140,40 @@ def stream_windowed_counts(
     )
 
 
+def stream_session_counts(
+    records: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked session-window aggregation per routing key.
+
+    ``session_window`` merges events whose gaps stay under ``gap`` into one
+    dynamic window per key — the streaming twin of the batch
+    events_sessionize query (lag + cumulative sum), but with state the
+    engine GC's once the watermark passes a session's close. At 100 TB of
+    events/day state holds only *open* sessions, not history; Spark merges
+    session fragments across microbatches (one shuffle per batch keyed on
+    the grouping key).
+    """
+    return (
+        records.withWatermark("timestamp", watermark)
+        .groupBy(F.session_window("timestamp", gap).alias("win"), "key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "key",
+            "n_events",
+            "first_offset",
+            "last_offset",
+        )
+    )
+
+
 def stream_dedup(
     records: DataFrame,
     key_cols: list[str] | None = None,

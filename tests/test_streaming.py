@@ -117,6 +117,20 @@ def test_incremental_microbatches(filled_store, spark, tmp_path):
     assert late == [f"late{i}" for i in range(6)]
 
 
+def test_stream_session_counts(filled_store, spark):
+    """Session windows merge per-key events with <30min gaps; the fixture's
+    60 records share one ingest timestamp, so each of the 5 keys collapses
+    into exactly one session of 12 events."""
+    src = streaming.stream_topic(filled_store, "src")
+    sess = streaming.stream_session_counts(src, gap="30 minutes")
+    out = streaming.drain_available_now(sess, output_mode="complete")
+    rows = out.collect()
+    assert len(rows) == 5
+    assert {r.key for r in rows} == {f"k{i}" for i in range(5)}
+    assert all(r.n_events == 12 for r in rows)
+    assert all(r.session_end > r.session_start for r in rows)
+
+
 def test_stream_ingest_replay_is_noop(filled_store, spark, tmp_path):
     """Simulated crash between foreachBatch and checkpoint commit: delete
     the checkpoint's commit marker so Spark re-delivers batch 0 with the
