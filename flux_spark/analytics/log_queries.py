@@ -261,3 +261,81 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_topic(store, "events")
     agg = stream_windowed_counts(src, window="1 hour", watermark="30 minutes")
     return drain_available_now(agg, output_mode="complete")
+
+
+@register(
+    LOG_QUERIES,
+    "log_offsets_for_times",
+    _ROUTED_CTE
+    + """
+    SELECT part_id,
+           MIN(record_offset) AS first_offset
+    FROM routed
+    WHERE event_ts >= TIMESTAMP '2024-01-16 00:00:00'
+    GROUP BY part_id
+    """,
+    "offsetsForTimes analog: earliest offset at/after a timestamp per "
+    "partition (timestamp predicate prunes rowgroups via parquet stats)",
+)
+def log_offsets_for_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    got = store.offsets_for_times("events", "2024-01-16 00:00:00")
+    rows = [(int(p), int(o)) for p, o in got.items() if o is not None]
+    return spark.createDataFrame(rows, "part_id int, first_offset long")
+
+
+@register(
+    LOG_QUERIES,
+    "log_truncate_retention",
+    _ROUTED_CTE
+    + """
+    SELECT part_id,
+           COUNT(*) AS n_records,
+           MIN(record_offset) AS first_offset,
+           MAX(record_offset) AS last_offset
+    FROM routed
+    WHERE record_offset >= 1000
+    GROUP BY part_id
+    """,
+    "retention truncate: records below the per-partition watermark dropped, "
+    "surviving offsets preserved so consumer positions stay valid",
+)
+def log_truncate_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    store.truncate_before("events", {0: 1000, 1: 1000, 2: 1000})
+    return (
+        _records(store)
+        .groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("record_offset").alias("first_offset"),
+            F.max("record_offset").alias("last_offset"),
+        )
+    )
+
+
+@register(
+    LOG_QUERIES,
+    "log_compact_roundtrip",
+    _ROUTED_CTE + "SELECT part_id, record_offset, rec_key, rec_value FROM routed",
+    "OPTIMIZE-style small-file compaction preserves every (partition, "
+    "offset, key, value) exactly (maintenance job, SURVEY.md §7 phase 4)",
+)
+def log_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    store.compact("events")
+    return _records(store).select("part_id", "record_offset", "rec_key", "rec_value")
+
+
+@register(
+    LOG_QUERIES,
+    "group_assign_sticky",
+    None,  # iterative min-heap distribution is not SQL-expressible;
+    # determinism + balance + stickiness are asserted exactly in
+    # tests/test_assignors.py (incl. hypothesis properties)
+    "StickyAssignor assignment over the fixture topics (rows-only check)",
+)
+def group_assign_sticky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..assignors import sticky_assign
+
+    return _assignment_df(spark, sticky_assign(_MEMBERS, _TOPICS))

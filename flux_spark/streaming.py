@@ -174,6 +174,49 @@ def stream_session_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "key",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pairs of records sharing a key
+    whose event times lie within ``within`` of each other.
+
+    Both sides carry watermarks and the join condition is equi-key plus a
+    bounded time interval, which is exactly what lets Spark GC join state:
+    a buffered row is dropped once the other side's watermark passes its
+    time bound. Without the interval the state store would grow without
+    bound — the difference between a demo and an operator that survives a
+    continuous 100 TB/day feed. Right-side columns are prefixed to keep the
+    output schema unambiguous.
+    """
+    r = right.select(
+        F.col(key).alias(f"{right_prefix}{key}"),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    lw = left.withWatermark("timestamp", watermark)
+    rw = r.withWatermark(f"{right_prefix}timestamp", watermark)
+    cond = (
+        (F.col(key) == F.col(f"{right_prefix}{key}"))
+        & (
+            F.col(f"{right_prefix}timestamp")
+            >= F.expr(f"timestamp - INTERVAL {within}")
+        )
+        & (
+            F.col(f"{right_prefix}timestamp")
+            <= F.expr(f"timestamp + INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond)
+
+
 def stream_dedup(
     records: DataFrame,
     key_cols: list[str] | None = None,

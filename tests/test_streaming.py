@@ -155,6 +155,26 @@ def test_stream_ingest_replay_is_noop(filled_store, spark, tmp_path):
     assert filled_store.high_water_marks("replay-sink") == hwm
 
 
+def test_stream_stream_join_within_bound(filled_store, spark):
+    """Stream-stream equi-key join with a time bound: every src record
+    joins the enrich-topic record sharing its key (all timestamps land in
+    one ingest instant, so the 1h bound always holds)."""
+    enrich = spark.createDataFrame(
+        [(i, f"k{i}", f"dim{i}") for i in range(5)],
+        "seq long, key string, value string",
+    )
+    filled_store.catalog.create_topic("dims", 1)
+    filled_store.append("dims", enrich, ordering_col="seq")
+
+    l = streaming.stream_topic(filled_store, "src")
+    r = streaming.stream_topic(filled_store, "dims")
+    joined = streaming.stream_stream_join(l, r, within="1 hour")
+    out = streaming.drain_available_now(joined)
+    rows = out.collect()
+    assert len(rows) == 60  # each src record matches exactly one dim
+    assert all(r.r_value == "dim" + r.key[1] for r in rows)
+
+
 def test_stream_dedup_within_watermark(filled_store):
     # 60 records share 5 routing keys -> dedup on key keeps exactly 5
     src = streaming.stream_topic(filled_store, "src")
