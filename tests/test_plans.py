@@ -196,3 +196,42 @@ def test_q22_anti_join_and_broadcast_threshold(spark, sf):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan or plan.count("BroadcastNestedLoopJoin") == 1
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["events_clicks_before_purchase"].fn(spark, sf)
+    )
+    # equi-key keeps the interval join a hash/sort-merge join with a
+    # residual range condition — a nested loop here is the 100 TB killer
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # event_type filters pushed to both scans
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_media_metadata_query_prunes_payload_column(spark, sf):
+    """Filtering/projecting on media *metadata* must not read the payload
+    bytes: the scan schema stays narrow (the real-world multimodal pattern:
+    prune on typed fields, decode only after)."""
+    from flux_spark.llm.multimodal import with_fake_media
+    from flux_spark.analytics.registry import load_table
+
+    media = with_fake_media(load_table(spark, sf, "documents"))
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="flux-media-") + "/media.parquet"
+    media.write.mode("overwrite").parquet(path)
+    meta_only = (
+        spark.read.parquet(path)
+        .where(F.col("meta.width") > 100)
+        .select("doc_id", "meta.width", "meta.height")
+    )
+    plan = executed_plan(meta_only)
+    scan = plan.split("FileScan")[1]
+    schema = scan.split("ReadSchema:")[1][:300]
+    assert "media" not in schema  # payload column pruned from the scan
+    assert "width" in schema
