@@ -91,24 +91,39 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+_MOD32 = 4_294_967_296  # 2^32
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: element i is the lexicographic MIN over shingles
-    of md5(i || ':' || shingle).
+    """MinHash signature: element i is the numeric MIN over shingles of
+    ``(h1 + i*h2) mod 2^32``, where (h1, h2) are the first and third
+    32-bit words of md5(shingle).
 
-    Salted md5 plays the role of the i-th independent hash function; string
-    MIN is a valid minhash because md5 output is uniformly distributed over
-    hex strings. md5 is bit-identical in every engine, which buys an exact
-    SQL oracle — a property murmur-based minhash can't give us.
+    The classic two-hash construction (Kirsch & Mitzenmacher) yields
+    ``num_hashes`` independent-enough hash functions from ONE md5 per
+    shingle — 16x less hashing than salting md5 per function, which makes
+    signature computation scan-bound at corpus scale. md5 is bit-identical
+    in every engine and the derived arithmetic is exact int64, which buys
+    an exact SQL oracle — a property murmur-based minhash can't give us.
+    (h1 + 15*h2 < 2^36, so the arithmetic never overflows int64.)
     """
+    hs = F.transform(shingles, F.md5)
+    pairs = F.transform(
+        hs,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 17, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
 
-    def salted(salt: str):
-        # single-arg lambda: a two-arg lambda would make F.transform pass
-        # the element *index* as the second argument, clobbering the salt
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
+    def hash_i(i: int):
+        # MUST stay a single-arg lambda: F.transform passes the element
+        # *index* as a second argument, which would clobber the captured i
+        return lambda p: (p["h1"] + F.lit(i) * p["h2"]) % F.lit(_MOD32)
 
     return F.array(
         *[
-            F.array_min(F.transform(shingles, salted(f"{i}:")))
+            F.array_min(F.transform(pairs, hash_i(i)))
             for i in range(num_hashes)
         ]
     )
@@ -116,10 +131,19 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 
 def lsh_band_hashes(signature: Column, bands: int, rows: int) -> Column:
     """Band the signature: band b's bucket key is md5 over its `rows`
-    consecutive minhashes. Docs agreeing on any band become candidates."""
+    consecutive minhashes (stringified). Docs agreeing on any band become
+    candidates."""
     return F.array(
         *[
-            F.md5(F.concat_ws("|", F.slice(signature, b * rows + 1, rows)))
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice(signature, b * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            )
             for b in range(bands)
         ]
     )

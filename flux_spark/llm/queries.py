@@ -76,18 +76,25 @@ _SHINGLE_CTES = """
 
 def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     rows = num_hashes // bands
+    # same two-hash construction as dedup.minhash_signature: one md5 per
+    # shingle, hash_i = (h1 + i*h2) mod 2^32 with h1/h2 = md5 words 1 and 3
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        f"list_min(list_transform(hs, m -> "
+        f"(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substring(m, 17, 8)) AS BIGINT)) % 4294967296))"
         for i in range(num_hashes)
     )
     return (
         _CORPUS_CTE
         + _SHINGLE_CTES
         + f"""
-, __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __sized)
+, __hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM __sized)
+, __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __hashed)
 , __bh AS (
   SELECT s.doc_id, r.band,
-         md5(array_to_string(s.sig[r.band*{rows}+1 : r.band*{rows}+{rows}], '|')) AS bhash
+         md5(array_to_string(list_transform(
+           s.sig[r.band*{rows}+1 : r.band*{rows}+{rows}],
+           v -> CAST(v AS VARCHAR)), '|')) AS bhash
   FROM __sigs s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r)
 , __cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
