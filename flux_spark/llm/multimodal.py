@@ -90,6 +90,40 @@ def byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "media").mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+CHUNK_SCHEMA = "doc_id LONG, chunk_idx INT, n_bytes INT, chunk_sum LONG"
+
+
+def chunk_payloads(
+    df: DataFrame, chunk_size: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Split each payload into fixed-size chunks, one output row per chunk —
+    the frame-sampling shape (:func:`sample_frames`) with a deterministic
+    fake: a real video decoder would emit (id, frame_idx, frame_bytes)
+    rows from the same mapInPandas loop.
+
+    Output fan-out happens inside the Arrow batch (no explode of a
+    collected list column), so peak memory is one batch of payloads and
+    the downstream partitioning is inherited — at scale, repartition by
+    (id, chunk_idx) only if a per-frame shuffle-heavy op follows.
+    """
+
+    def chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["media"]):
+                for ci in range(0, max(len(payload), 1), chunk_size):
+                    chunk = payload[ci : ci + chunk_size]
+                    ids.append(doc_id)
+                    idxs.append(ci // chunk_size)
+                    sizes.append(len(chunk))
+                    sums.append(int(sum(chunk)))
+            yield pd.DataFrame(
+                {id_col: ids, "chunk_idx": idxs, "n_bytes": sizes, "chunk_sum": sums}
+            )
+
+    return df.select(id_col, "media").mapInPandas(chunks, schema=CHUNK_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # real-codec integration points (stubbed: no image/audio libs in container)
 # ---------------------------------------------------------------------------

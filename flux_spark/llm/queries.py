@@ -540,6 +540,38 @@ def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_features(multimodal.with_fake_media(d))
 
 
+def _media_chunks_sql(chunk_size: int = 4) -> str:
+    hv = _hexval
+    n_chunks = 16 // chunk_size  # fake payload is the 16-byte md5 digest
+    parts = []
+    for c in range(n_chunks):
+        byte_terms = " + ".join(
+            f"({hv(f'substr(h, {2 * (c * chunk_size + i) + 1}, 1)')} * 16 "
+            f"+ {hv(f'substr(h, {2 * (c * chunk_size + i) + 2}, 1)')})"
+            for i in range(chunk_size)
+        )
+        parts.append(
+            f"SELECT doc_id, {c} AS chunk_idx, {chunk_size} AS n_bytes, "
+            f"CAST({byte_terms} AS BIGINT) AS chunk_sum FROM m"
+        )
+    return (
+        "WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "media_frame_chunks",
+    _media_chunks_sql(),
+    "payload -> fixed-size chunk rows via mapInPandas (frame-sampling shape: "
+    "one row per sampled frame, fan-out inside the Arrow batch)",
+)
+def media_frame_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.chunk_payloads(multimodal.with_fake_media(d), chunk_size=4)
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution
 # ---------------------------------------------------------------------------

@@ -185,6 +185,25 @@ def test_media_plumbing(spark, docs):
     assert feats[5].hex_digit_sum == sum((x >> 4) + (x & 15) for x in raw)
 
 
+def test_media_chunking(spark, docs):
+    media = multimodal.with_fake_media(docs)
+    rows = multimodal.chunk_payloads(media, chunk_size=4).collect()
+    import hashlib
+
+    # 5 docs x 4 chunks of the 16-byte digest
+    assert len(rows) == 20
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    raw = hashlib.md5(b"ab").digest()
+    got = sorted(per_doc[5], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in got] == [0, 1, 2, 3]
+    assert all(r.n_bytes == 4 for r in got)
+    assert [r.chunk_sum for r in got] == [
+        sum(raw[i : i + 4]) for i in range(0, 16, 4)
+    ]
+
+
 def test_codec_stubs_marked(spark, docs):
     m = multimodal.with_fake_media(docs)
     for fn in (multimodal.decode_image, multimodal.decode_audio):
