@@ -206,6 +206,18 @@ class FluxConsumer:
     def position(self, topic: str, partition: int) -> int:
         return self._positions.get((topic, partition), 0)
 
+    def seek_to_timestamp(self, topic: str, ts) -> None:
+        """Position every assigned partition of ``topic`` at the earliest
+        offset whose record timestamp >= ``ts`` (the Kafka offsetsForTimes +
+        seek composition the reference lacks). Partitions with no such
+        record seek to their high-water mark (nothing to replay)."""
+        offs = self.store.offsets_for_times(topic, ts)
+        hwm = self.store.high_water_marks(topic)
+        for (t, p) in list(self._positions):
+            if t == topic:
+                o = offs.get(p)
+                self._positions[(t, p)] = int(o) if o is not None else hwm.get(p, 0)
+
     def commit_offsets(self, metadata: str | None = None) -> None:
         if self._positions:
             self.offset_store.commit(self.group_id, self._positions, metadata)

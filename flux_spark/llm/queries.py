@@ -506,6 +506,47 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    LLM_QUERIES,
+    "emb_kmeans_refine",
+    f"""
+    WITH cen AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    corp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    scored AS (
+      SELECT c.vec_id, cen.cid, {similarity.sql_cosine("v", "cv", _DIM)} AS cc
+      FROM corp c CROSS JOIN cen),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    ex AS (
+      SELECT b.cid AS bucket, i.i - 1 AS dim_idx, c.v[i.i] AS val
+      FROM best b
+      JOIN corp c USING (vec_id)
+      CROSS JOIN (SELECT CAST(range AS INT) + 1 AS i FROM range(0, {_DIM})) i),
+    per_dim AS (
+      SELECT bucket, dim_idx,
+             CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM ex GROUP BY bucket, dim_idx)
+    SELECT bucket AS centroid_id, array_agg(m ORDER BY dim_idx) AS centroid
+    FROM per_dim GROUP BY bucket
+    """,
+    "one Lloyd iteration of IVF centroid training: max-cosine assignment + "
+    "exact per-dimension decimal means (iterate driver-side for full k-means)",
+)
+def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.kmeans_refine(e, centroids, dim=_DIM)
+
+
 # ---------------------------------------------------------------------------
 # multimodal query
 # ---------------------------------------------------------------------------

@@ -185,6 +185,62 @@ def lsh_near_dup_pairs(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """One Lloyd iteration for IVF centroid training: assign every vector
+    to its max-cosine centroid (ties -> lowest centroid id), then emit the
+    per-cluster mean vector.
+
+    Centroids broadcast in the assignment join; the only shuffle is the
+    per-(cluster, dimension) mean — posexplode fans each vector into `dim`
+    rows keyed (bucket, dim_idx), whose partial sums combine map-side, so
+    shuffle volume is O(clusters x dim), not O(corpus). Per-dimension sums
+    go through DECIMAL so the means are exact and order-independent
+    (oracle-checkable); empty clusters simply emit no row, mirroring
+    standard k-means drop semantics. Iterate by feeding the output back as
+    ``centroids``; each iteration is one job, the loop lives in the driver
+    like llm.dedup.connected_components.
+    """
+    from pyspark.sql import Window
+
+    cen = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(cen)).withColumn(
+        "__ccos", cosine(F.col(vec_col), F.col("__cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("__cid"))
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(F.col("__cid").alias("bucket"), F.posexplode(vec_col).alias("dim_idx", "__v"))
+    )
+    per_dim = assigned.groupBy("bucket", "dim_idx").agg(
+        (
+            F.sum(F.col("__v").cast("double").cast("decimal(25,6)")).cast("double")
+            / F.count("*")
+        ).alias("__mean")
+    )
+    return (
+        per_dim.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim_idx", "__mean"))
+            ).alias("__pairs")
+        )
+        .select(
+            F.col("bucket").alias(centroid_id_col),
+            F.transform(F.col("__pairs"), lambda p: p["__mean"]).alias("centroid"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate top-k
 # ---------------------------------------------------------------------------

@@ -74,6 +74,27 @@ def test_commit_resume_across_consumers(topic_store):
     assert c3.poll().count == 30
 
 
+def test_seek_to_timestamp(topic_store, spark):
+    """Replay-from-time: positions jump to the first offset at/after ts."""
+    rows = [
+        (i, i % 3, f"2024-01-0{1 + i // 30} 00:00:00", f"v{i}") for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, partition int, timestamp string, value string"
+    )
+    topic_store.append("t", df, ordering_col="seq")
+    c = FluxConsumer(topic_store, group_id="g")
+    c.subscribe(["t"])
+    c.poll()  # drain everything, positions at hwm
+    c.seek_to_timestamp("t", "2024-01-02 00:00:00")
+    res = c.poll()
+    assert res.count == 60  # days 2 and 3 replayed
+    assert all(r.value[1:] >= "30" or len(r.value) > 3 for r in res.records.collect())
+    # a timestamp past the log seeks to hwm -> nothing to read
+    c.seek_to_timestamp("t", "2030-01-01 00:00:00")
+    assert not c.poll().should_continue
+
+
 def test_rapid_recommits_latest_wins(topic_store):
     """Two commits for the same (group, topic, partition) within one clock
     tick must resolve to the later one — the per-store seq counter breaks
