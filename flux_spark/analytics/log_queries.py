@@ -7,9 +7,12 @@ deterministic routing rule (``event_id % 3``) and arrival order
 (``event_id``) so a plain-SQL oracle can recompute the expected
 (partition, offset) mapping with ``row_number()``.
 
-The murmur2-keyed variant has no SQL oracle (DuckDB has no murmur2) and is
-registered as a rows-only check; its placement parity is asserted exactly in
-tests/test_log.py instead.
+The murmur2-keyed variant's oracle re-implements Kafka's 32-bit MurmurHash2
+(producer/MurmurHash2.java:12-59) in pure DuckDB SQL — a recursive CTE walks
+the key's 4-byte little-endian chunks through the multiply/shift/xor mixer,
+then applies the tail bytes and final avalanche with BIGINT arithmetic masked
+to 32 bits — so keyed placement parity is verified end-to-end by the driver
+gate, not just by unit tests.
 """
 
 from __future__ import annotations
@@ -143,11 +146,86 @@ def log_consume_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- murmur2 in pure DuckDB SQL -------------------------------------------
+# Kafka's Utils.murmur2 (seed 0x9747b28c, m 0x5bd1e995): 4-byte LE chunks
+# mixed sequentially (recursive CTE — the mix is a dependent chain), tail
+# bytes xor'd in with fall-through, then the 13/15-bit avalanche. All 32-bit
+# unsigned arithmetic is BIGINT masked via % 2^32; >>n is // 2^n on the
+# always-nonnegative h. Validated byte-for-byte against murmur2.murmur2 for
+# lengths 1..19 (tests/test_properties.py).
+_M2_MUL = "1540483477"  # 0x5bd1e995
+_M2_P32 = "4294967296"  # 2^32
+
+
+def _mul32(e: str) -> str:
+    return f"(CAST({e} AS BIGINT) * {_M2_MUL}) % {_M2_P32}"
+
+
+def _xor(a: str, b: str) -> str:
+    return f"xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+
+
+def _murmur2_oracle_sql() -> str:
+    k0 = (
+        "(ascii(substr(rec_key, 4*i+1, 1))"
+        " + 256 * ascii(substr(rec_key, 4*i+2, 1))"
+        " + 65536 * ascii(substr(rec_key, 4*i+3, 1))"
+        " + 16777216 * CAST(ascii(substr(rec_key, 4*i+4, 1)) AS BIGINT))"
+    )
+    km = _mul32(k0)
+    k4 = _mul32(_xor(km, f"({km}) // 16777216"))  # k ^= k >>> 24; k *= m
+    hnew = _xor(_mul32("h"), k4)  # h *= m; h ^= k
+    tail = (
+        "CASE WHEN len % 4 = 0 THEN h ELSE "
+        + _mul32(
+            _xor(
+                _xor(
+                    _xor(
+                        "h",
+                        "CASE WHEN len % 4 >= 3 THEN 65536 * "
+                        "ascii(substr(rec_key, (len//4)*4 + 3, 1)) ELSE 0 END",
+                    ),
+                    "CASE WHEN len % 4 >= 2 THEN 256 * "
+                    "ascii(substr(rec_key, (len//4)*4 + 2, 1)) ELSE 0 END",
+                ),
+                "ascii(substr(rec_key, (len//4)*4 + 1, 1))",
+            )
+        )
+        + " END"
+    )
+    return f"""
+WITH RECURSIVE keys AS (
+  SELECT CAST(user_id AS VARCHAR) AS rec_key, COUNT(*) AS n_records
+  FROM events GROUP BY 1
+),
+kb AS (
+  SELECT rec_key, n_records, strlen(rec_key) AS len, strlen(rec_key)//4 AS n4
+  FROM keys
+),
+mm AS (
+  SELECT rec_key, n_records, len, n4, 0 AS i,
+         xor(CAST(2538058380 AS BIGINT), CAST(len AS BIGINT)) AS h
+  FROM kb
+  UNION ALL
+  SELECT rec_key, n_records, len, n4, i+1, {hnew} AS h
+  FROM mm WHERE i < n4
+),
+fin AS (SELECT rec_key, n_records, len, h FROM mm WHERE i = n4),
+tl  AS (SELECT rec_key, n_records, {tail} AS h FROM fin),
+av  AS (SELECT rec_key, n_records, xor(h, h // 8192) AS h FROM tl),
+av2 AS (SELECT rec_key, n_records, {_mul32("h")} AS h FROM av),
+av3 AS (SELECT rec_key, n_records, xor(h, h // 32768) AS h FROM av2)
+SELECT CAST((h % 2147483648) % 5 AS INTEGER) AS part_id, rec_key, n_records
+FROM av3
+"""
+
+
 @register(
     LOG_QUERIES,
     "log_key_route_murmur2",
-    None,  # murmur2 not expressible in ANSI SQL; placement parity in tests/test_log.py
-    "keyed ingest via Kafka-compatible murmur2 routing (rows-only check)",
+    _murmur2_oracle_sql(),
+    "keyed ingest via Kafka-compatible murmur2 routing; oracle recomputes "
+    "the full MurmurHash2 mix/tail/avalanche in recursive SQL",
 )
 def log_key_route_murmur2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..log import LogStore
