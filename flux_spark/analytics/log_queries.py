@@ -249,6 +249,60 @@ def log_key_route_murmur2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    LOG_QUERIES,
+    "log_consumer_lag",
+    _ROUTED_CTE
+    + """
+    , hw AS (
+      SELECT part_id, MAX(record_offset) + 1 AS hwm
+      FROM routed GROUP BY part_id
+    ),
+    co(part_id, committed) AS (VALUES (0, 100), (1, 150), (2, 200))
+    SELECT h.part_id,
+           CAST(h.hwm AS BIGINT) AS hwm,
+           CAST(c.committed AS BIGINT) AS committed,
+           CAST(h.hwm - c.committed AS BIGINT) AS lag
+    FROM hw h JOIN co c ON c.part_id = h.part_id
+    """,
+    "consumer-group lag: committed offsets (the _offsets table, G10) joined "
+    "against per-partition high-water marks computed from the log — the "
+    "monitoring query every Kafka operator runs; both sides partial-"
+    "aggregate before one 3-row join",
+)
+def log_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import OffsetStore
+
+    store = _ingest_events(spark, sf_dir)
+    ostore = OffsetStore(store)
+    ostore.commit(
+        "lag-gate",
+        {("events", 0): 100, ("events", 1): 150, ("events", 2): 200},
+    )
+    hw = (
+        store.read("events")
+        .groupBy(F.col("partition").alias("part_id"))
+        .agg((F.max("offset") + 1).alias("hwm"))
+    )
+    committed = (
+        spark.read.parquet(ostore.path)
+        .where((F.col("group_id") == "lag-gate") & (F.col("topic") == "events"))
+        .groupBy(F.col("partition").alias("part_id"))
+        .agg(
+            F.max_by(
+                "offset",
+                F.struct(F.col("commit_ts"), F.coalesce(F.col("seq"), F.lit(-1))),
+            ).alias("committed")
+        )
+    )
+    return hw.join(committed, "part_id").select(
+        "part_id",
+        "hwm",
+        "committed",
+        (F.col("hwm") - F.col("committed")).alias("lag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Consumer-group assignor parity: the Python assignors vs independent SQL math
 # ---------------------------------------------------------------------------

@@ -1180,3 +1180,162 @@ def doc_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "source", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in langs]
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    clicks AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN per_user u ON e.user_id = u.user_id
+      WHERE e.event_type = 'click' AND e.ts > u.t_view
+      GROUP BY e.user_id
+    ),
+    purch AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN clicks c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      CAST((SELECT COUNT(t_view) FROM per_user) AS BIGINT) AS n_view,
+      CAST((SELECT COUNT(*) FROM clicks) AS BIGINT) AS n_view_click,
+      CAST((SELECT COUNT(*) FROM purch) AS BIGINT) AS n_view_click_purchase
+    """,
+    "ordered conversion funnel view -> click -> purchase: chained min-over-"
+    "window stages share ONE hash partitioning on user_id (no re-shuffle "
+    "between stages), then a partial-aggregated global count",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    # Stage timestamps chained per user: each stage's min() only admits
+    # events strictly after the previous stage. Same window partitioning
+    # throughout -> Catalyst plans a single exchange for all three passes.
+    s1 = e.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_hll_registers",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type,
+             hv >> 52 AS bucket,
+             strpos(lpad(bin(hv & 4503599627370495), 52, '0'), '1') AS pos
+      FROM h
+    )
+    SELECT event_type,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX(CASE WHEN pos = 0 THEN 53 ELSE pos END) AS BIGINT) AS max_rho
+    FROM reg
+    GROUP BY event_type, bucket
+    """,
+    "deterministic HyperLogLog register construction per event_type: md5 -> "
+    "60-bit hash, top 8 bits pick one of 256 registers, max leading-zero "
+    "rank over the low 52 bits. Registers merge with MAX (commutative / "
+    "associative), so shards combine map-side and sketches union across "
+    "topics at 100 TB without re-reading data; the estimate is a driver-"
+    "side formula over these 256 rows. Exact-oracle twin of the "
+    "approx_count_distinct gate query",
+)
+def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    reg = e.select(
+        "event_type",
+        F.shiftright(hv, 52).cast("bigint").alias("bucket"),
+        F.instr(
+            F.lpad(F.bin(hv.bitwiseAND(F.lit(4503599627370495))), 52, "0"), "1"
+        ).alias("pos"),
+    )
+    rho = F.when(F.col("pos") == 0, 53).otherwise(F.col("pos"))
+    return reg.groupBy("event_type", "bucket").agg(
+        F.max(rho).cast("bigint").alias("max_rho")
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "orders_market_basket",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    "market-basket co-occurrence: distinct (order, part) self-joined on "
+    "orderkey — the join key is the ORDER (bounded fan-out: ~4 parts/order "
+    "-> ~6 pairs), so the self-join co-partitions on l_orderkey and never "
+    "builds a parts-x-parts product; pair counts partial-aggregate before "
+    "the final shuffle",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )

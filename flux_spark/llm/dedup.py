@@ -474,3 +474,47 @@ def connected_components(
             "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
         )
     return out
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, how many of
+    its distinct word k-grams appear anywhere in the benchmark set.
+
+    The benchmark's distinct shingle set is tiny relative to the corpus
+    (eval sets are MBs, corpora are TBs), so it is broadcast — the corpus
+    side never shuffles: scan -> explode -> broadcast semi-ish join ->
+    re-aggregate on the already-partitioned doc id. Returns only
+    contaminated docs (n_contaminated >= 1) with their overlap rate; the
+    standard pre-training decontamination pass (e.g. GPT-3 appendix C)."""
+    from pyspark.sql.functions import broadcast
+
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, k)).alias("__sh"))
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__shs")
+    ).select(
+        id_col,
+        F.size("__shs").cast("long").alias("n_shingles"),
+        F.explode("__shs").alias("__sh"),
+    )
+    hits = corpus_sh.join(broadcast(bench_sh), "__sh")
+    return (
+        hits.groupBy(id_col, "n_shingles")
+        .agg(F.count("*").alias("n_contaminated"))
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_shingles")
+            ).alias("contamination_rate"),
+        )
+    )

@@ -657,3 +657,109 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dup_corpus(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
     return dedup.connected_components(pairs, vertices=corpus.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# round-2 pipeline queries: repetition, deterministic split, contamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    LLM_QUERIES,
+    "doc_ngram_repetition",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 1),
+                                 i -> array_to_string(tk[i:i+2], ' ')) END AS gs
+      FROM toks),
+    ex AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS gram FROM g),
+    cnt AS (SELECT doc_id, n_grams, gram, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3)
+    SELECT doc_id, n_grams,
+           COUNT(*) AS n_distinct,
+           MAX(c) AS top_count,
+           CAST(n_grams - COUNT(*) AS DOUBLE) / n_grams AS dup_fraction
+    FROM cnt GROUP BY doc_id, n_grams
+    """,
+    "Gopher-style repetition filter signals: per-doc word-3-gram totals, "
+    "distincts, top-gram count, duplicate-gram fraction",
+)
+def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.ngram_repetition(d)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_train_split",
+    """
+    WITH s AS (
+      SELECT n_chars,
+        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          % 100 AS b
+      FROM documents)
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY 1
+    """,
+    "deterministic md5-bucket train/validation/test split (80/10/10): "
+    "reproducible under re-partitioning and re-ingestion, unlike rand()",
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        text.with_split(d)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# 5-gram shingles over corpus/benchmark halves; benchmark = every 97th doc
+_CONTAM_SQL = """
+WITH bt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            WHERE doc_id % 97 = 0),
+bsh AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - 3),
+                             i -> array_to_string(tk[i:i+4], ' ')) END) AS sh
+  FROM bt),
+ct AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       WHERE doc_id % 97 <> 0),
+csh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+           ELSE list_transform(range(1, len(tk) - 3),
+                               i -> array_to_string(tk[i:i+4], ' ')) END) AS shs
+  FROM ct),
+cex AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles, unnest(shs) AS sh
+        FROM csh)
+SELECT c.doc_id, c.n_shingles,
+       COUNT(*) AS n_contaminated,
+       CAST(COUNT(*) AS DOUBLE) / c.n_shingles AS contamination_rate
+FROM cex c JOIN bsh b ON b.sh = c.sh
+GROUP BY c.doc_id, c.n_shingles
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "doc_contamination",
+    _CONTAM_SQL,
+    "benchmark decontamination: corpus docs sharing word-5-grams with the "
+    "benchmark subset (broadcast benchmark shingle set; corpus never shuffles)",
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return dedup.contamination(corpus, bench, k=5)

@@ -125,3 +125,66 @@ def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_ws_tokens", F.size(nonempty)).withColumn(
         "n_subword_tokens", subword
     )
+
+
+def ngram_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signals per document: total word k-grams,
+    distinct k-grams, the most frequent k-gram's count, and the duplicate-
+    gram fraction.
+
+    Entirely per-row array expressions — ZERO shuffles: the top-gram count
+    folds over the *sorted* gram array tracking (prev, run-length, best),
+    O(n log n) per document inside whole-stage codegen, instead of the
+    explode -> groupBy form whose shuffle volume is O(total grams) at
+    100 TB. Documents scoring high dup_fraction are boilerplate/spam —
+    the standard pre-training repetition filter."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(n < k, F.array(F.col(text_col))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    g = df.select(F.col(id_col), grams.alias("__g"))
+    # max run length over the sorted grams == count of the most frequent gram
+    top = F.expr(
+        "aggregate(array_sort(__g), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', if(x <=> acc.prev, acc.run + 1, 1L), "
+        "  'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1, 1L))), "
+        "acc -> acc.best)"
+    )
+    return g.select(
+        id_col,
+        F.size("__g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("__g")).cast("long").alias("n_distinct"),
+        top.alias("top_count"),
+        (
+            (F.size("__g") - F.size(F.array_distinct("__g"))).cast("double")
+            / F.size("__g")
+        ).alias("dup_fraction"),
+    )
+
+
+def with_split(
+    df: DataFrame, id_col: str = "doc_id", train: int = 80, val: int = 10
+) -> DataFrame:
+    """Deterministic content-independent train/validation/test assignment:
+    md5(id) -> 16-bit bucket -> percentile. Pure per-row expressions, so the
+    split is stable under re-partitioning, re-ingestion, and engine version
+    changes — the property that makes held-out sets trustworthy at 100 TB
+    (sampling by rand() is not reproducible across runs/executors)."""
+    b = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("bigint") % 100
+    split = (
+        F.when(b < train, F.lit("train"))
+        .when(b < train + val, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -267,3 +267,55 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(pairs).collect()
     assert {r.cluster_id for r in out} == {0}
     assert len(out) == 12
+
+
+# -- round-2: repetition / split / contamination ----------------------------
+
+
+def test_ngram_repetition(spark):
+    rows = [
+        (1, "a b c a b c a b c"),     # 9 toks -> 7 grams, 3 distinct
+        (2, "w x y z"),               # 4 toks -> 2 grams, both unique
+        (3, "xy"),                    # short: whole text = 1 gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.ngram_repetition(df).collect()}
+    assert out[1].n_grams == 7 and out[1].n_distinct == 3
+    assert out[1].top_count == 3  # "a b c" occurs at positions 1,4,7
+    assert out[1].dup_fraction == pytest.approx(4 / 7)
+    assert out[2].n_grams == 2 and out[2].dup_fraction == 0.0
+    assert out[3].n_grams == 1 and out[3].n_distinct == 1
+
+
+def test_with_split_deterministic_and_complete(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    a = {r.doc_id: r.split for r in text.with_split(df).collect()}
+    b = {r.doc_id: r.split for r in text.with_split(df.repartition(7)).collect()}
+    assert a == b  # stable under repartitioning
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "validation", "test"}
+    assert counts["train"] > counts["validation"]
+    assert counts["train"] > counts["test"]
+
+
+def test_contamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon other words here"),  # overlaps
+            (2, "totally unrelated text with no shared fivegrams at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.contamination(corpus, bench).collect()}
+    assert set(out) == {1}  # clean doc not reported
+    assert out[1].n_contaminated == 1  # "alpha beta gamma delta epsilon"
+    assert out[1].n_shingles == 4
+    assert out[1].contamination_rate == pytest.approx(0.25)
