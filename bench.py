@@ -40,6 +40,11 @@ ANALYTICS_HEADLINE = [
     "doc_simhash",
     "ann_cosine_topk",
     "emb_near_dup_lsh",
+    "events_funnel",
+    "events_hll_registers",
+    "orders_market_basket",
+    "doc_ngram_repetition",
+    "doc_contamination",
 ]
 
 

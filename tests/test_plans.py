@@ -235,3 +235,52 @@ def test_media_metadata_query_prunes_payload_column(spark, sf):
     schema = scan.split("ReadSchema:")[1][:300]
     assert "media" not in schema  # payload column pruned from the scan
     assert "width" in schema
+
+
+def test_funnel_three_windows_share_one_exchange(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_funnel"].fn(spark, sf))
+    # 3 chained window stages + per-user agg all reuse ONE hashpartitioning
+    # on user_id; the only other exchange is the single-partition gather
+    # for the global count.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_market_basket_joins_on_order_key_not_cartesian(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["orders_market_basket"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join on l_orderkey with the part inequality as residual
+    assert "l_orderkey" in plan
+
+
+def test_contamination_broadcasts_benchmark_corpus_never_shuffles(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_contamination"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two hash exchanges: the (tiny) benchmark-side shingle distinct
+    # feeding the broadcast, and the final per-doc re-aggregation — the
+    # full-corpus scan itself reaches the join without shuffling
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_ngram_repetition_zero_shuffle(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_ngram_repetition"].fn(spark, sf))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate explode" not in plan  # per-row fold, no explode
+
+
+def test_hll_registers_single_exchange_partial_agg(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_hll_registers"].fn(spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
