@@ -369,3 +369,60 @@ def end_to_end_pipeline(
     )
     q.awaitTermination(120)
     return store.read(sink_topic)
+
+
+# ---------------------------------------------------------------------------
+# per-key offset progress / replay detection (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_PROGRESS_STATE_SCHEMA = "hwm LONG, n LONG, replays LONG"
+_PROGRESS_OUT_SCHEMA = "key STRING, hwm LONG, n_records LONG, n_replays LONG"
+
+
+def _offset_progress_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Track each key's offset high-water mark across microbatches. A record
+    is *fresh* if its offset strictly advances past the key's hwm and is the
+    first occurrence in its batch; everything else counts as a replay —
+    exactly the signal a consumer needs to observe the at-least-once
+    redelivery of ``stream_ingest`` (foreachBatch) downstream."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    hwm, n, replays = state.get if state.exists else (-1, 0, 0)
+    for pdf in pdfs:
+        offs = pdf["offset"]
+        fresh = offs[offs > hwm]
+        replays += int(len(offs)) - int(fresh.nunique())
+        n += int(len(offs))
+        if len(fresh):
+            hwm = max(hwm, int(fresh.max()))
+    state.update((hwm, n, replays))
+    state.setTimeoutDuration(3600 * 1000)
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "hwm": [hwm],
+            "n_records": [n],
+            "n_replays": [replays],
+        }
+    )
+
+
+def stateful_offset_progress(records: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-key offset high-water mark + replay
+    counter. One shuffle on the key; state is per-key and partition-local,
+    so it scales horizontally with key cardinality — at 100 TB/day the
+    state store holds one 24-byte tuple per live key, GC'd by processing-
+    time timeout. (Spark 4's transformWithStateInPandas would give the
+    same shape with typed state + timers; this environment's Python
+    runner lacks its protobuf dependency, and applyInPandasWithState is
+    the stable API.)"""
+    return records.groupBy("key").applyInPandasWithState(
+        _offset_progress_fn,
+        outputStructType=_PROGRESS_OUT_SCHEMA,
+        stateStructType=_PROGRESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -191,3 +191,23 @@ def test_stream_dedup_on_content_digest(filled_store, spark):
     )
     out = streaming.drain_available_now(streaming.stream_dedup(src, ["digest"]))
     assert out.count() == 1
+
+
+def test_stateful_offset_progress_detects_replays(filled_store, spark, tmp_path):
+    """Replayed (duplicate-offset) records count as replays, fresh ones
+    advance the per-key hwm. Source: the src topic streamed twice into one
+    input dir so every record arrives exactly twice."""
+    dup_dir = str(tmp_path / "dup-src")
+    base = filled_store.read("src").select("key", "offset")
+    base.unionAll(base).coalesce(2).write.parquet(dup_dir)
+    stream = spark.readStream.schema("key string, offset long").parquet(dup_dir)
+    out = streaming.drain_available_now(
+        streaming.stateful_offset_progress(stream), output_mode="update"
+    )
+    got = {r.key: r for r in out.collect()}
+    total = filled_store.read("src").count()
+    assert sum(r.n_records for r in got.values()) == 2 * total
+    # every record was delivered twice -> half are replays
+    assert sum(r.n_replays for r in got.values()) == total
+    for r in got.values():
+        assert r.hwm >= 0 and r.n_replays * 2 == r.n_records
