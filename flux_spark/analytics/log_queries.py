@@ -461,6 +461,31 @@ def log_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "log_compact_by_key",
+    _ROUTED_CTE
+    + """
+    SELECT part_id, record_offset, rec_key, rec_value
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY part_id, rec_key
+                                ORDER BY record_offset DESC) AS rn
+      FROM routed)
+    WHERE rn = 1
+    """,
+    "Kafka-style key compaction: latest record per (partition, key) "
+    "retained with its ORIGINAL offset (gaps appear, consumer positions "
+    "stay valid) — the cleaner the reference never implemented",
+)
+def log_compact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    store.compact_by_key("events")
+    return _records(store).select(
+        "part_id", "record_offset", "rec_key", "rec_value"
+    )
+
+
+@register(
+    LOG_QUERIES,
     "group_assign_sticky",
     None,  # iterative min-heap distribution is not SQL-expressible;
     # determinism + balance + stickiness are asserted exactly in

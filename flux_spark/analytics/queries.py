@@ -1339,3 +1339,53 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .where(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_value_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS median FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT e.event_type, e.value, m.median
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(value - median), 0.5) AS mad
+      FROM j GROUP BY 1
+    )
+    SELECT j.event_type,
+           MIN(j.median) AS median,
+           MIN(d.mad) AS mad,
+           COUNT(CASE WHEN abs(j.value - j.median) > 3 * d.mad THEN 1 END)
+             AS n_outliers
+    FROM j JOIN mad d ON d.event_type = j.event_type
+    GROUP BY j.event_type
+    """,
+    "robust anomaly stats per event type: median + median-absolute-"
+    "deviation (exact linear-interpolation percentiles, bit-identical to "
+    "quantile_cont), outliers = |v - med| > 3*MAD. The per-type medians "
+    "and MADs broadcast back onto the fact scan — the events table "
+    "shuffles only for the percentile groupings, never for the joins",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median")
+    )
+    j = e.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - median), 0.5)").alias("mad")
+    )
+    j2 = j.join(F.broadcast(mad), "event_type")
+    return j2.groupBy("event_type").agg(
+        F.min("median").alias("median"),
+        F.min("mad").alias("mad"),
+        F.count(
+            F.when(
+                F.abs(F.col("value") - F.col("median")) > 3 * F.col("mad"), 1
+            )
+        ).alias("n_outliers"),
+    )

@@ -763,3 +763,53 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("doc_id") % 97 == 0)
     corpus = d.where(F.col("doc_id") % 97 != 0)
     return dedup.contamination(corpus, bench, k=5)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(t.tf AS DOUBLE) / d.df AS score,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC,
+                                         t.term ASC) AS rnk
+      FROM tf t JOIN df d ON d.term = t.term
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+    "TF-IDF-style salient terms: per-doc term frequency joined against the "
+    "(vocabulary-sized, broadcast) document-frequency table, top-3 per doc "
+    "by tf/df with deterministic term tie-break — keyword extraction for "
+    "corpus exploration; the tf table partial-aggregates and the rank "
+    "window reuses the tf shuffle partitioning on doc_id",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_tab), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

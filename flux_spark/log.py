@@ -373,6 +373,49 @@ class LogStore:
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
 
+    def compact_by_key(self, topic: str) -> None:
+        """Kafka-style log compaction: per (partition, key) retain only the
+        record with the highest offset; records whose retained value is
+        NULL (tombstones) are then removed entirely; null-key records are
+        kept as-is (Kafka rejects them in compacted topics — keeping them
+        is the lossless choice). Offsets of survivors are preserved, so
+        compaction creates offset gaps exactly like Kafka's cleaner and
+        consumer positions remain valid.
+
+        One shuffle keyed on (partition, key) — at warehouse scale the
+        cleaner would run per-partition over only the dirty ratio, but the
+        plan shape (window max-offset per key, no driver loop) is the one
+        that scales."""
+        from pyspark.sql import Window
+
+        meta = self.catalog.get_topic(topic)
+        n = meta.num_partitions
+        df = self.read(topic).drop("topic")
+        w = Window.partitionBy("partition", "key").orderBy(F.col("offset").desc())
+        keyed = (
+            df.where(F.col("key").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & F.col("value").isNotNull())
+            .drop("__rn")
+        )
+        compacted = df.where(F.col("key").isNull()).unionByName(keyed)
+        tmp = self.warehouse / f".kcompact-{topic}-{uuid.uuid4().hex[:8]}"
+        (
+            compacted.repartition(n, "partition")
+            .sortWithinPartitions("offset")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", self.max_records_per_file)
+            .option("compression", self.compression)
+            .partitionBy("partition")
+            .parquet(str(tmp))
+        )
+        live = Path(self.topic_path(topic))
+        backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
+        with self._ingest_lock(topic):
+            os.replace(live, backup)
+            os.replace(tmp, live)
+        shutil.rmtree(backup, ignore_errors=True)
+
     def delete_topic(self, topic: str, drop_data: bool = True) -> None:
         if not self.catalog.topic_exists(topic):
             raise InvalidTopicError(f"topic {topic!r} does not exist")

@@ -193,3 +193,43 @@ def test_truncate_before_preserves_offsets(spark, store):
     # appends continue from the same hwm (offsets never reused)
     store.append("ret", spark.createDataFrame([(100, 0, "new")], "seq long, partition int, value string"), ordering_col="seq")
     assert store.read_at("ret", 0, 10).value == "new"
+
+
+def test_compact_by_key_latest_wins_with_gaps_and_tombstones(spark, store):
+    store.catalog.create_topic("kc", 2)
+    rows = [
+        # (seq, partition, key, value)
+        (0, 0, "a", "a0"),
+        (1, 0, "a", "a1"),       # supersedes a0
+        (2, 0, "b", "b0"),
+        (3, 0, None, "nk0"),     # null key: kept as-is
+        (4, 1, "c", "c0"),
+        (5, 1, "c", None),       # tombstone: c removed entirely
+        (6, 1, "d", "d0"),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, partition int, key string, value string"
+    )
+    store.append("kc", df, ordering_col="seq")
+    store.compact_by_key("kc")
+    got = sorted(
+        (r["partition"], r["offset"], r["key"], r["value"])
+        for r in store.read("kc").collect()
+    )
+    # p0: a1 keeps ORIGINAL offset 1 (gap at 0), b0 at 2, null-key at 3
+    # p1: c fully removed by tombstone, d0 keeps offset 2
+    assert got == [
+        (0, 1, "a", "a1"),
+        (0, 2, "b", "b0"),
+        (0, 3, None, "nk0"),
+        (1, 2, "d", "d0"),
+    ]
+    # hwm unchanged: new appends continue past the pre-compaction tail
+    res = store.append(
+        "kc",
+        spark.createDataFrame(
+            [(10, 0, "e", "e0")], "seq long, partition int, key string, value string"
+        ),
+        ordering_col="seq",
+    )
+    assert res[0] == (4, 4)
