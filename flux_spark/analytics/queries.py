@@ -1389,3 +1389,98 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_outliers"),
     )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+               + CAST(0.85 AS DOUBLE)
+                 * (CAST(CAST(SUM(CAST(floor(r.rank / d.deg * 1e18) AS BIGINT))
+                          AS BIGINT) AS DOUBLE) / 1e18)
+               AS rank
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst)"""
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "parts_pagerank",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS rank
+           FROM deg),
+    """
+    + _pagerank_iter_sql("r0", "r1")
+    + ","
+    + _pagerank_iter_sql("r1", "r2")
+    + ","
+    + _pagerank_iter_sql("r2", "r3")
+    + """
+    SELECT node AS part, rank FROM r3
+    """,
+    "iterative graph algorithm with a BIT-EXACT oracle: 3 PageRank "
+    "iterations (damping 0.85) over the part co-occurrence graph. Per-edge "
+    "contributions are computed in double, quantized to 1e-18 integer "
+    "units (floor -> int64), and SUMMED as exact integers, making the "
+    "reduction order-independent — the trick that lets a shuffled "
+    "distributed fold match single-threaded DuckDB to the last bit "
+    "(a DECIMAL(38,20) sum is also order-free but its ->double cast "
+    "rounds differently across engines). Edges cache once; each "
+    "iteration is the canonical two-shuffle join-contrib-reduce",
+)
+def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("__w"))
+        .where(F.col("__w") >= 2)
+        .select("src", "dst")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    n_nodes = deg.count()  # one tiny action over the cached edge set
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    )
+    base = 0.15 / n_nodes
+    for _ in range(3):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.floor(F.col("rank") / F.col("deg") * F.lit(1e18))
+            .cast("long")
+            .alias("__c"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit(base)
+                + F.lit(0.85) * (F.sum("__c").cast("double") / F.lit(1e18))
+            ).alias("rank")
+        )
+    out = ranks.select(F.col("node").alias("part"), "rank")
+    return out
