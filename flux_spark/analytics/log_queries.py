@@ -397,6 +397,62 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "stream_session_windows",
+    _ROUTED_CTE
+    + """
+    , ordered AS (
+      SELECT rec_key, rec_value, event_ts, record_offset,
+             CASE WHEN LAG(event_ts) OVER w IS NULL
+                   OR epoch_us(event_ts) - epoch_us(LAG(event_ts) OVER w)
+                      >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM routed
+      WINDOW w AS (PARTITION BY rec_key ORDER BY event_ts, rec_value)
+    ),
+    sess AS (
+      SELECT rec_key, event_ts, record_offset,
+             CAST(SUM(new_s) OVER (PARTITION BY rec_key
+                                   ORDER BY event_ts, rec_value
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM ordered
+    )
+    SELECT MIN(event_ts) AS session_start,
+           MAX(event_ts) + INTERVAL 30 MINUTE AS session_end,
+           rec_key,
+           COUNT(*) AS n_events,
+           MIN(record_offset) AS first_offset,
+           MAX(record_offset) AS last_offset
+    FROM sess GROUP BY rec_key, sid
+    """,
+    "Structured Streaming session_window aggregation over the topic log "
+    "(dynamic-gap windows merged per key, complete-mode AvailableNow "
+    "drain) — oracle re-derives the merged sessions with lag + cumulative "
+    "sum; boundary rule: a gap of exactly 30min starts a NEW session "
+    "(adjacent [t, t+gap) windows do not overlap, so they do not merge)",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        drain_available_now,
+        stream_session_counts,
+        stream_topic,
+    )
+
+    store = _ingest_events(spark, sf_dir)
+    src = stream_topic(store, "events")
+    sess = stream_session_counts(src, gap="30 minutes", watermark="8760 hours")
+    out = drain_available_now(sess, output_mode="complete")
+    return out.select(
+        "session_start",
+        "session_end",
+        F.col("key").alias("rec_key"),
+        "n_events",
+        "first_offset",
+        "last_offset",
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_offsets_for_times",
     _ROUTED_CTE
     + """
