@@ -453,6 +453,91 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "stream_interval_join",
+    _ROUTED_CTE
+    + """
+    SELECT a.rec_key,
+           a.rec_value AS value_a,
+           b.rec_value AS value_b,
+           epoch_us(b.event_ts) - epoch_us(a.event_ts) AS gap_us
+    FROM routed a JOIN routed b
+      ON a.rec_key = b.rec_key
+     AND b.event_ts >= a.event_ts
+     AND b.event_ts < a.event_ts + INTERVAL 30 MINUTE
+     AND a.rec_value < b.rec_value
+    """,
+    "stream-stream self-join over the topic: per-key pairs whose event "
+    "times fall within a 30-minute forward interval (append-mode inner "
+    "join; the time bound is what lets Spark GC buffered join state once "
+    "the other side's watermark passes — without it state grows forever)",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import drain_available_now, stream_topic
+
+    store = _ingest_events(spark, sf_dir)
+    a = stream_topic(store, "events").select(
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("value_a"),
+        F.col("timestamp").alias("ts_a"),
+    )
+    b = stream_topic(store, "events").select(
+        F.col("key").alias("b_key"),
+        F.col("value").alias("value_b"),
+        F.col("timestamp").alias("ts_b"),
+    )
+    aw = a.withWatermark("ts_a", "8760 hours")
+    bw = b.withWatermark("ts_b", "8760 hours")
+    joined = aw.join(
+        bw,
+        (F.col("rec_key") == F.col("b_key"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("value_a") < F.col("value_b")),
+    )
+    out = drain_available_now(joined, output_mode="append")
+    return out.select(
+        "rec_key",
+        "value_a",
+        "value_b",
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+    )
+
+
+@register(
+    LOG_QUERIES,
+    "stream_dedup_pairs",
+    _ROUTED_CTE
+    + "SELECT DISTINCT rec_key, rec_value FROM routed",
+    "streaming dedup via dropDuplicatesWithinWatermark over a topic whose "
+    "every record was produced twice (two appends): exactly one survivor "
+    "per (key, value) with state bounded by the watermark horizon",
+)
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import drain_available_now, stream_dedup, stream_topic
+
+    store = _ingest_events(spark, sf_dir)
+    # produce the same records a second time -> duplicate (key, value)s at
+    # fresh offsets, the at-least-once redelivery shape
+    again = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("events", again, ordering_col="seq")
+    src = stream_topic(store, "events")
+    deduped = stream_dedup(
+        src, key_cols=["key", "value"], watermark="8760 hours"
+    )
+    out = drain_available_now(deduped, output_mode="append")
+    return out.select(
+        F.col("key").alias("rec_key"), F.col("value").alias("rec_value")
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_offsets_for_times",
     _ROUTED_CTE
     + """
