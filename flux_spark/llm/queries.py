@@ -813,3 +813,85 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_sampling_weights",
+    """
+    WITH shares AS (
+      SELECT source, lang, COUNT(*) AS n_docs
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM shares)
+    SELECT s.source, s.lang, s.n_docs,
+           CAST(s.n_docs AS DOUBLE) / t.total AS actual_share,
+           CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM shares) AS target_share,
+           (CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM shares))
+             / (CAST(s.n_docs AS DOUBLE) / t.total) AS sample_weight
+    FROM shares s CROSS JOIN tot t
+    """,
+    "domain-mixing sampling weights: per (source, lang) actual corpus share "
+    "vs a uniform target; weight = target/actual is the per-doc sampling "
+    "multiplier a mixture-balanced training pipeline applies. One partial-"
+    "aggregated pass; the domain table is tiny and stays on the driver "
+    "side of any subsequent broadcast",
+)
+def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shares = d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    tot = shares.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_domains")
+    )
+    j = shares.crossJoin(F.broadcast(tot))
+    actual = F.col("n_docs").cast("double") / F.col("total")
+    target = F.lit(1.0) / F.col("n_domains")
+    return j.select(
+        "source",
+        "lang",
+        "n_docs",
+        actual.alias("actual_share"),
+        target.alias("target_share"),
+        (target / actual).alias("sample_weight"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_pack_sequences",
+    """
+    WITH sized AS (
+      SELECT doc_id, n_chars,
+             COALESCE(CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS start_pos
+      FROM documents
+    )
+    SELECT doc_id, n_chars, start_pos,
+           start_pos // 8192 AS bin_id,
+           start_pos % 8192 AS offset_in_bin
+    FROM sized
+    """,
+    "sequence packing for training batches: docs laid out contiguously in "
+    "doc_id order, each assigned the 8192-char bin its start position "
+    "lands in (exclusive running sum -> floor-div). The window is a "
+    "single global ordering — at 100 TB replace with per-shard packing "
+    "(partitionBy(shard) and the same expressions) to avoid the "
+    "single-partition sort; the per-row math is unchanged",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("bigint")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        start.alias("start_pos"),
+        (start / 8192).cast("bigint").alias("bin_id"),
+        F.pmod(start, F.lit(8192)).cast("bigint").alias("offset_in_bin"),
+    )
