@@ -453,6 +453,66 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "log_headers_roundtrip",
+    _ROUTED_CTE
+    + """
+    SELECT part_id, record_offset,
+           'etype' AS hkey,
+           (SELECT event_type FROM events e
+            WHERE CAST(e.event_id AS VARCHAR) = routed.rec_value) AS hval,
+           1 AS hpos
+    FROM routed
+    UNION ALL
+    SELECT part_id, record_offset, 'uid' AS hkey, rec_key AS hval, 2 AS hpos
+    FROM routed
+    """,
+    "headers ordered-multimap round-trip through the log (Headers.java:8-96 "
+    "semantics as a typed ARRAY<STRUCT<key,BINARY>> column): each record "
+    "carries two headers; read back, posexplode, decode — order and "
+    "duplicates preserved end-to-end",
+)
+def log_headers_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-logq-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("events", 3)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+        F.array(
+            F.struct(
+                F.lit("etype").alias("key"),
+                F.encode("event_type", "UTF-8").alias("value"),
+            ),
+            F.struct(
+                F.lit("uid").alias("key"),
+                F.encode(F.col("user_id").cast("string"), "UTF-8").alias(
+                    "value"
+                ),
+            ),
+        ).alias("headers"),
+    )
+    store.append("events", e, ordering_col="seq")
+    r = store.read("events")
+    return r.select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.posexplode("headers").alias("__pos", "__h"),
+    ).select(
+        "part_id",
+        "record_offset",
+        F.col("__h.key").alias("hkey"),
+        F.decode(F.col("__h.value"), "UTF-8").alias("hval"),
+        (F.col("__pos") + 1).cast("int").alias("hpos"),
+    )
+
+
+@register(
+    LOG_QUERIES,
     "stream_interval_join",
     _ROUTED_CTE
     + """
