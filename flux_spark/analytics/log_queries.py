@@ -688,12 +688,41 @@ def log_compact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     LOG_QUERIES,
     "group_assign_sticky",
-    None,  # iterative min-heap distribution is not SQL-expressible;
-    # determinism + balance + stickiness are asserted exactly in
-    # tests/test_assignors.py (incl. hypothesis properties)
-    "StickyAssignor assignment over the fixture topics (rows-only check)",
+    _FIXTURE_CTE
+    + """
+    , universe AS (
+      SELECT topic, part_id,
+             ROW_NUMBER() OVER (ORDER BY topic, part_id) - 1 AS rn
+      FROM parts
+    ),
+    phase1 AS (
+      SELECT 'm1' AS member_id, topic, part_id FROM universe WHERE rn < 5
+    ),
+    rest AS (
+      SELECT topic, part_id,
+             ROW_NUMBER() OVER (ORDER BY topic, part_id) - 1 AS rn
+      FROM universe WHERE rn >= 5
+    )
+    SELECT member_id, topic, part_id FROM phase1
+    UNION ALL
+    SELECT CASE WHEN rn % 2 = 0 THEN 'm2' ELSE 'm3' END AS member_id,
+           topic, part_id
+    FROM rest
+    """,
+    "StickyAssignor rebalance after m2/m3 join a group where m1 held every "
+    "partition: phase 1 lets m1 keep its first ceil(14/3)=5 previous "
+    "partitions (sorted), phase 2's min-heap deals the remaining nine to "
+    "the empty members alternately — the oracle derives both phases in "
+    "SQL; generic stickiness properties live in tests/test_assignors.py",
 )
 def group_assign_sticky(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..assignors import sticky_assign
 
-    return _assignment_df(spark, sticky_assign(_MEMBERS, _TOPICS))
+    previous = {
+        "m1": {t: list(range(n)) for t, n in _TOPICS.items()},
+        "m2": {},
+        "m3": {},
+    }
+    return _assignment_df(
+        spark, sticky_assign(_MEMBERS, _TOPICS, previous=previous)
+    )
