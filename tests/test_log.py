@@ -233,3 +233,47 @@ def test_compact_by_key_latest_wins_with_gaps_and_tombstones(spark, store):
         ordering_col="seq",
     )
     assert res[0] == (4, 4)
+
+
+def test_compact_by_key_randomized_matches_model(spark, store):
+    """Seeded randomized batch vs a driver-side model of the cleaner:
+    survivors = latest offset per (partition, key) that isn't tombstoned,
+    plus all null-key records."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (
+            i,
+            rng.randrange(3),
+            rng.choice([None, *(f"k{j}" for j in range(8))]),
+            rng.choice([None, f"v{i}"]),
+        )
+        for i in range(400)
+    ]
+    store.catalog.create_topic("rkc", 3)
+    df = spark.createDataFrame(
+        rows, "seq long, partition int, key string, value string"
+    )
+    store.append("rkc", df, ordering_col="seq")
+    before = [
+        (r["partition"], r["offset"], r["key"], r["value"])
+        for r in store.read("rkc").collect()
+    ]
+    # model over what was actually written (offset order == seq order)
+    latest = {}
+    nullkey = []
+    for p, off, k, v in before:
+        if k is None:
+            nullkey.append((p, off, k, v))
+        else:
+            latest[(p, k)] = (p, off, k, v)
+    expected = sorted(
+        nullkey + [r for r in latest.values() if r[3] is not None]
+    )
+    store.compact_by_key("rkc")
+    got = sorted(
+        (r["partition"], r["offset"], r["key"], r["value"])
+        for r in store.read("rkc").collect()
+    )
+    assert got == expected
