@@ -1484,3 +1484,52 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = ranks.select(F.col("node").alias("part"), "rank")
     return out
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_cms_registers",
+    """
+    WITH rows_ AS (
+      SELECT user_id, r FROM events
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS r FROM range(0, 4))
+    )
+    SELECT r AS sketch_row,
+           CAST(CAST(('0x' || substring(
+                  md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 64 AS BIGINT) AS sketch_col,
+           COUNT(*) AS n
+    FROM rows_
+    GROUP BY 1, 2
+    """,
+    "deterministic Count-Min sketch registers (depth 4 x width 64, salted "
+    "md5 rows): the SUM-mergeable frequency twin of the MAX-mergeable HLL "
+    "registers — shards partial-aggregate map-side, sketches union by "
+    "adding registers, and a key's frequency estimate is the MIN over its "
+    "4 cells, all reproducible bit-for-bit in the oracle",
+)
+def events_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    rows = e.crossJoin(
+        spark.range(4).select(F.col("id").cast("int").alias("sketch_row"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("sketch_row").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        rows.select("sketch_row", F.pmod(h, F.lit(64)).alias("sketch_col"))
+        .groupBy("sketch_row", "sketch_col")
+        .agg(F.count("*").alias("n"))
+    )
