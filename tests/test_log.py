@@ -277,3 +277,48 @@ def test_compact_by_key_randomized_matches_model(spark, store):
         for r in store.read("rkc").collect()
     )
     assert got == expected
+
+
+def test_compression_codecs_roundtrip(spark, tmp_path):
+    """B8/B11 analog of CompressionTypeTest.java:11-133: every codec the
+    reference supports (none/gzip/snappy/lz4/zstd -> parquet codecs)
+    round-trips records identically, and the files really carry the codec."""
+    from flux_spark.log import LogStore
+
+    payload = [(i, f"value-{i}" * 20) for i in range(200)]
+    results = {}
+    for codec in ("uncompressed", "gzip", "snappy", "lz4", "zstd"):
+        store = LogStore(
+            spark, str(tmp_path / codec), compression=codec
+        )
+        store.catalog.create_topic("t", 2)
+        df = spark.createDataFrame(payload, "seq long, value string")
+        store.append("t", df, ordering_col="seq")
+        rows = sorted(
+            (r["partition"], r["offset"], r["value"])
+            for r in store.read("t").collect()
+        )
+        results[codec] = rows
+        # verify codec actually applied to the data pages
+        import glob
+
+        import pyarrow.parquet as pq
+
+        f = glob.glob(str(tmp_path / codec / "t" / "partition=*" / "*.parquet"))[0]
+        meta = pq.ParquetFile(f).metadata.row_group(0).column(0)
+        expect = {
+            "uncompressed": "UNCOMPRESSED",
+            "gzip": "GZIP",
+            "snappy": "SNAPPY",
+            # Spark's lz4 parquet codec is Hadoop-framed; pyarrow's enum
+            # reports it UNKNOWN but the round-trip read still verifies it
+            "lz4": {"LZ4", "LZ4_RAW", "UNKNOWN"},
+            "zstd": "ZSTD",
+        }[codec]
+        got = meta.compression
+        assert got in expect if isinstance(expect, set) else got == expect, (
+            codec,
+            got,
+        )
+    base = results["uncompressed"]
+    assert all(v == base for v in results.values())
