@@ -96,6 +96,7 @@ class LogStore:
         topic: str,
         df: DataFrame,
         ordering_col: str | None = None,
+        batch_id: str | None = None,
     ) -> dict[int, tuple[int, int]]:
         """Append a batch of records to a topic log.
 
@@ -106,12 +107,26 @@ class LogStore:
         order (and round-robin sequence) deterministically; without it,
         arrival order is the DataFrame's incidental order.
 
+        ``batch_id`` makes the append idempotent: a batch whose id has
+        already committed is a no-op returning ``{}`` — the same marker
+        protocol ``stream_ingest`` uses for foreachBatch replays, available
+        to batch producers that may retry after a driver crash (the
+        reference instead silently DROPS a batch after 3 retries,
+        FluxProducer.java:229-233 — we upgrade in both directions).
+
         Returns ``{partition: (first_offset, last_offset)}`` for the batch.
         """
         meta = self.catalog.get_topic(topic)  # raises InvalidTopicError
         n = meta.num_partitions
+        marker = (
+            self.warehouse / topic / "_batch_commits" / str(batch_id)
+            if batch_id is not None
+            else None
+        )
 
         with self._ingest_lock(topic):
+            if marker is not None and marker.exists():
+                return {}
             # refresh hwm under the lock
             meta = self.catalog.get_topic(topic)
 
@@ -204,6 +219,9 @@ class LogStore:
             self.catalog.advance_hwm(
                 topic, {p: last + 1 for p, (_, last) in stats.items()}
             )
+            if marker is not None:
+                marker.parent.mkdir(parents=True, exist_ok=True)
+                marker.touch()
             return stats
 
     # -- read path (S8, S10, §3.2) -------------------------------------

@@ -322,3 +322,22 @@ def test_compression_codecs_roundtrip(spark, tmp_path):
         )
     base = results["uncompressed"]
     assert all(v == base for v in results.values())
+
+
+def test_append_with_batch_id_is_idempotent(spark, store):
+    store.catalog.create_topic("idem", 2)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "seq long, value string"
+    )
+    first = store.append("idem", df, ordering_col="seq", batch_id="b-1")
+    assert sum(hi - lo + 1 for lo, hi in first.values()) == 50
+    # retry of the same batch id: no-op, no duplicate records, hwm unchanged
+    retry = store.append("idem", df, ordering_col="seq", batch_id="b-1")
+    assert retry == {}
+    assert store.read("idem").count() == 50
+    # a NEW batch id appends normally past the previous tail
+    second = store.append("idem", df, ordering_col="seq", batch_id="b-2")
+    assert sum(hi - lo + 1 for lo, hi in second.values()) == 50
+    assert store.read("idem").count() == 100
+    for p, (lo, hi) in second.items():
+        assert lo == first[p][1] + 1
