@@ -1533,3 +1533,52 @@ def events_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sketch_row", "sketch_col")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "nation_top_customer_list",
+    """
+    WITH ranked AS (
+      SELECT n.n_name AS nation, c.c_name, c.c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_name ASC) AS rn
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT nation,
+           COUNT(*) AS n_top,
+           string_agg(c_name, ',' ORDER BY rn) AS top_customers
+    FROM ranked WHERE rn <= 5
+    GROUP BY nation
+    """,
+    "ordered string aggregation (listagg): top-5 customers by balance per "
+    "nation concatenated in rank order — collect_list is unordered in a "
+    "distributed fold, so the deterministic form sorts (rank, name) structs "
+    "in the array before joining; the nation dim broadcasts",
+)
+def nation_top_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_name").asc()
+    )
+    ranked = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "c_name", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+    # collect_list gives no ordering guarantee across a distributed fold;
+    # sort (rn, name) structs inside the array, then project the names.
+    return ranked.groupBy("nation").agg(
+        F.count("*").alias("n_top"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "c_name"))
+                ),
+                lambda s: s["c_name"],
+            ),
+            ",",
+        ).alias("top_customers"),
+    )
