@@ -360,6 +360,19 @@ class LogStore:
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
 
+    def create_view(self, topic: str, view_name: str | None = None) -> str:
+        """Register the topic log as a temp view for ``spark.sql`` access
+        (SURVEY.md §7 phase 4: SQL/DataFrame views over topics). The view
+        is a plain projection over the parquet scan, so predicates written
+        in SQL still push down to partition dirs and rowgroup stats."""
+        name = view_name or f"topic_{topic}".replace("-", "_")
+        self.read(topic).createOrReplaceTempView(name)
+        return name
+
+    def create_all_views(self) -> list[str]:
+        """Register every catalog topic as a temp view."""
+        return [self.create_view(t) for t in self.catalog.list_topics()]
+
     # -- maintenance (SURVEY.md §7 phase 4 "batch indexing") ------------
     def compact(self, topic: str, target_records_per_file: int | None = None) -> None:
         """Rewrite each partition's many small segment files into few large

@@ -341,3 +341,18 @@ def test_append_with_batch_id_is_idempotent(spark, store):
     assert store.read("idem").count() == 100
     for p, (lo, hi) in second.items():
         assert lo == first[p][1] + 1
+
+
+def test_sql_view_over_topic(spark, store):
+    store.catalog.create_topic("sqlt", 2)
+    store.append("sqlt", _mk_records(spark, 40), ordering_col="seq")
+    name = store.create_view("sqlt")
+    got = spark.sql(
+        f"SELECT partition, COUNT(*) AS n, MAX(offset) AS hi FROM {name} "
+        "GROUP BY partition ORDER BY partition"
+    ).collect()
+    assert sum(r.n for r in got) == 40
+    assert all(r.hi == r.n - 1 for r in got)
+    assert "sqlt" in name and name in [
+        t.name for t in spark.catalog.listTables()
+    ]
