@@ -356,3 +356,60 @@ def test_sql_view_over_topic(spark, store):
     assert "sqlt" in name and name in [
         t.name for t in spark.catalog.listTables()
     ]
+
+
+def test_wide_topic_64_partitions_contiguous(spark, store):
+    """Partition-scaling check: a 64-partition topic ingests one batch and
+    every partition's offsets are gap-free from 0 (writer-per-partition
+    holds at any width; Kafka-style topics are 10s-1000s of partitions)."""
+    store.catalog.create_topic("wide", 64)
+    df = spark.createDataFrame(
+        [(i, i % 64, f"v{i}") for i in range(6400)],
+        "seq long, partition int, value string",
+    )
+    stats = store.append("wide", df, ordering_col="seq")
+    assert len(stats) == 64
+    assert all(lo == 0 and hi == 99 for lo, hi in stats.values())
+    agg = (
+        store.read("wide")
+        .groupBy("partition")
+        .agg(F.count("*").alias("n"), F.max("offset").alias("hi"))
+        .collect()
+    )
+    assert len(agg) == 64
+    assert all(r.n == 100 and r.hi == 99 for r in agg)
+
+
+def test_concurrent_appends_to_distinct_topics(spark, store):
+    """Ingest locks are per-topic: concurrent appends to different topics
+    interleave safely and each keeps its own gap-free offsets."""
+    import threading
+
+    for t in ("ca", "cb", "cc"):
+        store.catalog.create_topic(t, 2)
+    errs = []
+
+    def work(t):
+        try:
+            for _ in range(3):
+                df = spark.createDataFrame(
+                    [(i, f"{t}-{i}") for i in range(40)],
+                    "seq long, value string",
+                )
+                store.append(t, df, ordering_col="seq")
+        except Exception as ex:  # pragma: no cover
+            errs.append((t, ex))
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in ("ca", "cb", "cc")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    for t in ("ca", "cb", "cc"):
+        rows = store.read(t).groupBy("partition").agg(
+            F.count("*").alias("n"), F.max("offset").alias("hi")
+        ).collect()
+        assert sum(r.n for r in rows) == 120
+        for r in rows:
+            assert r.hi == r.n - 1
