@@ -20,7 +20,7 @@ from .errors import (
 )
 from .log import LogStore
 from .murmur2 import murmur2, partition_for_key
-from .producer import FluxProducer
+from .producer import FluxProducer, producer_from_properties
 from .session import get_spark
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "murmur2",
     "partition_for_key",
     "FluxProducer",
+    "producer_from_properties",
     "get_spark",
     "streaming",
 ]

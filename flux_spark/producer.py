@@ -112,3 +112,67 @@ class FluxProducer:
 
     def close(self) -> None:
         self.flush()
+
+
+# -- Kafka-style properties factory (commons/header/Properties.java, -----
+# -- ProducerConfig.java:22-30) ------------------------------------------
+
+# keys the engine maps onto real knobs
+_PROPERTY_MAP = {
+    "batch.size": ("batch_size", int),
+    "compression.type": ("compression", str),
+    "max.records.per.file": ("max_records_per_file", int),
+}
+# reference knobs Spark's runtime subsumes (accepted, validated, ignored —
+# retries/in-flight/buffering are the task scheduler + file-commit
+# protocol's job, SURVEY.md §2.3)
+_SUBSUMED_PROPERTIES = {
+    "linger.ms",
+    "buffer.memory",
+    "max.block.ms",
+    "retries",
+    "delivery.timeout.ms",
+    "max.in.flight.requests",
+    "max.request.size",
+    "bootstrap.servers",
+}
+
+
+def producer_from_properties(
+    store_or_spark,
+    properties: dict[str, str],
+    warehouse: str | None = None,
+) -> FluxProducer:
+    """Build a producer from a Kafka-style string-properties map
+    (Properties.java:6-44, ProducerConfig.java:22-30) so reference users
+    can carry their config dicts over. Mapped: ``batch.size`` (autoflush
+    row count), ``compression.type`` (parquet codec; same id set as
+    CompressionType.java), ``max.records.per.file`` (segment roll analog).
+    Reference knobs Spark subsumes are accepted and ignored; unknown keys
+    raise, mirroring config validation (BrokerConfigValidator.java).
+    """
+    unknown = (
+        set(properties) - set(_PROPERTY_MAP) - _SUBSUMED_PROPERTIES
+    )
+    if unknown:
+        raise ValueError(f"unknown producer properties: {sorted(unknown)}")
+    kwargs = {}
+    for k, (name, conv) in _PROPERTY_MAP.items():
+        if k in properties:
+            kwargs[name] = conv(properties[k])
+    if isinstance(store_or_spark, LogStore):
+        store = store_or_spark
+        if "compression" in kwargs:
+            store.compression = kwargs["compression"]
+        if "max_records_per_file" in kwargs:
+            store.max_records_per_file = kwargs["max_records_per_file"]
+    else:
+        if warehouse is None:
+            raise ValueError("warehouse required when passing a SparkSession")
+        store = LogStore(
+            store_or_spark,
+            warehouse,
+            max_records_per_file=kwargs.get("max_records_per_file", 1_000_000),
+            compression=kwargs.get("compression", "zstd"),
+        )
+    return FluxProducer(store, batch_size=kwargs.get("batch_size", 100_000))

@@ -262,3 +262,30 @@ def test_sticky_rebalance_end_to_end(store):
     owned_after = set(a1_after.get("s", []))
     assert owned_after == {0, 1, 2, 3, 4, 5}
     assert owned_before <= owned_after  # stickiness: nothing it had moved
+
+
+def test_producer_from_properties(spark, tmp_path):
+    from flux_spark.producer import producer_from_properties
+
+    prod = producer_from_properties(
+        spark,
+        {
+            "batch.size": "500",
+            "compression.type": "snappy",
+            "linger.ms": "100",       # subsumed: accepted, ignored
+            "retries": "3",           # subsumed
+        },
+        warehouse=str(tmp_path / "wh"),
+    )
+    assert prod.batch_size == 500
+    assert prod.store.compression == "snappy"
+    prod.store.catalog.create_topic("t", 2)
+    prod.send("t", value="v", key="k")
+    prod.flush()
+    assert prod.store.read("t").count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown producer properties"):
+        producer_from_properties(
+            spark, {"no.such.knob": "1"}, warehouse=str(tmp_path / "wh2")
+        )
