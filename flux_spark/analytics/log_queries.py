@@ -610,6 +610,37 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "stream_stateful_totals",
+    _ROUTED_CTE
+    + """
+    SELECT rec_key AS key,
+           CAST(SUM(CAST(rec_value AS BIGINT)) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM routed GROUP BY rec_key
+    """,
+    "custom stateful streaming operator (applyInPandasWithState) gated "
+    "exactly: per-key running totals of the numeric record values over an "
+    "AvailableNow drain. The values are integers, so the Arrow-batch "
+    "float64 sums are order-independent below 2^53 and match the oracle's "
+    "integer sum bit-for-bit",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        drain_available_now,
+        stateful_running_totals,
+        stream_topic,
+    )
+
+    store = _ingest_events(spark, sf_dir)
+    src = stream_topic(store, "events")
+    out = drain_available_now(
+        stateful_running_totals(src), output_mode="update"
+    )
+    return out.select("key", "total", "n")
+
+
+@register(
+    LOG_QUERIES,
     "log_offsets_for_times",
     _ROUTED_CTE
     + """
