@@ -459,6 +459,49 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_topk_sql(n_planes: int = 8, k: int = 5) -> str:
+    sig = similarity.sql_signature_bits("embedding", _PLANES, _DIM)
+    masks = ", ".join(f"CAST({2**i} AS BIGINT)" for i in range(n_planes))
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             CAST({sig} AS BIGINT) AS sig
+      FROM embeddings),
+    qs AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             CAST({sig} AS BIGINT) AS qsig
+      FROM embeddings WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, qsig AS sig FROM qs
+      UNION ALL
+      SELECT query_id, qv, xor(qsig, m.m) AS sig
+      FROM qs CROSS JOIN (SELECT unnest([{masks}]) AS m) m),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             {similarity.sql_cosine("p.qv", "c.cv", _DIM)} AS cos_sim
+      FROM probes p JOIN c USING (sig)
+      WHERE c.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "ann_cosine_lsh",
+    _lsh_topk_sql(),
+    "LSH-bucketed ANN: sign-signature bucket join with Hamming-1 "
+    "multiprobe, exact-cosine top-5 rerank",
+)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
 def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
     cos_vc = similarity.sql_cosine("vv", "cv", _DIM)
     return f"""

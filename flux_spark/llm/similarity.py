@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Three operators, all with the same portable cosine kernel:
+Four operators, all with the same portable cosine kernel:
 
 * **brute_force_topk** — exact top-k neighbors for a (small) query set.
   Plan: broadcast the queries, one pass over the corpus, per-query
@@ -10,6 +10,9 @@ Three operators, all with the same portable cosine kernel:
   pairs sharing a full signature are verified with exact cosine. The
   hyperplanes are deterministic (md5-seeded +-1 components), so results
   are reproducible and oracle-checkable.
+* **LSH-bucketed top-k** — approximate top-k: corpus bucketed by sign
+  signature, queries multiprobe their bucket plus all Hamming-1
+  neighbors, candidates ranked by exact cosine.
 * **IVF top-k** — the scale path: vectors are assigned to their nearest
   of K centroids (one narrow pass); a query probes only `nprobe` centroid
   buckets, cutting the scanned fraction to ~nprobe/K. Recall tracks
@@ -182,6 +185,66 @@ def lsh_near_dup_pairs(
             cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (the bucket-join scale path).
+
+    Corpus vectors are bucketed once by their sign-LSH signature; each
+    query probes its own bucket plus every signature within Hamming
+    distance ``probe_hamming`` (bit-flip expansion, 1 + n_planes probes at
+    distance 1). Candidates are ranked by exact cosine; ties break on
+    ascending neighbor id. Probe signatures are pairwise distinct, so no
+    (query, neighbor) pair is produced twice and no dedup pass is needed.
+
+    Scale shape: the corpus side shuffles once on the signature; a query
+    touches ~(1+n_planes)/2^n_planes of the corpus instead of all of it,
+    and raising n_planes sharpens buckets while probe_hamming buys recall.
+    Deterministic end-to-end (md5-seeded hyperplanes, sequential float64
+    dots), so the approximate result is still exactly oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    assert probe_hamming in (0, 1)
+    planes = hyperplanes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        signature_bits(F.col(vec_col), planes).alias("__sig"),
+    )
+    qsig = signature_bits(F.col(vec_col), planes)
+    probe_arr = [qsig] + (
+        [qsig.bitwiseXOR(F.lit(2**i)) for i in range(n_planes)]
+        if probe_hamming >= 1
+        else []
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.array(*probe_arr)).alias("__sig"),
+    )
+    scored = (
+        q.join(c, "__sig")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 

@@ -157,6 +157,17 @@ def test_hyperplanes_deterministic(spark):
     assert all(x in (1.0, -1.0) for row in similarity.hyperplanes(3, 16) for x in row)
 
 
+def test_lsh_topk_finds_identical_neighbor(spark, vecs):
+    # an identical vector always shares the query's own bucket (probe 0)
+    res = similarity.lsh_topk(
+        vecs, vecs.where(F.col("vec_id") == 0), k=2, dim=4, n_planes=4
+    )
+    rows = sorted(res.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 4 and rows[0].cos_sim == 1.0
+    # every candidate pair is emitted once despite the multiprobe fan-out
+    assert len({(r.query_id, r.neighbor_id) for r in rows}) == len(rows)
+
+
 def test_ivf_topk_exact_when_probing_all(spark, vecs):
     cents = vecs.where(F.col("vec_id").isin([0, 1])).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
