@@ -1537,6 +1537,114 @@ def events_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "events_kmv_sketch",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           COUNT(*) AS sketch_size,
+           MAX(hv) AS kth_min_hash,
+           CASE WHEN COUNT(*) >= 32
+                THEN CAST(31 AS DOUBLE) * 1152921504606846976.0
+                     / CAST(MAX(hv) AS DOUBLE)
+                ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
+    FROM ranked WHERE rn <= 32
+    GROUP BY event_type
+    """,
+    "KMV (bottom-k minimum values) distinct sketch per event_type: the 32 "
+    "smallest 60-bit md5 hashes of user_id. MIN-mergeable (union the hash "
+    "sets, keep the 32 smallest), the third mergeable-sketch family next "
+    "to MAX-merge HLL and SUM-merge CMS; estimate (k-1)*2^60/kth is one "
+    "division of two correctly-rounded doubles, bit-identical cross-engine",
+)
+def events_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = 32
+    e = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # distinct first so the window ranks unique hashes; both steps hash-
+    # partition on event_type, so AQE coalesces them into one exchange
+    dist = e.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("hv"))
+    bottom = dist.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    return bottom.groupBy("event_type").agg(
+        F.count("*").alias("sketch_size"),
+        F.max("hv").alias("kth_min_hash"),
+        F.when(
+            F.count("*") >= k,
+            F.lit(float(k - 1))
+            * F.lit(float(2**60))
+            / F.max("hv").cast("double"),
+        )
+        .otherwise(F.count("*").cast("double"))
+        .alias("est_distinct"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_value_histogram",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin_id,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bin_id, n,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+           bin_id * 50.0 AS bin_lo,
+           (bin_id + 1) * 50.0 AS bin_hi
+    FROM b
+    """,
+    "mergeable equi-width histogram sketch of event values (10 bins of "
+    "width 50, top bin open): bin counts SUM-merge across shards/topics, "
+    "and the running cum_n gives rank/quantile estimates without a global "
+    "sort. floor() and the integer-valued bin edges are exact in both "
+    "engines, so even this approximate structure oracle-checks bit-for-bit",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bin_id = F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9)).cast(
+        "bigint"
+    )
+    b = e.groupBy("event_type", bin_id.alias("bin_id")).agg(
+        F.count("*").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bin_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.select(
+        "event_type",
+        "bin_id",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        (F.col("bin_id") * F.lit(50.0)).alias("bin_lo"),
+        ((F.col("bin_id") + 1) * F.lit(50.0)).alias("bin_hi"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
     "nation_top_customer_list",
     """
     WITH ranked AS (

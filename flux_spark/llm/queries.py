@@ -285,6 +285,93 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# word-soup documents carry no natural PII, so the gate query appends
+# deterministic synthetic PII (email/phone/ip derived from doc_id) in BOTH
+# engines before scrubbing — the same augmentation trick as _EMB_AUG_CTE
+_PII_AUG_CTE = """
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' today'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+    AS text
+  FROM documents)
+"""
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit(" today"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" from 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat("text", email, phone, ip).alias("text")
+    )
+
+
+def _pii_sql() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}s"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, rep in text.PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
+    return (
+        _PII_AUG_CTE
+        + f"SELECT doc_id, {counts}, {clean} AS clean_text FROM aug"
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_pii_scrub",
+    _pii_sql(),
+    "PII detection + redaction: email/phone/IPv4 match counts and typed-"
+    "placeholder scrubbing over PII-augmented documents, pure codegen "
+    "regexps on the Java-regex/RE2 common subset",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.with_pii_scrub(_pii_augmented(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        "clean_text",
+    )
+
+
 def _lang_sql() -> str:
     scores = []
     for lang, markers in text.LANG_MARKERS.items():

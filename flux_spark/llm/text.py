@@ -85,6 +85,35 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns shared by the Spark plan and the SQL oracle: the subset of
+# regex syntax on which Java's engine and RE2 agree (char classes, bounded
+# repetition, \b, non-capturing groups)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b555-[0-9]{3,4}\b", "[PHONE]"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: per-row match counts for email / phone /
+    IPv4 patterns and a ``clean_text`` column with matches replaced by
+    typed placeholders (applied in fixed email -> phone -> ip order so the
+    output is well-defined when patterns could overlap).
+
+    Pure regexp expressions inside codegen — no UDF, no shuffle; at 100 TB
+    this runs at scan speed column-pruned to (id, text). The pattern list
+    deliberately sticks to the Java-regex/RE2 common subset so the same
+    literals drive both the Spark plan and the DuckDB oracle.
+    """
+    out = df
+    clean = F.col(text_col)
+    for name, pat, rep in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}s", F.regexp_count(text_col, F.lit(pat)))
+        clean = F.regexp_replace(clean, pat, rep)
+    return out.withColumn("clean_text", clean)
+
+
 def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus token frequency: explode -> count. The one shuffle in this
     module; partial (map-side) aggregation keeps shuffle volume at

@@ -106,6 +106,21 @@ def test_simhash_pairs(spark, docs):
     assert pairs.get((1, 2)) == 0
 
 
+def test_pii_scrub(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.org or 555-0142"),
+        (2, "server at 10.1.255.3 and 192.168.0.1 ok"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.with_pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 1, 0)
+    assert out[1].clean_text == "mail me at [EMAIL] or [PHONE]"
+    assert out[2].n_ips == 2
+    assert out[2].clean_text == "server at [IP] and [IP] ok"
+    assert out[3].clean_text == "nothing sensitive here"
+
+
 # -- similarity -------------------------------------------------------------
 
 
