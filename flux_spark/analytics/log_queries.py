@@ -641,6 +641,53 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "stream_static_enrich",
+    _ROUTED_CTE
+    + """
+    , dim AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS rec_key,
+             'seg' || CAST(user_id % 4 AS VARCHAR) AS segment
+      FROM events
+    )
+    SELECT r.part_id, r.record_offset, r.rec_key, r.rec_value, d.segment
+    FROM routed r JOIN dim d USING (rec_key)
+    """,
+    "stream-static enrichment: every streamed record joins its broadcast "
+    "dimension row (user -> segment) per microbatch — stateless, no "
+    "watermark, zero shuffle of the stream side",
+)
+def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        drain_available_now,
+        stream_static_enrich,
+        stream_topic,
+    )
+
+    store = _ingest_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+        .withColumn(
+            "segment",
+            F.concat(F.lit("seg"), (F.col("key").cast("bigint") % 4).cast("string")),
+        )
+    )
+    src = stream_topic(store, "events")
+    out = drain_available_now(
+        stream_static_enrich(src, dim), output_mode="append"
+    )
+    return out.select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("rec_value"),
+        "segment",
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_offsets_for_times",
     _ROUTED_CTE
     + """
@@ -769,3 +816,44 @@ def group_assign_sticky(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assignment_df(
         spark, sticky_assign(_MEMBERS, _TOPICS, previous=previous)
     )
+
+
+# ---------------------------------------------------------------------------
+# external source/sink connectors (sources.py)
+# ---------------------------------------------------------------------------
+
+_EVENTS_COLS_SQL = "SELECT event_id, ts, user_id, event_type, value FROM events"
+
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from .. import sources
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix=f"flux-src-{fmt}-")
+    return sources.roundtrip(e, path, fmt)
+
+
+@register(
+    LOG_QUERIES,
+    "source_csv_roundtrip",
+    _EVENTS_COLS_SQL,
+    "CSV connector losslessness: events written through the csv sink and "
+    "read back through the csv source (explicit schema, microsecond "
+    "timestamp format, shortest-round-trip doubles) must equal the "
+    "parquet original row-for-row",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    LOG_QUERIES,
+    "source_json_roundtrip",
+    _EVENTS_COLS_SQL,
+    "JSON-lines connector losslessness: same contract as the csv "
+    "round-trip through the json source/sink pair",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "json")

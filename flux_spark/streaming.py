@@ -20,6 +20,8 @@ DataFrame over the log directory:
                                exactly-once visibility via checkpointing,
                                stronger than the reference's ack-before-fsync,
                                LogSegment.java:165-218)
+* ``stream_static_enrich``  -> broadcast stream-static dimension join
+                               (stateless; dim re-read per microbatch)
 * ``stateful_running_totals`` -> applyInPandasWithState custom stateful
                                operator (per-key running aggregates with
                                timeout-based state GC)
@@ -215,6 +217,28 @@ def stream_stream_join(
         )
     )
     return lw.join(rw, cond)
+
+
+def stream_static_enrich(
+    records: DataFrame,
+    dim: DataFrame,
+    key: str = "key",
+    dim_key: str | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each streaming record picks up the
+    matching dimension row (inner join on the routing key).
+
+    The static side is (re)read per microbatch by Spark's stream-static
+    join support — no state store is involved, unlike stream-stream joins,
+    so there is nothing to watermark or GC. The dim is broadcast by
+    default: at 100 TB/day of stream with a dims table that fits in
+    executor memory, that turns every microbatch join into a map-side
+    hash probe with zero shuffle of the stream side.
+    """
+    dk = dim_key or key
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return records.join(d, records[key] == d[dk]).drop(d[dk])
 
 
 def stream_dedup(
