@@ -284,3 +284,42 @@ def test_hll_registers_single_exchange_partial_agg(spark, sf):
     plan = executed_plan(ANALYTICS_QUERIES["events_hll_registers"].fn(spark, sf))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_pii_scrub_zero_shuffle_codegen_only(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_pii_scrub"].fn(spark, sf))
+    # pure per-row regexp projection: no exchange, no python UDF
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_topk_broadcasts_probes_corpus_never_shuffles(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["ann_cosine_lsh"].fn(spark, sf))
+    # tiny multiprobe query side broadcasts; the corpus side reaches the
+    # signature bucket join without an exchange
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_partial_aggregates_before_shuffle(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_kmv_sketch"].fn(spark, sf))
+    # the distinct partial-aggregates map-side so the shuffle carries unique
+    # (event_type, hash) pairs, not raw events; no join anywhere
+    assert "partial" in plan.lower()
+    assert "Join" not in plan
+
+
+def test_histogram_no_join_bounded_exchanges(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_value_histogram"].fn(spark, sf))
+    assert "Join" not in plan
+    # bin partial-agg exchange + per-type window exchange, nothing else
+    assert plan.count("Exchange hashpartitioning") <= 2
