@@ -857,3 +857,53 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "json")
+
+
+@register(
+    LOG_QUERIES,
+    "log_table_materialize",
+    """
+    WITH keyed AS (
+      SELECT
+        CAST(user_id % 3 AS INTEGER) AS part_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id % 3 ORDER BY event_id) - 1
+          AS record_offset,
+        CAST(user_id AS VARCHAR) AS rec_key,
+        CASE WHEN event_id % 17 = 0 THEN NULL
+             ELSE CAST(event_id AS VARCHAR) END AS rec_value
+      FROM events
+    ),
+    latest AS (
+      SELECT rec_key, rec_value, part_id, record_offset,
+             ROW_NUMBER() OVER (PARTITION BY rec_key
+                                ORDER BY record_offset DESC, part_id DESC)
+               AS rn
+      FROM keyed
+    )
+    SELECT rec_key AS key, rec_value AS value,
+           part_id AS partition, CAST(record_offset AS BIGINT) AS offset
+    FROM latest WHERE rn = 1 AND rec_value IS NOT NULL
+    """,
+    "KTable-style changelog materialization: a key-routed topic with "
+    "periodic tombstones snapshots to current-state (latest record per "
+    "key wins; a key whose latest record is a tombstone leaves the "
+    "table). Read-side view — the log keeps history; compact_by_key is "
+    "the storage-side twin",
+)
+def log_table_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-ktable-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("state", 3)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("user_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.when(
+            F.col("event_id") % 17 == 0, F.lit(None).cast("string")
+        ).otherwise(F.col("event_id").cast("string")).alias("value"),
+    )
+    store.append("state", e, ordering_col="seq")
+    return store.materialize("state")

@@ -169,3 +169,25 @@ def salted_agg(
             for alias, (kind, _) in aggs.items()
         ]
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Count triangles in an undirected graph given canonical edges
+    (src < dst, one row per edge).
+
+    The classic two-join form with the degeneracy-style ordering trick:
+    because every edge is stored low->high, a triangle a<b<c is found
+    exactly once as edges (a,b)+(b,c) closed by (a,c) — no candidate is
+    generated twice, so no distinct pass. Both joins are equi-joins that
+    co-partition on a vertex, and the wedge fan-out is bounded by the
+    max out-degree under the ordering (the reason this survives power-law
+    graphs at scale where naive all-orientations joins explode).
+    """
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    return tri.agg(F.count("*").alias("n_triangles"))

@@ -1537,6 +1537,51 @@ def events_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "parts_triangles",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.dst = e2.src
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+    "triangle counting on the part co-purchase graph (edges: part pairs "
+    "sharing >= 2 orders): canonical low->high edges + the ordering trick "
+    "find each triangle exactly once with two co-partitioned equi-joins — "
+    "the second graph algorithm next to parts_pagerank",
+)
+def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
+@register(
+    ANALYTICS_QUERIES,
     "events_kmv_sketch",
     """
     WITH h AS (
@@ -1592,6 +1637,43 @@ def events_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.count("*").cast("double"))
         .alias("est_distinct"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_rolling_1h",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    "range-interval rolling window (time-based frame, not row-based): "
+    "per-user trailing-1h event count and exact decimal sum at every "
+    "event — the frame is defined by event-time distance so ties and "
+    "irregular gaps behave identically across engines; one shuffle on "
+    "user_id",
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
     )
 
 

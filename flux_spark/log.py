@@ -447,6 +447,31 @@ class LogStore:
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
 
+    def materialize(self, topic: str) -> DataFrame:
+        """KTable-style snapshot of a keyed changelog topic: the current
+        value per key — latest record wins, keys whose latest record is a
+        tombstone (NULL value) drop out of the table. Read-side only; the
+        log keeps its full history (compact_by_key is the storage-side
+        twin that rewrites segments).
+
+        Ordering is (offset within the key's partition, partition as a
+        deterministic tie-break) — with key routing a key lives in one
+        partition, so this is exactly Kafka Streams' per-key update order.
+        One shuffle keyed on the record key; at scale the window's partial
+        max folds map-side and the scan prunes to (key, value, partition,
+        offset)."""
+        from pyspark.sql import Window
+
+        df = self.read(topic).where(F.col("key").isNotNull())
+        w = Window.partitionBy("key").orderBy(
+            F.col("offset").desc(), F.col("partition").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & F.col("value").isNotNull())
+            .select("key", "value", "partition", "offset")
+        )
+
     def delete_topic(self, topic: str, drop_data: bool = True) -> None:
         if not self.catalog.topic_exists(topic):
             raise InvalidTopicError(f"topic {topic!r} does not exist")

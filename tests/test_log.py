@@ -413,3 +413,25 @@ def test_concurrent_appends_to_distinct_topics(spark, store):
         assert sum(r.n for r in rows) == 120
         for r in rows:
             assert r.hi == r.n - 1
+
+
+def test_materialize_latest_wins_and_tombstone_deletes(spark, store):
+    store.catalog.create_topic("kt", 2)
+    rows = [
+        # (seq, partition, key, value): k1 updated twice, k2 deleted last,
+        # k3 deleted then re-inserted, null-key record ignored
+        (0, 0, "k1", "a"),
+        (1, 0, "k2", "x"),
+        (2, 1, "k3", "m"),
+        (3, 0, "k1", "b"),
+        (4, 1, "k3", None),
+        (5, 0, "k2", None),
+        (6, 1, "k3", "n"),
+        (7, 0, None, "orphan"),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, partition int, key string, value string"
+    )
+    store.append("kt", df, ordering_col="seq")
+    state = {r.key: r.value for r in store.materialize("kt").collect()}
+    assert state == {"k1": "b", "k3": "n"}

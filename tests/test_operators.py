@@ -61,3 +61,17 @@ def test_top_k_per_group(spark, quotes_trades):
     out = top_k_per_group(trades, ["sym"], [F.desc("qty")], 1).collect()
     got = {(r.sym, r.qty) for r in out}
     assert got == {("A", 400), ("B", 300)}
+
+
+def test_triangle_count(spark):
+    from flux_spark.analytics.operators import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (no new ones)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    assert triangle_count(edges).collect()[0].n_triangles == 4
+
+    no_tri = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert triangle_count(no_tri).collect()[0].n_triangles == 0
