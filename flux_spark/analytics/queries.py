@@ -325,6 +325,115 @@ def customer_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    ANALYTICS_QUERIES,
+    "customer_balance_deciles",
+    """
+    WITH d AS (
+      SELECT c_custkey, c_acctbal,
+             NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS decile
+      FROM customer)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS total_bal
+    FROM d GROUP BY decile
+    """,
+    "NTILE bucketing: balance deciles under a deterministic total order "
+    "(balance desc, key asc) with per-decile exact-decimal totals. NTILE "
+    "needs one global sort — fine for dimension-sized inputs; for a fact "
+    "table at scale the percentile-cut form (events_value_percentiles) is "
+    "the scalable variant",
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    d = c.select(
+        "c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile")
+    )
+    return d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+        F.sum(F.col("c_acctbal").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+# Bucketed-table cache: (session id, sf_dir) -> (orders tbl, lineitem tbl).
+# Bucketing is a *write-time* layout choice; the tables are written once per
+# session and every bucketed query after that joins shuffle-free.
+_BUCKET_CACHE: dict[tuple[int, str], tuple[str, str]] = {}
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders + lineitem as bucketed catalog tables (8 buckets on the
+    order key, sorted within buckets) rooted in a temp location.
+
+    This is the co-located-join storage strategy for the biggest recurring
+    join in the schema: both sides hash into the same bucket files at write
+    time, so every subsequent orderkey join is Exchange-free (asserted in
+    tests/test_plans.py) — at 100 TB that converts the nightly fact-fact
+    shuffle into a per-bucket merge join.
+    """
+    import tempfile
+
+    ck = (id(spark), sf_dir)
+    if ck in _BUCKET_CACHE:
+        return _BUCKET_CACHE[ck]
+    tag = abs(hash(sf_dir)) % 10**8
+    names = (f"b_orders_{tag}", f"b_lineitem_{tag}")
+    base = tempfile.mkdtemp(prefix="flux-bucketed-")
+    for name, table, key in (
+        (names[0], "orders", "o_orderkey"),
+        (names[1], "lineitem", "l_orderkey"),
+    ):
+        (
+            load_table(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    _BUCKET_CACHE[ck] = names
+    return names
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "orders_bucketed_join",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+             AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    "co-located fact-fact join over write-time-bucketed tables: orders and "
+    "lineitem bucketed (8, orderkey) + sorted, so the join runs with ZERO "
+    "exchanges on either side — the bucketing answer to the one join "
+    "broadcast can't fix at 100 TB",
+)
+def orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, lt = bucketed_tables(spark, sf_dir)
+    o = spark.table(ot)
+    li = spark.table(lt)
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics (the `events` table plays the topic-log role)
 # ---------------------------------------------------------------------------

@@ -323,3 +323,24 @@ def test_histogram_no_join_bounded_exchanges(spark, sf):
     assert "Join" not in plan
     # bin partial-agg exchange + per-type window exchange, nothing else
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bucketed_join_zero_exchange(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    # at test scale AQE would (correctly) broadcast instead; disable it to
+    # observe the layout the bucketing buys when both sides are fact-sized
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ANALYTICS_QUERIES["orders_bucketed_join"].fn(spark, sf)
+        df.collect()
+        plan = executed_plan(df).split("== Initial Plan ==")[0]
+        # both sides read pre-bucketed files: the join needs no shuffle —
+        # the only exchange left is the final tiny agg by priority
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
