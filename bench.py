@@ -45,6 +45,12 @@ ANALYTICS_HEADLINE = [
     "orders_market_basket",
     "doc_ngram_repetition",
     "doc_contamination",
+    "ann_cosine_lsh",
+    "events_kmv_sketch",
+    "events_rolling_1h",
+    "doc_pii_scrub",
+    "parts_triangles",
+    "orders_bucketed_join",
 ]
 
 
