@@ -907,3 +907,35 @@ def log_table_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.append("state", e, ordering_col="seq")
     return store.materialize("state")
+
+
+@register(
+    LOG_QUERIES,
+    "source_schema_evolution",
+    """
+    SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, event_type, value
+    FROM events WHERE event_id % 2 = 1
+    """,
+    "schema-evolution read: a v1 export (event_id, event_type) and a "
+    "widened v2 export (+ value) land in the same dataset; mergeSchema "
+    "reads both generations as one table, v1 rows null-padded — the "
+    "additive-column contract a long-lived 100 TB dataset relies on",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import sources
+
+    e = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="flux-evolve-")
+    v1 = e.where(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    v2 = e.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    )
+    sources.write_sink(v1, f"{base}/gen=1", "parquet")
+    sources.write_sink(v2, f"{base}/gen=2", "parquet")
+    merged = sources.read_source(
+        spark, base, "parquet", mergeSchema="true", recursiveFileLookup="true"
+    )
+    return merged.select("event_id", "event_type", "value")

@@ -240,6 +240,93 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Estimated vs exact Jaccard for every LSH candidate pair — the
+    calibration view of the MinHash sketch.
+
+    est_jaccard = fraction of agreeing signature positions (the unbiased
+    MinHash estimator); jaccard = exact intersection-over-union from the
+    inverted shingle index. Shipping both lets a pipeline measure sketch
+    error on its own corpus before trusting estimate-only dedup at scales
+    where exact verification is unaffordable. Same plan shape as
+    minhash_lsh_pairs; the extra cost is one 16-element zip per pair.
+    """
+    rows = num_hashes // bands
+    sh = (
+        df.select(F.col(id_col), word_shingles(text_col, k).alias("__shingles"))
+        .withColumn("__n_sh", F.size("__shingles"))
+        .persist()
+    )
+    sig = sh.withColumn(
+        "__sig", minhash_signature(F.col("__shingles"), num_hashes)
+    ).persist()
+    banded = sig.select(
+        id_col,
+        F.posexplode(lsh_band_hashes(F.col("__sig"), bands, rows)).alias(
+            "__band", "__bhash"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bhash") == F.col("b.__bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v
+        )
+    )
+    est = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias(
+            "est_jaccard"
+        ),
+    )
+    ex = sh.select(id_col, "__n_sh", F.explode("__shingles").alias("__s"))
+    ea = ex.select(
+        F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__na"), "__s"
+    )
+    eb = ex.select(
+        F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"), "__s"
+    )
+    common = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "__s"])
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count("*").alias("__common"))
+    )
+    jac = F.col("__common").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__common")
+    )
+    exact = common.select("id_a", "id_b", jac.alias("jaccard"))
+    # left join: banded candidates with zero shared shingles keep jaccard 0
+    return est.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted index)
 # ---------------------------------------------------------------------------

@@ -211,6 +211,65 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(dup_corpus(spark, sf_dir), threshold=0.5)
 
 
+def _minhash_est_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(hs, m -> "
+        f"(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substring(m, 17, 8)) AS BIGINT)) % 4294967296))"
+        for i in range(num_hashes)
+    )
+    return (
+        _CORPUS_CTE
+        + _SHINGLE_CTES
+        + f"""
+, __hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM __sized)
+, __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __hashed)
+, __bh AS (
+  SELECT s.doc_id, r.band,
+         md5(array_to_string(list_transform(
+           s.sig[r.band*{rows}+1 : r.band*{rows}+{rows}],
+           v -> CAST(v AS VARCHAR)), '|')) AS bhash
+  FROM __sigs s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r)
+, __cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __bh a JOIN __bh b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+, __est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(range(1, {num_hashes + 1}),
+                              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+           / {float(num_hashes)} AS est_jaccard
+  FROM __cand c
+  JOIN __sigs sa ON sa.doc_id = c.id_a
+  JOIN __sigs sb ON sb.doc_id = c.id_b)
+, __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __common AS (
+  SELECT c.id_a, c.id_b, ea.n_sh AS na, eb.n_sh AS nb, COUNT(*) AS cc
+  FROM __cand c
+  JOIN __ex ea ON ea.doc_id = c.id_a
+  JOIN __ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+  GROUP BY 1, 2, 3, 4)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       COALESCE(CAST(cc AS DOUBLE) / (na + nb - cc), 0.0) AS jaccard
+FROM __est e
+LEFT JOIN __common x ON x.id_a = e.id_a AND x.id_b = e.id_b
+"""
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_minhash_jaccard_est",
+    _minhash_est_sql(),
+    "MinHash sketch calibration: estimated (agreeing signature positions / "
+    "16) vs exact Jaccard for every LSH candidate pair — measures sketch "
+    "error before trusting estimate-only dedup at scale",
+)
+def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_jaccard_estimate(dup_corpus(spark, sf_dir))
+
+
 @register(
     LLM_QUERIES,
     "doc_dedup_ngram_jaccard",
@@ -370,6 +429,25 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ips").cast("long").alias("n_ips"),
         "clean_text",
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_hash_sample",
+    """
+    SELECT * FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS sample_bucket
+      FROM documents)
+    WHERE sample_bucket < 10
+    """,
+    "deterministic ~10% Bernoulli sample via salted md5 buckets — stable "
+    "under repartitioning/retries unlike rand()-based sampling",
+)
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return text.hash_sample(d, 10).select("doc_id", "sample_bucket")
 
 
 def _lang_sql() -> str:

@@ -85,6 +85,38 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_sample(
+    df: DataFrame,
+    rate_pct: int,
+    id_col: str = "doc_id",
+    label: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff its md5 bucket
+    (0-99, salted by ``label``) falls below ``rate_pct``.
+
+    Unlike ``df.sample()`` this is stable under repartitioning, retries,
+    and engine versions — the property a reproducible training-data
+    pipeline needs — and different ``label`` values give independent
+    samples of the same corpus. Pure codegen, no shuffle; the companion
+    of with_split's md5 train/val/test buckets.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{label}:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return df.withColumn("sample_bucket", bucket).where(
+        F.col("sample_bucket") < rate_pct
+    )
+
+
 # PII patterns shared by the Spark plan and the SQL oracle: the subset of
 # regex syntax on which Java's engine and RE2 agree (char classes, bounded
 # repetition, \b, non-capturing groups)
