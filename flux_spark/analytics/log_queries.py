@@ -939,3 +939,48 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base, "parquet", mergeSchema="true", recursiveFileLookup="true"
     )
     return merged.select("event_id", "event_type", "value")
+
+
+@register(
+    LOG_QUERIES,
+    "log_pattern_subscribe",
+    """
+    WITH split AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'metrics_a'
+                  ELSE 'metrics_b' END AS topic,
+             ROW_NUMBER() OVER (PARTITION BY event_id % 2
+                                ORDER BY event_id) - 1 AS record_offset,
+             CAST(event_id AS VARCHAR) AS rec_value
+      FROM events)
+    SELECT topic, record_offset, rec_value FROM split
+    """,
+    "regex topic subscription (Kafka subscribe(Pattern) parity): events "
+    "split across metrics_a / metrics_b plus a decoy audit topic; "
+    "subscribe_pattern('metrics_.*') polls exactly the matching topics' "
+    "full logs and nothing from the decoy",
+)
+def log_pattern_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import FluxConsumer
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-pattern-")
+    store = LogStore(spark, wh)
+    for t in ("metrics_a", "metrics_b", "audit"):
+        store.catalog.create_topic(t, 1)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("metrics_a", e.where(F.col("seq") % 2 == 0), ordering_col="seq")
+    store.append("metrics_b", e.where(F.col("seq") % 2 == 1), ordering_col="seq")
+    store.append("audit", e.limit(10), ordering_col="seq")
+    consumer = FluxConsumer(store, group_id="pattern-gate")
+    consumer.subscribe_pattern(r"metrics_.*")
+    return consumer.poll().records.select(
+        "topic",
+        F.col("offset").alias("record_offset"),
+        F.col("value").alias("rec_value"),
+    )

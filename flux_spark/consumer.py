@@ -143,6 +143,20 @@ class FluxConsumer:
         self._install_positions()
         return self._assignment
 
+    def subscribe_pattern(self, pattern: str) -> dict[str, list[int]]:
+        """Kafka's ``subscribe(Pattern)``: subscribe to every existing
+        topic whose name matches the regex (full match, like the Java
+        client). Resolution happens against the catalog at call time;
+        re-invoke to pick up topics created later (the Java client's
+        metadata-refresh behavior, made explicit)."""
+        import re
+
+        rx = re.compile(pattern)
+        topics = sorted(
+            t for t in self.store.catalog.list_topics() if rx.fullmatch(t)
+        )
+        return self.subscribe(topics)
+
     def assign(self, assignment: dict[str, list[int]]) -> None:
         """Manual assignment (bypasses the coordinator)."""
         self._assignment = {t: sorted(ps) for t, ps in assignment.items()}

@@ -289,3 +289,22 @@ def test_producer_from_properties(spark, tmp_path):
         producer_from_properties(
             spark, {"no.such.knob": "1"}, warehouse=str(tmp_path / "wh2")
         )
+
+
+def test_subscribe_pattern_matches_full_names_only(spark, store):
+    from flux_spark.consumer import FluxConsumer
+    from flux_spark.producer import FluxProducer
+
+    for t in ("app_logs", "app_metrics", "other", "xapp_logs"):
+        store.catalog.create_topic(t, 1)
+    prod = FluxProducer(store)
+    for t in ("app_logs", "app_metrics", "other", "xapp_logs"):
+        prod.send(t, value=f"v-{t}", partition=0)
+    prod.flush()
+    c = FluxConsumer(store, group_id="pat")
+    c.subscribe_pattern(r"app_.*")
+    # full-match semantics: xapp_logs does NOT match (unlike re.search)
+    assert sorted(c.assignment()) == ["app_logs", "app_metrics"]
+    res = c.poll()
+    topics = {r.topic for r in res.records.collect()}
+    assert topics == {"app_logs", "app_metrics"}
