@@ -653,6 +653,30 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "events_type_day_cube",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE(event_type, date_trunc('day', ts))
+    """,
+    "full CUBE (all four grouping sets: (type,day), (type), (day), ()) in "
+    "one pass — the expand-then-aggregate plan partial-aggregates each "
+    "grouping map-side, completing the rollup/cube/grouping-sets family",
+)
+def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.cube(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        _dec_sum(F.col("value"), "total_value"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
     "customer_segments_setops",
     """
     WITH high_bal AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
