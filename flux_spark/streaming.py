@@ -22,6 +22,8 @@ DataFrame over the log directory:
                                LogSegment.java:165-218)
 * ``stream_static_enrich``  -> broadcast stream-static dimension join
                                (stateless; dim re-read per microbatch)
+* ``stream_export``         -> exactly-once file-sink export (manifest-
+                               committed, restart-safe)
 * ``stateful_running_totals`` -> applyInPandasWithState custom stateful
                                operator (per-key running aggregates with
                                timeout-based state GC)
@@ -96,6 +98,8 @@ def drain_available_now(
     advances the watermark past its end, so a bounded drain of an
     aggregation would come back empty.
     """
+    import time as _time
+
     name = f"drain_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -108,8 +112,52 @@ def drain_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # Plain AvailableNow queries terminate on their own. Stateful operators
+    # with processing-time timeouts do NOT: the engine keeps scheduling
+    # empty microbatches until the timeouts fire (hours away), so a drain
+    # would always burn the full timeout_s. Everything available is
+    # processed once two consecutive completed batches consumed zero rows
+    # (the second one is the no-data batch that emits watermark-closed
+    # results) — stop the query there.
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        if q.awaitTermination(1):
+            break
+        prog = q.recentProgress
+        if len(prog) >= 2 and all(p["numInputRows"] == 0 for p in prog[-2:]):
+            q.stop()
+            q.awaitTermination(30)
+            break
     return stream_df.sparkSession.table(name)
+
+
+def stream_export(
+    records: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    timeout_s: int = 120,
+) -> None:
+    """Exactly-once streaming export of a topic to external files.
+
+    The native file sink tracks committed files in its manifest log
+    (``_spark_metadata``) keyed by the checkpoint's batch ids, so a run
+    that is killed and restarted with the same checkpoint never duplicates
+    rows — genuinely exactly-once, stronger than the at-least-once
+    ``foreachBatch`` path (which needs the batch-id markers stream_ingest
+    adds). One AvailableNow invocation exports everything new since the
+    last run; schedule repeated invocations for incremental exports.
+    Readers must go through ``spark.read`` on the same path so the
+    manifest filters uncommitted files.
+    """
+    q = (
+        records.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
 
 
 def stream_windowed_counts(

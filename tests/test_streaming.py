@@ -211,3 +211,25 @@ def test_stateful_offset_progress_detects_replays(filled_store, spark, tmp_path)
     assert sum(r.n_replays for r in got.values()) == total
     for r in got.values():
         assert r.hwm >= 0 and r.n_replays * 2 == r.n_records
+
+
+def test_stream_export_exactly_once_across_restarts(filled_store, spark, tmp_path):
+    out = str(tmp_path / "export")
+    ckpt = str(tmp_path / "export-ckpt")
+    src = streaming.stream_topic(filled_store, "src")
+    streaming.stream_export(src, out, ckpt)
+    assert spark.read.parquet(out).count() == 60
+
+    # re-running against the same checkpoint with no new data is a no-op
+    streaming.stream_export(streaming.stream_topic(filled_store, "src"), out, ckpt)
+    assert spark.read.parquet(out).count() == 60
+
+    # new appends export incrementally, old rows never duplicate
+    more = spark.createDataFrame(
+        [(100 + i, i % 3, f"k{i}", f"late{i}") for i in range(6)],
+        "seq long, partition int, key string, value string",
+    )
+    filled_store.append("src", more, ordering_col="seq")
+    streaming.stream_export(streaming.stream_topic(filled_store, "src"), out, ckpt)
+    vals = [r.value for r in spark.read.parquet(out).collect()]
+    assert len(vals) == 66 and len(set(vals)) == 66
