@@ -191,3 +191,39 @@ def triangle_count(
     closing = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
     tri = wedges.join(closing, ["a", "c"])
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: manual salting for when one join key dominates
+    and the small side is still too big to broadcast.
+
+    The large side gets a salt in [0, n_salts); the small side is
+    replicated once per salt value; the join runs on (key, salt) so a hot
+    key's rows spread over ``n_salts`` reducers instead of one straggler
+    task. Shuffle volume grows by n_salts on the SMALL side only — the
+    deliberate trade against a single reducer processing a celebrity
+    key's entire volume. Results are identical to ``large.join(small,
+    key)``; AQE's skew-join split covers most cases at runtime, and this
+    is the explicit form for when it can't (e.g. the skew is inside one
+    huge partition-local key, or AQE is off in a streaming microbatch).
+
+    ``salt_col`` defaults to a cheap deterministic spread; pass an
+    explicit column (e.g. ``F.pmod(F.xxhash64("event_id"), 8)``) for
+    reproducible placement in tests.
+    """
+    salt = (
+        salt_col if salt_col is not None else (F.spark_partition_id() % n_salts)
+    )
+    lg = large.withColumn("__salt", salt.cast("int"))
+    sm = small.crossJoin(
+        small.sparkSession.range(n_salts).select(
+            F.col("id").cast("int").alias("__salt")
+        )
+    )
+    return lg.join(sm, [key, "__salt"]).drop("__salt")

@@ -677,6 +677,47 @@ def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "events_salted_user_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT user_id, 'seg' || CAST(user_id % 4 AS VARCHAR) AS segment
+      FROM events)
+    SELECT d.segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY d.segment
+    """,
+    "skew-safe salted join (operators.salted_join): the fact side is "
+    "salted and the dim replicated per salt so a celebrity key spreads "
+    "over n_salts reducers — results provably identical to the plain "
+    "join, which is exactly what the oracle checks",
+)
+def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .withColumn(
+            "segment",
+            F.concat(F.lit("seg"), (F.col("user_id") % 4).cast("string")),
+        )
+    )
+    joined = salted_join(
+        e, dim, "user_id",
+        n_salts=8,
+        salt_col=F.pmod(F.xxhash64("event_id"), F.lit(8)),
+    )
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        _dec_sum(F.col("value"), "total_value"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
     "customer_segments_setops",
     """
     WITH high_bal AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),

@@ -75,3 +75,25 @@ def test_triangle_count(spark):
 
     no_tri = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     assert triangle_count(no_tri).collect()[0].n_triangles == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from flux_spark.analytics.operators import salted_join
+
+    large = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(1000)],
+        "row_id long, key string",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"v{i}") for i in range(0, 1000, 10)],
+        "key string, tag string",
+    )
+    got = salted_join(
+        large, small, "key", n_salts=4,
+        salt_col=(F.pmod(F.xxhash64("row_id"), F.lit(4))),
+    )
+    plain = large.join(small, "key")
+    assert got.count() == plain.count()
+    assert sorted(got.select("row_id", "tag").collect()) == sorted(
+        plain.select("row_id", "tag").collect()
+    )
