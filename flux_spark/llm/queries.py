@@ -450,6 +450,56 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hash_sample(d, 10).select("doc_id", "sample_bucket")
 
 
+@register(
+    LLM_QUERIES,
+    "doc_curation_pipeline",
+    _CORPUS_CTE
+    + f"""
+    , feat AS (
+      SELECT doc_id, text,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOP_LIST}, x))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS uniq_token_ratio
+      FROM corpus),
+    scored AS (
+      SELECT doc_id, text, n_tokens,
+        round(
+          least(CAST(n_tokens AS DOUBLE) / CAST(200 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+          + uniq_token_ratio * CAST(0.4 AS DOUBLE)
+          + (1 - least(stopword_ratio * 4, CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+        6) AS quality_score
+      FROM feat),
+    keep AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+    canon AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS m FROM keep)
+    SELECT doc_id, n_tokens, quality_score,
+      CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'validation'
+           ELSE 'test' END AS split
+    FROM canon WHERE doc_id = m
+    """,
+    "end-to-end curation pipeline composition: quality filter -> exact "
+    "dedup (canonical survivor per content) -> deterministic split "
+    "assignment, all in one Catalyst plan over the duplicated corpus — "
+    "the operators compose because each is a pure DataFrame transform",
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = dup_corpus(spark, sf_dir)
+    q = text.quality_score(d).where(F.col("quality_score") >= 0.5)
+    w = Window.partitionBy("text")
+    canon = q.withColumn("__m", F.min("doc_id").over(w)).where(
+        F.col("doc_id") == F.col("__m")
+    )
+    return text.with_split(canon).select(
+        "doc_id", "n_tokens", "quality_score", "split"
+    )
+
+
 def _lang_sql() -> str:
     scores = []
     for lang, markers in text.LANG_MARKERS.items():
