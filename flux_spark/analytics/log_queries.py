@@ -984,3 +984,30 @@ def log_pattern_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").alias("record_offset"),
         F.col("value").alias("rec_value"),
     )
+
+
+@register(
+    LOG_QUERIES,
+    "log_mirror_topic",
+    _ROUTED_CTE
+    + "SELECT part_id, record_offset, event_ts, rec_key, rec_value FROM routed",
+    "topic mirroring (MirrorMaker / cross-cluster replication analog): "
+    "records copied to a second store byte-for-byte with their original "
+    "(partition, offset), so committed consumer positions stay valid; "
+    "the gate mirrors twice — the second refresh must be an incremental "
+    "no-op — and reads the mirror",
+)
+def log_mirror_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+
+    src = _ingest_events(spark, sf_dir)
+    dst = LogStore(spark, tempfile.mkdtemp(prefix="flux-mirror-"))
+    dst.mirror_topic(src, "events")
+    dst.mirror_topic(src, "events")  # incremental refresh: nothing new
+    return dst.read("events").select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("timestamp").alias("event_ts"),
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("rec_value"),
+    )

@@ -447,6 +447,61 @@ class LogStore:
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
 
+    def mirror_topic(self, src_store: "LogStore", topic: str) -> None:
+        """Mirror a topic from another store byte-for-byte (the
+        MirrorMaker / cross-cluster replication analog): records keep
+        their exact (partition, offset, timestamp, key, value, headers),
+        so consumer positions committed against the source remain valid
+        against the mirror.
+
+        Bypasses append's routing/offset assignment on purpose — a mirror
+        must not re-route. One partition-pruned scan + partitioned write;
+        incremental refresh copies only offsets past the mirror's hwm, so
+        repeated invocations are cheap and idempotent.
+        """
+        meta = src_store.catalog.get_topic(topic)
+        if not self.catalog.topic_exists(topic):
+            self.catalog.create_topic(
+                topic, meta.num_partitions, meta.replication_factor
+            )
+        with self._ingest_lock(topic):
+            have = self.catalog.get_topic(topic)
+            starts = {p: have.next_offset(p) for p in range(meta.num_partitions)}
+            # hwm comparison is catalog-only: an up-to-date mirror refresh
+            # costs zero jobs (and Observation can't report on empty jobs)
+            if all(
+                meta.next_offset(p) <= starts[p]
+                for p in range(meta.num_partitions)
+            ):
+                return
+            fresh = src_store.read(topic, start_offsets=starts).drop("topic")
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            aggs = []
+            for p in range(meta.num_partitions):
+                on_p = F.when(F.col("partition") == p, F.col("offset"))
+                aggs.append(F.max(on_p).alias(f"max_{p}"))
+            fresh = fresh.observe(obs, aggs[0], *aggs[1:])
+            (
+                fresh.repartition(meta.num_partitions, "partition")
+                .sortWithinPartitions("offset")
+                .write.mode("append")
+                .option("maxRecordsPerFile", self.max_records_per_file)
+                .option("compression", self.compression)
+                .partitionBy("partition")
+                .parquet(self.topic_path(topic))
+            )
+            vals = obs.get
+            self.catalog.advance_hwm(
+                topic,
+                {
+                    p: int(vals[f"max_{p}"]) + 1
+                    for p in range(meta.num_partitions)
+                    if vals.get(f"max_{p}") is not None
+                },
+            )
+
     def materialize(self, topic: str) -> DataFrame:
         """KTable-style snapshot of a keyed changelog topic: the current
         value per key — latest record wins, keys whose latest record is a

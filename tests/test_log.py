@@ -435,3 +435,33 @@ def test_materialize_latest_wins_and_tombstone_deletes(spark, store):
     store.append("kt", df, ordering_col="seq")
     state = {r.key: r.value for r in store.materialize("kt").collect()}
     assert state == {"k1": "b", "k3": "n"}
+
+
+def test_mirror_topic_incremental_and_offset_preserving(spark, store, tmp_path):
+    from flux_spark.log import LogStore
+
+    store.catalog.create_topic("m", 2)
+    df = spark.range(20).selectExpr(
+        "id as seq", "cast(id % 2 as int) as partition", "cast(id as string) as value"
+    )
+    store.append("m", df, ordering_col="seq")
+    dst = LogStore(spark, tmp_path / "mirror-wh")
+    dst.mirror_topic(store, "m")
+    # byte-for-byte: same (partition, offset, value) triples
+    key = lambda r: (r.partition, r.offset, r.value)
+    assert sorted(map(key, dst.read("m").collect())) == sorted(
+        map(key, store.read("m").collect())
+    )
+    # up-to-date refresh is a zero-job no-op
+    dst.mirror_topic(store, "m")
+    assert dst.read("m").count() == 20
+    # new source records mirror incrementally at their original offsets
+    more = spark.range(20, 26).selectExpr(
+        "id as seq", "cast(id % 2 as int) as partition", "cast(id as string) as value"
+    )
+    store.append("m", more, ordering_col="seq")
+    dst.mirror_topic(store, "m")
+    assert sorted(map(key, dst.read("m").collect())) == sorted(
+        map(key, store.read("m").collect())
+    )
+    assert dst.catalog.get_topic("m").next_offset(0) == store.catalog.get_topic("m").next_offset(0)
