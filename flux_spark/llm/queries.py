@@ -500,6 +500,58 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared bigram CTEs over the documents table (SQL twin of text.bigram_*)
+_BIGRAM_CTES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ex AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks CROSS JOIN UNNEST(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2),
+counts AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM ex GROUP BY 1, 2),
+marg AS (SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_w1 FROM counts GROUP BY 1),
+model AS (
+  SELECT c.w1, c.w2, c.n_bigram, m.n_w1,
+         CAST(c.n_bigram AS DOUBLE) / CAST(m.n_w1 AS DOUBLE) AS cond_prob
+  FROM counts c JOIN marg m USING (w1))
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "doc_bigram_lm",
+    _BIGRAM_CTES + "SELECT w1, w2, n_bigram, n_w1, cond_prob FROM model",
+    "corpus bigram language model: (w1,w2) counts, w1 marginals, and "
+    "conditional probabilities — the vocabulary^2-bounded broadcastable "
+    "model table per-document scoring joins against",
+)
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bigram_counts(d)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_bigram_score",
+    _BIGRAM_CTES
+    + """
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(CAST(SUM(CAST(floor(cond_prob * 1e15) AS BIGINT)) AS BIGINT)
+                AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1e15 AS mean_cond_prob
+    FROM ex JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+    "LM-based fluency scoring: per-document mean conditional bigram "
+    "probability under the corpus bigram model (perplexity proxy; ln() "
+    "is not bit-portable, the mean probability is — per-row IEEE "
+    "divisions quantized to int64 and summed order-free)",
+)
+def doc_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bigram_doc_score(d, text.bigram_counts(d))
+
+
 def _lang_sql() -> str:
     scores = []
     for lang, markers in text.LANG_MARKERS.items():

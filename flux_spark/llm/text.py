@@ -117,6 +117,73 @@ def hash_sample(
     )
 
 
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram model: (w1, w2) -> count plus the w1 marginal.
+
+    One explode + one groupBy (partial-aggregated map-side); the model
+    table is vocabulary^2-bounded, tiny next to the corpus, and is the
+    broadcastable artifact per-document scoring joins against.
+    """
+    toks = tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    ex = df.where(F.size(toks) >= 2).select(
+        F.explode(pairs).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = ex.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
+    marg = counts.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
+    return counts.join(marg, "w1").select(
+        "w1",
+        "w2",
+        "n_bigram",
+        "n_w1",
+        (F.col("n_bigram").cast("double") / F.col("n_w1")).alias("cond_prob"),
+    )
+
+
+def bigram_doc_score(
+    df: DataFrame, model: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean conditional bigram probability under a corpus
+    bigram LM — the division-free-perplexity proxy for fluency/quality
+    scoring (log-space perplexity needs ln(), which is not bit-portable
+    across engines; the mean probability ranks documents the same way
+    for filtering).
+
+    The model broadcasts (vocabulary-sized); each document explodes to
+    its bigrams, joins the model, and averages deterministically: every
+    cond_prob is one IEEE division, quantized per-row to an int64
+    (floor(p * 1e15) — double->decimal casts drift 1 ulp across engines,
+    integer quantization does not), summed order-free as integers, then
+    unscaled with two more IEEE divisions — bit-identical cross-engine
+    despite being floating-point.
+    """
+    toks = tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    ex = df.where(F.size(toks) >= 2).select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    scored = ex.join(
+        F.broadcast(model.select("w1", "w2", "cond_prob")), ["w1", "w2"]
+    )
+    quant = F.floor(F.col("cond_prob") * F.lit(1e15)).cast("long")
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum(quant).cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1e15)
+        ).alias("mean_cond_prob"),
+    )
+
+
 # PII patterns shared by the Spark plan and the SQL oracle: the subset of
 # regex syntax on which Java's engine and RE2 agree (char classes, bounded
 # repetition, \b, non-capturing groups)
