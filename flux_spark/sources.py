@@ -100,6 +100,31 @@ def write_sink(
     writer.save(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    **options: str,
+) -> None:
+    """Backfill primitive: overwrite ONLY the partition directories present
+    in ``df``, leaving every other partition untouched (dynamic partition
+    overwrite — plain ``mode("overwrite")`` would truncate the whole
+    dataset). This is how a 100 TB date-partitioned table reprocesses one
+    bad day: the job writes that day's partitions and nothing else is
+    touched, atomically per partition via the file-commit protocol.
+    """
+    fmt = _check_format(fmt)
+    writer = (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+    )
+    for k, v in {**_WRITE_DEFAULTS.get(fmt, {}), **options}.items():
+        writer = writer.option(k, v)
+    writer.partitionBy(*partition_by).save(path)
+
+
 def roundtrip(
     df: DataFrame, path: str, fmt: str, schema: StructType | str | None = None
 ) -> DataFrame:

@@ -41,3 +41,18 @@ def test_partitioned_sink_layout(spark, sample, tmp_path):
     assert (out / "kind=click").is_dir() and (out / "kind=view").is_dir()
     back = sources.read_source(spark, str(out), "parquet")
     assert back.where(F.col("kind") == "click").count() == 2
+
+
+def test_overwrite_partitions_touches_only_written_ones(spark, sample, tmp_path):
+    out = str(tmp_path / "dyn")
+    sources.write_sink(sample, out, "parquet", partition_by=["kind"])
+    # reprocess only kind=click with corrected values
+    fixed = sample.where(F.col("kind") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    sources.overwrite_partitions(fixed, out, ["kind"])
+    back = sources.read_source(spark, out, "parquet")
+    # click rows replaced (doubled), view rows untouched
+    assert back.where(F.col("kind") == "click").count() == 2
+    assert {r.value for r in back.where(F.col("kind") == "view").collect()} == {490.02}
+    assert {round(r.value, 4) for r in back.where(F.col("kind") == "click").collect()} == {0.14, 0.002}
