@@ -227,3 +227,84 @@ def salted_join(
         )
     )
     return lg.join(sm, [key, "__salt"]).drop("__salt")
+
+
+def bloom_prefilter_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Equi-join with an explicit Bloom-filter runtime pre-filter.
+
+    The small side's keys build a deterministic Bloom bit set (k md5-salted
+    positions per key, collected as one array of set bits — a few KB, like
+    a sketch); the large side drops rows whose key misses any bit BEFORE
+    the shuffle, then the surviving rows run the exact join. False
+    positives only cost a little extra shuffle; results are identical to
+    ``large.join(small, key)`` by construction. This is the manual form of
+    Spark's injected runtime filters, useful when the build side is known
+    tiny but the optimizer can't see it (e.g. computed dims) — at 100 TB
+    the win is shuffling 1% of the fact table instead of all of it.
+    """
+    def positions(col):
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"b{h}:"), col.cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(n_bits),
+            )
+            for h in range(n_hashes)
+        ]
+
+    bits_df = (
+        small.select(F.explode(F.array(*positions(F.col(key)))).alias("__bit"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("__bit")).alias("__bits"))
+    )
+    pre = large.crossJoin(F.broadcast(bits_df))
+    cond = None
+    for p in positions(F.col(key)):
+        c = F.array_contains(F.col("__bits"), p)
+        cond = c if cond is None else (cond & c)
+    filtered = pre.where(cond).drop("__bits")
+    return filtered.join(small, key)
+
+
+def zorder_value(a: Column, b: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two non-negative integer columns:
+    bit j of ``a`` lands at position 2j, bit j of ``b`` at 2j+1.
+
+    Sorting/range-partitioning by this value before writing clusters rows
+    that are close in BOTH dimensions into the same files, so parquet
+    rowgroup min/max stats prune scans filtered on either column — the
+    data-layout technique (Delta/Iceberg OPTIMIZE ZORDER) for the
+    two-filter-column access pattern a single sort key can't serve.
+    Pure bit arithmetic in codegen; deterministic, so oracle-checkable.
+    """
+    z = None
+    for j in range(bits):
+        t = F.shiftleft(
+            F.shiftright(a.cast("bigint"), j).bitwiseAND(F.lit(1)), 2 * j
+        ) + F.shiftleft(
+            F.shiftright(b.cast("bigint"), j).bitwiseAND(F.lit(1)), 2 * j + 1
+        )
+        z = t if z is None else z + t
+    return z
+
+
+def zorder_by(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 16
+) -> DataFrame:
+    """Return ``df`` sorted by the Z-order interleave of two columns —
+    the write-side half of the layout optimization (range-partition +
+    sort happens in one orderBy; follow with a partitioned write)."""
+    return df.orderBy(zorder_value(F.col(col_a), F.col(col_b), bits))

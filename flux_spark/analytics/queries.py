@@ -718,6 +718,78 @@ def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "events_bloom_filtered_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT user_id,
+             'vip' || CAST(user_id % 3 AS VARCHAR) AS tier
+      FROM events WHERE user_id % 10 = 0)
+    SELECT d.tier, COUNT(*) AS n_events,
+           CAST(MIN(e.event_id) AS BIGINT) AS first_event
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY d.tier
+    """,
+    "Bloom-prefiltered join (operators.bloom_prefilter_join): the sparse "
+    "dim builds a deterministic md5 Bloom bit set that drops non-matching "
+    "fact rows BEFORE the shuffle; results provably identical to the "
+    "plain join, which is what the oracle checks",
+)
+def events_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bloom_prefilter_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.select("user_id")
+        .where(F.col("user_id") % 10 == 0)
+        .distinct()
+        .withColumn(
+            "tier",
+            F.concat(F.lit("vip"), (F.col("user_id") % 3).cast("string")),
+        )
+    )
+    joined = bloom_prefilter_join(e, dim, "user_id")
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").cast("bigint").alias("first_event"),
+    )
+
+
+def _zorder_sql(bits: int = 10) -> str:
+    terms = " + ".join(
+        f"(((user_id >> {j}) & 1) * {2 ** (2 * j)}"
+        f" + ((CAST(event_id % 1024 AS BIGINT) >> {j}) & 1) * {2 ** (2 * j + 1)})"
+        for j in range(bits)
+    )
+    return f"""
+    SELECT event_id, user_id, CAST({terms} AS BIGINT) AS zorder
+    FROM events
+    """
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_zorder_layout",
+    _zorder_sql(),
+    "Z-order (Morton) layout key: bit-interleave of (user_id, event "
+    "bucket) — sorting files by this clusters rows close in BOTH "
+    "dimensions so rowgroup stats prune scans filtered on either column "
+    "(the OPTIMIZE ZORDER technique); pure codegen bit arithmetic",
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import zorder_value
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        zorder_value(
+            F.col("user_id"), F.col("event_id") % 1024, bits=10
+        ).alias("zorder"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
     "customer_segments_setops",
     """
     WITH high_bal AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),

@@ -97,3 +97,39 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(got.select("row_id", "tag").collect()) == sorted(
         plain.select("row_id", "tag").collect()
     )
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark):
+    from flux_spark.analytics.operators import bloom_prefilter_join
+
+    large = spark.createDataFrame(
+        [(i, f"k{i % 100}") for i in range(2000)], "row_id long, key string"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(0, 100, 7)], "key string, tag string"
+    )
+    got = bloom_prefilter_join(large, small, "key")
+    plain = large.join(small, "key")
+    assert sorted(got.select("row_id", "tag").collect()) == sorted(
+        plain.select("row_id", "tag").collect()
+    )
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from flux_spark.analytics.operators import zorder_value
+
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], "a long, b long"
+    ).select(zorder_value(F.col("a"), F.col("b"), bits=4).alias("z"))
+    a, b = 0b101, 0b011
+    expect = sum(
+        (((a >> j) & 1) << (2 * j)) + (((b >> j) & 1) << (2 * j + 1))
+        for j in range(4)
+    )
+    assert df.collect()[0].z == expect
+    # interleave is a bijection on the bit range: distinct inputs stay distinct
+    many = spark.createDataFrame(
+        [(i, j) for i in range(8) for j in range(8)], "a long, b long"
+    ).select(zorder_value(F.col("a"), F.col("b"), bits=3).alias("z"))
+    zs = [r.z for r in many.collect()]
+    assert len(set(zs)) == 64 and min(zs) == 0 and max(zs) == 63
