@@ -1826,6 +1826,86 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+_REACH_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (
+  SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+seed AS (SELECT MIN(src) AS s FROM edges),
+reach(part, depth) AS (
+  SELECT s AS part, 0 AS depth FROM seed
+  UNION ALL
+  SELECT e.dst AS part, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.part
+  WHERE r.depth < 3)
+SELECT part, CAST(MIN(depth) AS BIGINT) AS min_depth
+FROM reach GROUP BY part
+"""
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "parts_reachability",
+    _REACH_SQL,
+    "recursive CTE (WITH RECURSIVE, new in Spark 4): 3-hop BFS over the "
+    "undirected co-purchase graph from the smallest part, min depth per "
+    "reached node — the iterative frontier expansion runs as one SQL "
+    "statement in both engines",
+)
+def parts_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_REACH_SQL)
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_click_purchase_reconcile",
+    """
+    WITH clicks AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    buys AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_buys
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           COALESCE(c.day, b.day) AS day,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(n_buys, 0) AS n_buys
+    FROM clicks c FULL OUTER JOIN buys b
+      ON c.user_id = b.user_id AND c.day = b.day
+    """,
+    "full outer join reconciliation: per (user, day) click vs purchase "
+    "counts where either side may be absent — the audit/anti-drift shape; "
+    "both sides pre-aggregate so the outer join is small-small",
+)
+def events_click_purchase_reconcile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def daily(kind: str, out: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == kind)
+            .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(F.count("*").alias(out))
+        )
+
+    c, b = daily("click", "n_clicks"), daily("purchase", "n_buys")
+    return (
+        c.join(b, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_buys", F.lit(0)).alias("n_buys"),
+        )
+    )
+
+
 @register(
     ANALYTICS_QUERIES,
     "events_kmv_sketch",
