@@ -308,3 +308,37 @@ def zorder_by(
     the write-side half of the layout optimization (range-partition +
     sort happens in one orderBy; follow with a partitioned write)."""
     return df.orderBy(zorder_value(F.col(col_a), F.col(col_b), bits))
+
+
+def grouped_ewma(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str = "value",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group exponentially-weighted moving average (final value) via
+    ``applyInPandas`` — the grouped-map Pandas UDF shape.
+
+    EWMA's recursion s_i = a*x_i + (1-a)*s_{i-1} depends on the previous
+    OUTPUT, which standard window frames cannot express (they aggregate
+    inputs, not running results) — exactly the case for dropping to the
+    Arrow-batched grouped map: one shuffle on the key, each group's fold
+    runs vectorized-adjacent in pandas, state never leaves the group.
+    The fold is a fixed sequence of IEEE float64 ops in deterministic
+    (order_cols) order, so results remain bit-reproducible and
+    oracle-checkable despite leaving Catalyst.
+    """
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        s = None
+        for x in pdf[value_col].astype("float64"):
+            s = float(x) if s is None else alpha * float(x) + (1 - alpha) * s
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "n": [len(pdf)], "ewma": [s]}
+        )
+
+    out_schema = f"{key} {dict(df.dtypes)[key]}, n long, ewma double"
+    return df.groupBy(key).applyInPandas(fold, schema=out_schema)

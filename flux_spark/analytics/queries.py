@@ -1826,6 +1826,33 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+@register(
+    ANALYTICS_QUERIES,
+    "events_user_ewma",
+    """
+    SELECT user_id,
+           COUNT(*) AS n,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (s, x) -> 0.5 * x + 0.5 * s) AS ewma
+    FROM events GROUP BY user_id
+    """,
+    "per-user EWMA of event values via applyInPandas (grouped-map Pandas "
+    "UDF): the s_i = a*x_i + (1-a)*s_{i-1} recursion depends on previous "
+    "OUTPUTS, which window frames can't express — the canonical drop-to-"
+    "pandas case, still bit-reproducible (fixed IEEE op sequence in "
+    "deterministic order)",
+)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouped_ewma
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return grouped_ewma(
+        e, "user_id", ["ts", "event_id"], "value", alpha=0.5
+    )
+
+
 _REACH_SQL = """
 WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges0 AS (
