@@ -8,7 +8,7 @@ APIs: Admin (catalog), FluxProducer, FluxConsumer (+ consumer groups),
 Structured Streaming readers/writers, DataFrame analytics.
 """
 
-from . import sources, streaming
+from . import rollup, sources, streaming
 from .catalog import Catalog, TopicMetadata
 from .consumer import FluxConsumer, OffsetStore, PollResult
 from .coordinator import GroupCoordinator
@@ -40,6 +40,7 @@ __all__ = [
     "FluxProducer",
     "producer_from_properties",
     "get_spark",
+    "rollup",
     "sources",
     "streaming",
 ]

@@ -1011,3 +1011,47 @@ def log_mirror_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("rec_key"),
         F.col("value").alias("rec_value"),
     )
+
+
+@register(
+    LOG_QUERIES,
+    "log_continuous_rollup",
+    """
+    WITH routed AS (
+      SELECT CAST(user_id % 3 AS INTEGER) AS part_id, ts, value
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) AS bucket,
+           part_id AS partition,
+           COUNT(*) AS n_records,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM routed GROUP BY 1, 2
+    """,
+    "incrementally-maintained continuous rollup (hypertable continuous "
+    "aggregate): the topic is produced in two batches with a refresh "
+    "after each — each refresh reads only records past the committed "
+    "offset and SUM/COUNT-merges into the stored table, and the result "
+    "must equal the oracle's full recompute",
+)
+def log_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+    from ..rollup import ContinuousRollup
+
+    wh = tempfile.mkdtemp(prefix="flux-rollup-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("vals", 3)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("user_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").cast("string").alias("value"),
+    )
+    roll = ContinuousRollup(store, "vals", f"{wh}/rollup-table")
+    store.append("vals", e.where(F.col("seq") % 2 == 0), ordering_col="seq")
+    roll.refresh()
+    store.append("vals", e.where(F.col("seq") % 2 == 1), ordering_col="seq")
+    roll.refresh()
+    roll.refresh()  # no new data: must be a no-op
+    return roll.snapshot().select(
+        "bucket", "partition", "n_records", "total_value"
+    )

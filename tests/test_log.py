@@ -465,3 +465,46 @@ def test_mirror_topic_incremental_and_offset_preserving(spark, store, tmp_path):
         map(key, store.read("m").collect())
     )
     assert dst.catalog.get_topic("m").next_offset(0) == store.catalog.get_topic("m").next_offset(0)
+
+
+def test_continuous_rollup_incremental_equals_full(spark, store, tmp_path):
+    from flux_spark.rollup import ContinuousRollup
+
+    store.catalog.create_topic("cr", 2)
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id as seq",
+        "cast(id % 2 as int) as partition",
+        "timestamp '2025-03-01 10:00:00' + make_interval(0,0,0,0,0, cast(id as int), 0) as timestamp",
+        "cast(cast(id as double) * 1.5 as string) as value",
+    )
+    roll = ContinuousRollup(store, "cr", tmp_path / "roll")
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        roll.snapshot()
+    store.append("cr", mk(0, 50), ordering_col="seq")
+    assert roll.refresh() == 50
+    store.append("cr", mk(50, 120), ordering_col="seq")
+    assert roll.refresh() == 70
+    assert roll.refresh() == 0  # nothing new
+
+    got = {
+        (r.bucket, r.partition): (r.n_records, r.total_value)
+        for r in roll.snapshot().collect()
+    }
+    full = {
+        (r.bucket, r.partition): (r.n_records, r.total_value)
+        for r in store.read("cr")
+        .groupBy(
+            F.date_trunc("hour", F.col("timestamp")).alias("bucket"),
+            "partition",
+        )
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == full
