@@ -133,3 +133,37 @@ def test_zorder_value_interleaves_bits(spark):
     ).select(zorder_value(F.col("a"), F.col("b"), bits=3).alias("z"))
     zs = [r.z for r in many.collect()]
     assert len(set(zs)) == 64 and min(zs) == 0 and max(zs) == 63
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_join_variants_match_plain_join_randomized(spark, seed):
+    """Seeded randomized model check: salted and bloom joins must be
+    row-for-row identical to the plain join on skewed random data."""
+    import random
+
+    from flux_spark.analytics.operators import (
+        bloom_prefilter_join,
+        salted_join,
+    )
+
+    rnd = random.Random(seed)
+    keys = [f"k{i}" for i in range(40)]
+    # zipf-ish skew: low indices dominate
+    large_rows = [
+        (i, keys[min(int(rnd.expovariate(0.15)), 39)]) for i in range(1500)
+    ]
+    small_rows = [(k, f"v-{k}") for k in rnd.sample(keys, 17)]
+    large = spark.createDataFrame(large_rows, "row_id long, key string")
+    small = spark.createDataFrame(small_rows, "key string, tag string")
+    want = sorted(large.join(small, "key").select("row_id", "tag").collect())
+    got_salted = sorted(
+        salted_join(large, small, "key", n_salts=4,
+                    salt_col=F.pmod(F.xxhash64("row_id"), F.lit(4)))
+        .select("row_id", "tag").collect()
+    )
+    got_bloom = sorted(
+        bloom_prefilter_join(large, small, "key", n_bits=256)
+        .select("row_id", "tag").collect()
+    )
+    assert got_salted == want
+    assert got_bloom == want
