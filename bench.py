@@ -51,6 +51,8 @@ ANALYTICS_HEADLINE = [
     "doc_pii_scrub",
     "parts_triangles",
     "orders_bucketed_join",
+    "doc_bigram_score",
+    "events_bloom_filtered_join",
 ]
 
 

@@ -1884,8 +1884,45 @@ FROM reach GROUP BY part
     "statement in both engines",
 )
 def parts_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_REACH_SQL)
+    # Build + cache the edge list OUTSIDE the recursion: the recursive
+    # step re-reads its non-recursive inputs every iteration, so without
+    # this the O(fact-join) edge derivation runs once per BFS hop.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    edges.createOrReplaceTempView("reach_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE seed AS (SELECT MIN(src) AS s FROM reach_edges),
+        reach(part, depth) AS (
+          SELECT s AS part, 0 AS depth FROM seed
+          UNION ALL
+          SELECT e.dst AS part, r.depth + 1 AS depth
+          FROM reach r JOIN reach_edges e ON e.src = r.part
+          WHERE r.depth < 3)
+        SELECT part, CAST(MIN(depth) AS BIGINT) AS min_depth
+        FROM reach GROUP BY part
+        """
+    )
 
 
 @register(
