@@ -231,14 +231,26 @@ class LogStore:
         partitions: list[int] | None = None,
         start_offsets: dict[int, int] | None = None,
         end_offsets: dict[int, int] | None = None,
+        include_uncommitted: bool = False,
     ) -> DataFrame:
         """Batch scan of a topic log as the canonical RECORD_SCHEMA.
 
         Offset bounds are per-partition ``[start, end)``. All predicates are
         plain column comparisons -> pushed to the parquet scan (partition-dir
         pruning on ``partition``, rowgroup skipping on ``offset``).
+
+        Only COMMITTED records are visible: ``end_offsets`` defaults to the
+        catalog high-water marks, so rows from a torn append (segment files
+        written, hwm never advanced because the driver died in between) are
+        invisible until recovered — the read-side half of the
+        commit-then-visible contract (vs the reference's ack-before-fsync,
+        LogSegment.java:165-218). ``include_uncommitted=True`` bypasses the
+        clamp for forensic reads; ``recover_hwm_from_data`` re-adopts a
+        torn tail by advancing the hwm over it.
         """
         meta = self.catalog.get_topic(topic)
+        if end_offsets is None and not include_uncommitted:
+            end_offsets = {p: meta.next_offset(p) for p in meta.partition_ids()}
         df = (
             self.spark.read.schema(READ_SCHEMA)
             .option("basePath", self.topic_path(topic))
@@ -297,10 +309,11 @@ class LogStore:
 
     def recover_hwm_from_data(self, topic: str) -> dict[int, int]:
         """Rebuild the high-water marks by scanning the log (crash recovery
-        for a lost catalog): max(offset)+1 per partition."""
+        for a lost catalog, or re-adopting a torn append's tail):
+        max(offset)+1 per partition over ALL on-disk records."""
         meta = self.catalog.get_topic(topic)
         rows = (
-            self.read(topic)
+            self.read(topic, include_uncommitted=True)
             .groupBy("partition")
             .agg(F.max("offset").alias("mx"))
             .collect()

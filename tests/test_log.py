@@ -508,3 +508,38 @@ def test_continuous_rollup_incremental_equals_full(spark, store, tmp_path):
         .collect()
     }
     assert got == full
+
+
+def test_read_hides_torn_append_until_recovered(spark, store):
+    """Commit-then-visible: segment files written by a crashed append (hwm
+    never advanced) stay invisible to readers until explicitly recovered."""
+    store.catalog.create_topic("torn", 1)
+    df = spark.range(10).selectExpr(
+        "id as seq", "cast(0 as int) as partition", "cast(id as string) as value"
+    )
+    store.append("torn", df, ordering_col="seq")
+
+    # simulate the torn tail: write record files directly past the hwm,
+    # exactly what a death between parquet commit and advance_hwm leaves
+    from flux_spark.log import READ_SCHEMA
+
+    import datetime
+
+    now = datetime.datetime(2025, 1, 1)
+    tail = spark.createDataFrame(
+        [(10 + i, now, None, f"ghost{i}", None, 0) for i in range(3)],
+        READ_SCHEMA,
+    )
+    (
+        tail.write.mode("append")
+        .partitionBy("partition")
+        .parquet(store.topic_path("torn"))
+    )
+
+    assert store.read("torn").count() == 10  # committed view
+    assert (
+        store.read("torn", include_uncommitted=True).count() == 13
+    )  # forensic view
+    # recovery re-adopts the tail by advancing the hwm over it
+    assert store.recover_hwm_from_data("torn") == {0: 13}
+    assert store.read("torn").count() == 13
