@@ -1828,6 +1828,66 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "events_value_moments",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sh,
+             CAST(SUM(CAST(hour(ts) * hour(ts) AS BIGINT)) AS BIGINT) AS shh,
+             CAST(SUM(CAST(value * hour(ts) AS DECIMAL(30,6))) AS DOUBLE) AS sxh
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           sx / n AS mean_value,
+           sqrt(sxx / n - (sx / n) * (sx / n)) AS std_value,
+           (sxh / n - (sx / n) * (CAST(sh AS DOUBLE) / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(CAST(shh AS DOUBLE) / n
+                       - (CAST(sh AS DOUBLE) / n) * (CAST(sh AS DOUBLE) / n)))
+             AS corr_value_hour
+    FROM s
+    """,
+    "statistics family (stddev / correlation) made order-free: the five "
+    "raw sums aggregate exactly (decimal for doubles, int for ints), and "
+    "mean/variance/correlation derive from them with a fixed sequence of "
+    "IEEE ops — built-in stddev/corr fold floats in partition order and "
+    "are not reproducible across engines; this form is",
+)
+def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    h = F.hour("ts").cast("long")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(h).cast("bigint").alias("sh"),
+        F.sum(h * h).cast("bigint").alias("shh"),
+        F.sum((F.col("value") * h.cast("double")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sxh"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    mh = F.col("sh").cast("double") / F.col("n")
+    varh = F.col("shh").cast("double") / F.col("n") - mh * mh
+    return s.select(
+        "event_type",
+        "n",
+        mean.alias("mean_value"),
+        F.sqrt(var).alias("std_value"),
+        (
+            (F.col("sxh") / F.col("n") - mean * mh)
+            / (F.sqrt(var) * F.sqrt(varh))
+        ).alias("corr_value_hour"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
     "events_user_ewma",
     """
     SELECT user_id,
