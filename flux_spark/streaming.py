@@ -128,6 +128,10 @@ def drain_available_now(
             q.stop()
             q.awaitTermination(30)
             break
+    else:
+        # deadline hit with the query still running: never leak it
+        q.stop()
+        q.awaitTermination(30)
     return stream_df.sparkSession.table(name)
 
 
@@ -157,7 +161,11 @@ def stream_export(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # don't leak a stuck run; the checkpoint + sink manifest make the
+        # next invocation resume without loss or duplication
+        q.stop()
+        q.awaitTermination(30)
 
 
 def stream_windowed_counts(
