@@ -42,6 +42,8 @@ class TopicMetadata:
     created_at: float = 0.0
     # next offset to assign, per partition id (the high-water mark).
     hwm: dict[int, int] = field(default_factory=dict)
+    # Kafka-style per-topic configs (e.g. "retention.ms"); free-form strings
+    configs: dict[str, str] = field(default_factory=dict)
 
     def partition_ids(self) -> list[int]:
         # Partitions are 0-indexed per topic (Broker.java:105-110).
@@ -87,11 +89,16 @@ class Catalog:
             replication_factor=raw.get("replication_factor", 1),
             created_at=raw.get("created_at", 0.0),
             hwm={int(k): v for k, v in raw.get("hwm", {}).items()},
+            configs=dict(raw.get("configs", {})),
         )
 
     # -- DDL (A1-A3) -------------------------------------------------------
     def create_topic(
-        self, name: str, num_partitions: int, replication_factor: int = 1
+        self,
+        name: str,
+        num_partitions: int,
+        replication_factor: int = 1,
+        configs: dict[str, str] | None = None,
     ) -> TopicMetadata:
         """Validated create — Broker.createTopics (Broker.java:87-116)."""
         if not name or not name.strip():
@@ -111,6 +118,7 @@ class Catalog:
                 "replication_factor": replication_factor,
                 "created_at": time.time(),
                 "hwm": {},
+                "configs": {str(k): str(v) for k, v in (configs or {}).items()},
             }
             self._save(state)
             # Eagerly create partition dirs like Partition.java:14-19 does
@@ -150,6 +158,19 @@ class Catalog:
 
     def partitions_for(self, name: str) -> list[int]:
         return self.get_topic(name).partition_ids()
+
+    def set_topic_config(self, name: str, key: str, value: str) -> None:
+        """Kafka alterConfigs analog: set one per-topic config entry
+        (e.g. ``retention.ms``). Consumed by maintenance jobs like
+        ``LogStore.apply_retention``."""
+        with self._lock:
+            state = self._load()
+            if name not in state["topics"]:
+                raise InvalidTopicError(f"topic {name!r} does not exist")
+            state["topics"][name].setdefault("configs", {})[str(key)] = str(
+                value
+            )
+            self._save(state)
 
     # -- hwm maintenance (called by LogStore under the ingest lock) --------
     def advance_hwm(self, name: str, new_next_offsets: dict[int, int]) -> None:

@@ -387,6 +387,33 @@ class LogStore:
         return [self.create_view(t) for t in self.catalog.list_topics()]
 
     # -- maintenance (SURVEY.md §7 phase 4 "batch indexing") ------------
+    def apply_retention(self, topic: str, now=None) -> dict[int, int] | None:
+        """Enforce the topic's ``retention.ms`` config (Kafka's time-based
+        retention, LogCleaner analog): drop every record older than
+        ``now - retention.ms`` via the offsets-for-times + truncate
+        composition. Returns the per-partition cut offsets, or None if the
+        topic has no retention config. ``now`` defaults to the current
+        time; pass a timestamp for deterministic tests/replays.
+        """
+        import datetime
+
+        meta = self.catalog.get_topic(topic)
+        ret_ms = meta.configs.get("retention.ms")
+        if ret_ms is None:
+            return None
+        now = now or datetime.datetime.now(datetime.timezone.utc)
+        cutoff = now - datetime.timedelta(milliseconds=int(ret_ms))
+        offs = self.offsets_for_times(topic, cutoff)
+        hwm = self.high_water_marks(topic)
+        # partitions whose records are ALL older than the cutoff truncate
+        # to their hwm (everything expires)
+        cuts = {
+            p: (o if o is not None else hwm.get(p, 0))
+            for p, o in offs.items()
+        }
+        self.truncate_before(topic, cuts)
+        return cuts
+
     def compact(self, topic: str, target_records_per_file: int | None = None) -> None:
         """Rewrite each partition's many small segment files into few large
         offset-sorted ones (small-file compaction / OPTIMIZE).

@@ -543,3 +543,37 @@ def test_read_hides_torn_append_until_recovered(spark, store):
     # recovery re-adopts the tail by advancing the hwm over it
     assert store.recover_hwm_from_data("torn") == {0: 13}
     assert store.read("torn").count() == 13
+
+
+def test_apply_retention_uses_topic_config(spark, store):
+    import datetime
+
+    store.catalog.create_topic(
+        "ret", 1, configs={"retention.ms": str(3600 * 1000)}
+    )
+    base = datetime.datetime(2025, 6, 1, 12, 0, 0)
+    rows = [
+        (i, 0, base + datetime.timedelta(minutes=30 * i), f"v{i}")
+        for i in range(6)
+    ]  # ts: 12:00 .. 14:30
+    df = spark.createDataFrame(
+        rows, "seq long, partition int, timestamp timestamp, value string"
+    )
+    store.append("ret", df, ordering_col="seq")
+    # "now" = 15:00, retention 1h -> records older than 14:00 expire
+    cuts = store.apply_retention(
+        "ret", now=datetime.datetime(2025, 6, 1, 15, 0, 0)
+    )
+    assert cuts == {0: 4}
+    left = sorted(r.value for r in store.read("ret").collect())
+    assert left == ["v4", "v5"]  # 14:00 and 14:30 survive, offsets preserved
+    offs = sorted(r.offset for r in store.read("ret").collect())
+    assert offs == [4, 5]
+    # no config -> no-op
+    store.catalog.create_topic("noret", 1)
+    store.append(
+        "noret",
+        spark.createDataFrame([(0, 0, "x")], "seq long, partition int, value string"),
+        ordering_col="seq",
+    )
+    assert store.apply_retention("noret") is None
