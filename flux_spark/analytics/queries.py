@@ -1826,6 +1826,55 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+_UNPIVOT_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, metric, val
+FROM hourly UNPIVOT (val FOR metric IN (n_events, total_value))
+"""
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_hourly_unpivot",
+    _UNPIVOT_SQL,
+    "unpivot/melt: the hourly wide aggregate reshaped to long "
+    "(metric, value) form — the operator family for feeding generic "
+    "metric sinks; identical SQL-standard UNPIVOT in both engines",
+)
+def events_hourly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_UNPIVOT_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+WHERE c.c_custkey < 100
+"""
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "customer_lateral_top_orders",
+    _LATERAL_SQL,
+    "correlated LATERAL subquery join: per-customer top-2 orders by "
+    "price with deterministic ties — Catalyst decorrelates it to a "
+    "ranked join rather than re-executing per row (the window top-k "
+    "form, operators.top_k_per_group, is the same plan written by hand)",
+)
+def customer_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
 @register(
     ANALYTICS_QUERIES,
     "events_value_moments",
