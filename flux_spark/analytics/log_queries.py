@@ -1055,3 +1055,26 @@ def log_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.snapshot().select(
         "bucket", "partition", "n_records", "total_value"
     )
+
+
+@register(
+    LOG_QUERIES,
+    "log_describe_topic",
+    _ROUTED_CTE
+    + """
+    SELECT part_id AS partition,
+           COUNT(*) AS n_records,
+           MIN(record_offset) AS first_offset,
+           MAX(record_offset) AS last_offset,
+           COUNT(*) AS hwm,
+           MIN(event_ts) AS first_ts,
+           MAX(event_ts) AS last_ts
+    FROM routed GROUP BY part_id
+    """,
+    "admin describeTopics analog: per-partition record counts, committed "
+    "offset range, high-water mark, and timestamp range — the monitoring "
+    "contract (empty partitions would report zero counts)",
+)
+def log_describe_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    return store.describe_topic("events")

@@ -487,6 +487,43 @@ class LogStore:
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
 
+    def describe_topic(self, topic: str) -> DataFrame:
+        """AdminClient.describeTopics analog: one row per partition with
+        record count, earliest/latest committed offsets, the committed
+        high-water mark, and the record timestamp range. Empty partitions
+        appear with zero counts (the dashboard/monitoring contract). One
+        partial-aggregated scan plus a catalog lookup."""
+        meta = self.catalog.get_topic(topic)
+        hwm_rows = [
+            (p, meta.next_offset(p)) for p in meta.partition_ids()
+        ]
+        hwm_df = self.spark.createDataFrame(
+            hwm_rows, "partition int, hwm long"
+        )
+        stats = (
+            self.read(topic)
+            .groupBy("partition")
+            .agg(
+                F.count("*").alias("n_records"),
+                F.min("offset").alias("first_offset"),
+                F.max("offset").alias("last_offset"),
+                F.min("timestamp").alias("first_ts"),
+                F.max("timestamp").alias("last_ts"),
+            )
+        )
+        return (
+            hwm_df.join(stats, "partition", "left")
+            .select(
+                "partition",
+                F.coalesce("n_records", F.lit(0)).alias("n_records"),
+                "first_offset",
+                "last_offset",
+                "hwm",
+                "first_ts",
+                "last_ts",
+            )
+        )
+
     def mirror_topic(self, src_store: "LogStore", topic: str) -> None:
         """Mirror a topic from another store byte-for-byte (the
         MirrorMaker / cross-cluster replication analog): records keep
