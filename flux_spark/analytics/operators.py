@@ -342,3 +342,37 @@ def grouped_ewma(
 
     out_schema = f"{key} {dict(df.dtypes)[key]}, n long, ewma double"
     return df.groupBy(key).applyInPandas(fold, schema=out_schema)
+
+
+def expectation_report(
+    df: DataFrame, rules: dict[str, Column]
+) -> DataFrame:
+    """Data-quality expectation checks (the Deequ/Great Expectations
+    shape): ``rules`` maps a rule name to a boolean Column (True = row
+    passes). Returns one row per rule with violation and row counts.
+
+    All rules evaluate in ONE pass over the data as conditional
+    aggregates — adding a rule costs an expression, not a scan — and the
+    wide result is melted to long form driver-side (the rule list is
+    metadata-sized). NULL rule results count as violations: an
+    expectation that cannot be evaluated is not satisfied.
+    """
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(c, F.lit(False)), 0).otherwise(1)
+        ).alias(f"__v_{i}")
+        for i, (_, c) in enumerate(rules.items())
+    ]
+    wide = df.agg(*aggs, F.count("*").alias("__n"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{i}").cast("long").alias("n_violations"),
+            )
+            for i, name in enumerate(rules)
+        ]
+    )
+    return wide.select(
+        F.explode(pairs).alias("r"), F.col("__n").alias("n_checked")
+    ).select("r.rule", "r.n_violations", "n_checked")

@@ -1826,6 +1826,49 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+@register(
+    ANALYTICS_QUERIES,
+    "events_quality_checks",
+    """
+    WITH agg AS (
+      SELECT
+        SUM(CASE WHEN value IS NOT NULL AND value >= 0 THEN 0 ELSE 1 END) AS v0,
+        SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS v1,
+        SUM(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+                 THEN 0 ELSE 1 END) AS v2,
+        SUM(CASE WHEN ts >= TIMESTAMP '2020-01-01 00:00:00' THEN 0 ELSE 1 END) AS v3,
+        COUNT(*) AS n
+      FROM events)
+    SELECT 'value_non_negative' AS rule, CAST(v0 AS BIGINT) AS n_violations, n AS n_checked FROM agg
+    UNION ALL
+    SELECT 'user_id_not_null', CAST(v1 AS BIGINT), n FROM agg
+    UNION ALL
+    SELECT 'event_type_in_domain', CAST(v2 AS BIGINT), n FROM agg
+    UNION ALL
+    SELECT 'ts_after_2020', CAST(v3 AS BIGINT), n FROM agg
+    """,
+    "declarative data-quality expectations (Deequ shape): four rules "
+    "evaluated as conditional aggregates in ONE scan — adding a rule "
+    "costs an expression, not a pass; NULL rule results count as "
+    "violations",
+)
+def events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import expectation_report
+
+    e = load_table(spark, sf_dir, "events")
+    return expectation_report(
+        e,
+        {
+            "value_non_negative": F.col("value") >= 0,
+            "user_id_not_null": F.col("user_id").isNotNull(),
+            "event_type_in_domain": F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            ),
+            "ts_after_2020": F.col("ts") >= F.lit("2020-01-01").cast("timestamp"),
+        },
+    )
+
+
 _UNPIVOT_SQL = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS window_start, event_type,
