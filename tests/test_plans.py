@@ -344,3 +344,32 @@ def test_bucketed_join_zero_exchange(spark, sf):
         assert "Exchange hashpartitioning(l_orderkey" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_lateral_decorrelates_no_nested_loop_per_row(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["customer_lateral_top_orders"].fn(spark, sf)
+    )
+    # the correlated LATERAL LIMIT becomes a ranked join, never a
+    # re-executed subquery or cartesian product
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "TakeOrdered" in plan
+
+
+def test_moments_single_exchange_partial_sums(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_value_moments"].fn(spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
+
+
+def test_quality_checks_single_scan_no_shuffle_per_rule(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_quality_checks"].fn(spark, sf))
+    # all rules fold into one global aggregate: one scan, one gather
+    assert plan.count("FileScan") == 1
+    assert "Exchange hashpartitioning" not in plan
