@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .catalog import Catalog
-from .errors import InvalidTopicError
+from .errors import InvalidTopicError, ValidationError
 from .routing import assign_partitions
 from pyspark.sql.types import IntegerType, StructField
 
@@ -540,6 +540,17 @@ class LogStore:
         if not self.catalog.topic_exists(topic):
             self.catalog.create_topic(
                 topic, meta.num_partitions, meta.replication_factor
+            )
+        elif (
+            self.catalog.get_topic(topic).num_partitions
+            != meta.num_partitions
+        ):
+            # a mismatched layout would scatter offsets across the wrong
+            # partition dirs — refuse rather than corrupt
+            raise ValidationError(
+                f"mirror target {topic!r} has "
+                f"{self.catalog.get_topic(topic).num_partitions} partitions, "
+                f"source has {meta.num_partitions}"
             )
         with self._ingest_lock(topic):
             have = self.catalog.get_topic(topic)

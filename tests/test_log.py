@@ -577,3 +577,19 @@ def test_apply_retention_uses_topic_config(spark, store):
         ordering_col="seq",
     )
     assert store.apply_retention("noret") is None
+
+
+def test_mirror_refuses_mismatched_partition_count(spark, store, tmp_path):
+    from flux_spark.errors import ValidationError
+    from flux_spark.log import LogStore
+
+    store.catalog.create_topic("mm", 3)
+    store.append(
+        "mm",
+        spark.createDataFrame([(0, 0, "v")], "seq long, partition int, value string"),
+        ordering_col="seq",
+    )
+    dst = LogStore(spark, tmp_path / "mm-wh")
+    dst.catalog.create_topic("mm", 2)  # wrong layout
+    with pytest.raises(ValidationError, match="partitions"):
+        dst.mirror_topic(store, "mm")
