@@ -1078,3 +1078,63 @@ def log_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def log_describe_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _ingest_events(spark, sf_dir)
     return store.describe_topic("events")
+
+
+@register(
+    LOG_QUERIES,
+    "log_txn_read_committed",
+    """
+    WITH committed AS (
+      SELECT
+        CAST(event_id % 3 AS INTEGER) AS part_id,
+        ROW_NUMBER() OVER (PARTITION BY event_id % 3 ORDER BY event_id) - 1
+          AS record_offset,
+        CAST(user_id AS VARCHAR) AS rec_key,
+        CAST(event_id AS VARCHAR) AS rec_value
+      FROM events WHERE event_id % 2 = 0
+    )
+    SELECT part_id, record_offset, rec_key, rec_value FROM committed
+    """,
+    "transactional produce with read_committed isolation (Kafka EOS "
+    "analog, absent from the reference): even events commit in one "
+    "transaction, odd events abort in a second, a third stays in-flight "
+    "from a fenced zombie producer — the read_committed scan must return "
+    "exactly the committed rows at their real offsets (evens were "
+    "appended first, so their offsets are contiguous from 0); the "
+    "exclusion ranges compile to pushed-down offset predicates, no join",
+)
+def log_txn_read_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+    from ..txn import ProducerFencedError
+
+    wh = tempfile.mkdtemp(prefix="flux-txn-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("orders", 3)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    s = store.init_transactions("loader")
+    s.begin()
+    s.send("orders", e.where(F.col("seq") % 2 == 0), ordering_col="seq")
+    s.commit()
+    s.begin()
+    s.send("orders", e.where(F.col("seq") % 2 == 1), ordering_col="seq")
+    s.abort()
+    # zombie in-flight work: fenced by a newer incarnation, never commits
+    s.begin()
+    s.send("orders", e.limit(10), ordering_col="seq")
+    zombie, s = s, store.init_transactions("loader")
+    try:
+        zombie.commit()
+    except ProducerFencedError:
+        pass
+    return store.read("orders", read_committed=True).select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("rec_value"),
+    )

@@ -81,6 +81,25 @@ class LogStore:
         self.compression = compression
         self._ingest_locks: dict[str, threading.Lock] = {}
         self._locks_guard = threading.Lock()
+        self._txn_log = None
+
+    # -- transactions (txn.py; Kafka EOS analog) -----------------------
+    @property
+    def txn_log(self):
+        if self._txn_log is None:
+            from .txn import TxnLog
+
+            self._txn_log = TxnLog(self.warehouse)
+        return self._txn_log
+
+    def init_transactions(self, transactional_id: str):
+        """InitProducerId: fence prior incarnations of this transactional
+        id (aborting their in-flight transaction) and return a
+        :class:`~flux_spark.txn.TransactionalSession` at the new epoch."""
+        from .txn import TransactionalSession
+
+        epoch = self.txn_log.init_id(transactional_id)
+        return TransactionalSession(self, transactional_id, epoch)
 
     # ------------------------------------------------------------------
     def topic_path(self, topic: str) -> str:
@@ -232,6 +251,7 @@ class LogStore:
         start_offsets: dict[int, int] | None = None,
         end_offsets: dict[int, int] | None = None,
         include_uncommitted: bool = False,
+        read_committed: bool = False,
     ) -> DataFrame:
         """Batch scan of a topic log as the canonical RECORD_SCHEMA.
 
@@ -247,6 +267,12 @@ class LogStore:
         LogSegment.java:165-218). ``include_uncommitted=True`` bypasses the
         clamp for forensic reads; ``recover_hwm_from_data`` re-adopts a
         torn tail by advancing the hwm over it.
+
+        ``read_committed=True`` is Kafka's ``isolation.level=read_committed``:
+        offset ranges belonging to non-committed transactions (in-flight or
+        aborted, per the warehouse transaction log) are hidden. The ranges
+        are driver-side metadata, so they compile to pushed-down offset
+        predicates — no join, no extra pass (txn.py module docstring).
         """
         meta = self.catalog.get_topic(topic)
         if end_offsets is None and not include_uncommitted:
@@ -275,6 +301,15 @@ class LogStore:
                 c = (F.col("partition") == p) & (F.col("offset") < hi)
                 cond = c if cond is None else (cond | c)
             df = df.where(cond)
+        if read_committed:
+            for p, first, last in self.txn_log.non_committed_ranges(topic):
+                df = df.where(
+                    ~(
+                        (F.col("partition") == p)
+                        & (F.col("offset") >= first)
+                        & (F.col("offset") <= last)
+                    )
+                )
         return df.select(
             F.lit(topic).alias("topic"),
             F.col("partition"),
