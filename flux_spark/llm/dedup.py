@@ -605,3 +605,83 @@ def contamination(
             ).alias("contamination_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span removal (substring dedup)
+# ---------------------------------------------------------------------------
+
+def dup_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove corpus-wide duplicated token spans from every document —
+    the exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed relationally: a
+    token is dropped iff it lies inside any token ``k``-gram that occurs
+    in >= ``min_docs`` distinct documents. (The paper's suffix array
+    finds byte-level spans; corpus-wide duplicated k-grams are the
+    classic scalable approximation — e.g. what C4-style pipelines hash.)
+
+    Plan shape, scan-scale at 100 TB: one posexplode producing n-k+1
+    grams per doc (array ops, no UDF), one shuffled groupBy on the gram
+    to find duplicates (map-side partial counts collapse the long tail —
+    most grams are unique), then a join of grams against the (small)
+    duplicate set — AQE broadcasts it in the common case — and a
+    left-anti join to drop covered token positions. Reassembly is a
+    sorted-struct collect per doc: deterministic, no window.
+
+    Returns (id, clean_text, n_tokens, n_kept_tokens); a fully-duplicated
+    document survives as an empty string (curation pipelines filter on
+    ``n_kept_tokens`` downstream).
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            # sequence(1, 0) counts DOWN in Spark, so guard short docs
+            # with an explicit empty-array branch instead of greatest()
+            F.expr(
+                f"if(size(__t) >= {k}, "
+                f"transform(sequence(1, size(__t)-{k}+1), "
+                f"i -> array_join(slice(__t, i, {k}), ' ')), "
+                f"array())"
+            )
+        ).alias("__gp", "__gram"),
+    )
+    dup = (
+        grams.groupBy("__gram")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__gram")
+    )
+    covered = (
+        grams.join(dup, "__gram")
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(__gp, __gp + {k} - 1)")).alias("__pos"),
+        )
+        .distinct()
+    )
+    kept = toks.select(
+        id_col, F.posexplode("__t").alias("__pos", "__tok")
+    ).join(covered, [id_col, "__pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__pos, __tok))), s -> s.__tok)"
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    total = toks.select(id_col, F.size("__t").alias("__n"))
+    return total.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_kept_tokens"),
+    )

@@ -1205,3 +1205,48 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start / 8192).cast("bigint").alias("bin_id"),
         F.pmod(start, F.lit(8192)).cast("bigint").alias("offset_in_bin"),
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dup_span_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS gp, array_to_string(l[i:i+7], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(l) - 7)) AS t(i)
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), covered AS (
+      SELECT DISTINCT doc_id, gp + off AS pos
+      FROM grams, unnest(generate_series(0, 7)) AS o(off)
+      WHERE gram IN (SELECT gram FROM dup)
+    ), tok_rows AS (
+      SELECT doc_id, i - 1 AS pos, l[i] AS tok
+      FROM toks, unnest(generate_series(1, len(l))) AS t(i)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM tok_rows t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+      )
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(m.l) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_tokens
+    FROM toks m LEFT JOIN agg a USING (doc_id)
+    """,
+    "exact duplicate-span removal (Lee et al. 2022 substring dedup, "
+    "k-gram form): every token inside a token 8-gram occurring in >= 2 "
+    "distinct documents is dropped, and the surviving tokens are "
+    "reassembled in order — the oracle recomputes the identical span "
+    "cover in SQL, so the cleaned text matches byte-for-byte",
+)
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.dup_span_dedup(d, k=8, min_docs=2)

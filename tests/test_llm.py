@@ -345,3 +345,34 @@ def test_contamination(spark):
     assert out[1].n_contaminated == 1  # "alpha beta gamma delta epsilon"
     assert out[1].n_shingles == 4
     assert out[1].contamination_rate == pytest.approx(0.25)
+
+
+def test_dup_span_dedup_masks_shared_spans(spark):
+    # docs 1 and 2 share the 4-gram "a b c d"; doc 3 is untouched;
+    # doc 4 is a full duplicate of the shared span only -> empty result
+    rows = [
+        (1, "x a b c d y"),
+        (2, "a b c d z w"),
+        (3, "p q r s t u"),
+        (4, "a b c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dup_span_dedup(df, k=4, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "x y"
+    assert out[2]["clean_text"] == "z w"
+    assert out[3]["clean_text"] == "p q r s t u"
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_tokens"] == 4 and out[4]["n_kept_tokens"] == 0
+    assert out[1]["n_kept_tokens"] == 2
+
+
+def test_dup_span_dedup_short_docs_pass_through(spark):
+    # docs shorter than k produce no grams and survive unchanged
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = dedup.dup_span_dedup(df, k=4, min_docs=2).collect()
+    assert sorted(r["clean_text"] for r in out) == ["a b", "a b"]
