@@ -2314,3 +2314,176 @@ def nation_top_customer_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("top_customers"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_cms_heavy_hitters",
+    """
+    WITH regs AS (
+      SELECT r AS sketch_row,
+             CAST(CAST(('0x' || substring(
+                    md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 64 AS BIGINT) AS sketch_col,
+             COUNT(*) AS n
+      FROM events
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS r FROM range(0, 4))
+      GROUP BY 1, 2
+    ), cells AS (
+      SELECT u.user_id, r AS sketch_row,
+             CAST(CAST(('0x' || substring(
+                    md5(CAST(r AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 64 AS BIGINT) AS sketch_col
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS r FROM range(0, 4))
+    ), est AS (
+      SELECT c.user_id, MIN(g.n) AS est_count
+      FROM cells c JOIN regs g
+        ON c.sketch_row = g.sketch_row AND c.sketch_col = g.sketch_col
+      GROUP BY c.user_id
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, CAST(e.est_count AS BIGINT) AS est_count,
+           x.exact_count
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY e.est_count DESC, e.user_id
+    LIMIT 20
+    """,
+    "heavy hitters from the Count-Min sketch: per-key estimate = MIN over "
+    "the key's 4 register cells (the classic CMS point query, always >= "
+    "exact), top-20 by estimate with deterministic ties — estimates come "
+    "from the registers alone, the exact count rides along to expose the "
+    "overestimate; registers and probes are salted-md5, so the oracle "
+    "recomputes the identical sketch",
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id")
+
+    def cell(row_col, user_col):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(row_col).cast("string"),
+                        F.col(user_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.pmod(h, F.lit(64))
+
+    r4 = spark.range(4).select(F.col("id").cast("int").alias("sketch_row"))
+    regs = (
+        e.crossJoin(r4)
+        .select("sketch_row", cell("sketch_row", "user_id").alias("sketch_col"))
+        .groupBy("sketch_row", "sketch_col")
+        .agg(F.count("*").alias("n"))
+    )
+    cells = (
+        e.distinct()
+        .crossJoin(r4)
+        .select(
+            "user_id", "sketch_row", cell("sketch_row", "user_id").alias("sketch_col")
+        )
+    )
+    est = (
+        cells.join(regs, ["sketch_row", "sketch_col"])
+        .groupBy("user_id")
+        .agg(F.min("n").cast("bigint").alias("est_count"))
+    )
+    exact = e.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est_count").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_kmv_set_ops",
+    """
+    WITH elems AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS elem
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), hashed AS (
+      SELECT event_type, elem,
+             CAST(('0x' || substring(md5(elem), 1, 15)) AS BIGINT) AS h
+      FROM elems
+    ), kmv AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed
+      QUALIFY rk <= 32
+    ), union_sketch AS (
+      SELECT * FROM (
+        SELECT h, COUNT(*) AS sides,
+               ROW_NUMBER() OVER (ORDER BY h) AS rk
+        FROM kmv GROUP BY h
+      ) WHERE rk <= 32
+    )
+    SELECT CAST(32 AS BIGINT) AS k_used,
+           CAST(31 / (MAX(h) / 1152921504606846976.0) AS DOUBLE) AS union_est,
+           CAST(CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / 32 AS jaccard_est,
+           CAST((CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 / 32.0) * (31 / (MAX(h) / 1152921504606846976.0))
+                AS DOUBLE) AS intersection_est
+    FROM union_sketch
+    """,
+    "KMV sketch set operations (Theta-sketch style): click user-days vs "
+    "purchase user-days each keep their bottom-32 md5 hashes; the union "
+    "sketch is the bottom-32 of the merged sketches, distinct-union is "
+    "the (k-1)/h_k KMV estimator, and the intersection/Jaccard estimates "
+    "come from how many union-sketch entries appear in BOTH input "
+    "sketches — the mergeable set-algebra pattern sketch warehouses use; "
+    "every step is deterministic md5, so the oracle is exact",
+)
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("elem"),
+        )
+        .distinct()
+    )
+    hashed = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5("elem"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wk = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        hashed.withColumn("rk", F.row_number().over(wk)).where(F.col("rk") <= 32)
+    )
+    wu = Window.orderBy("h")
+    union_sketch = (
+        kmv.groupBy("h")
+        .agg(F.count("*").alias("sides"))
+        .withColumn("rk", F.row_number().over(wu))
+        .where(F.col("rk") <= 32)
+    )
+    both = F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).cast("bigint")
+    union_est = F.lit(31) / (F.max("h") / F.lit(1152921504606846976.0))
+    return union_sketch.agg(
+        F.lit(32).cast("bigint").alias("k_used"),
+        union_est.cast("double").alias("union_est"),
+        (both.cast("double") / F.lit(32)).alias("jaccard_est"),
+        ((both / F.lit(32.0)) * union_est).cast("double").alias("intersection_est"),
+    )
