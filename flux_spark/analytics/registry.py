@@ -46,8 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Driver testdata may store ts as timestamp[us] (read as
+            # TIMESTAMP_NTZ). Normalize to TIMESTAMP so unix_micros &co
+            # analyze; sessions run under UTC so the wall-clock value is
+            # unchanged and DuckDB's tz-naive epoch_us stays aligned.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -31,17 +31,27 @@ _READ_DEFAULTS: dict[str, dict[str, str]] = {
     "csv": {
         "header": "true",
         # preserve full microsecond precision on timestamp columns
+        # (timestampFormat covers TIMESTAMP; NTZ columns use the separate
+        # timestampNTZFormat option, whose default truncates to millis)
         "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
     },
-    "json": {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+    "json": {
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    },
 }
 
 _WRITE_DEFAULTS: dict[str, dict[str, str]] = {
     "csv": {
         "header": "true",
         "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
     },
-    "json": {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+    "json": {
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    },
 }
 
 

@@ -1,0 +1,64 @@
+"""Full-registry smoke + testdata-contract tests.
+
+Round-2 postmortem: the driver regenerated ``events.parquet`` with a new
+physical timestamp encoding (ns-as-int64 -> us TIMESTAMP_NTZ) and two
+registry queries silently stopped analyzing — nothing in pytest exercised
+them and the driver's 50-query sample skipped both, so the breakage only
+surfaced when ``bench.py`` crashed. These tests are the regression net:
+
+* ``test_registry_query_executes`` runs EVERY ``queries()`` entry end-to-end
+  (``.count()``) at sf0.001, parametrized, so a type/schema drift in the
+  testdata fails locally before the driver sees it.
+* ``test_events_ts_contract`` pins the loaded ``events`` schema: whatever
+  the on-disk encoding (int64 nanos, us TIMESTAMP_NTZ, or plain TIMESTAMP),
+  ``load_table`` must yield ``ts`` as TIMESTAMP so ``unix_micros`` &co keep
+  analyzing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_registry_query_executes(spark, sf_dir, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, sf_dir)
+    # Materialize the full plan; any analysis/runtime breakage raises here.
+    n = df.count()
+    assert n >= 0
+
+
+def test_every_query_has_oracle_or_documented_exception():
+    oracles = entry_mod.oracle_sql()
+    missing = [q for q in QUERY_NAMES if q not in oracles]
+    # Non-SQL-expressible ops may omit an oracle, but each omission must be
+    # deliberate — keep this list in sync when adding one.
+    assert missing == [], f"queries without oracle SQL: {missing}"
+
+
+def test_events_ts_contract(spark, sf_dir):
+    from flux_spark.analytics.registry import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes.get("ts") == "timestamp", (
+        f"events.ts must load as TIMESTAMP (got {dtypes.get('ts')}); "
+        "load_table must normalize whatever encoding the testdata uses"
+    )
+    # unix_micros is the call that broke in round 2 — assert it analyzes.
+    from pyspark.sql import functions as F
+
+    df.select(F.unix_micros("ts")).limit(1).collect()
+
+
+def test_all_tables_load(spark, sf_dir):
+    from flux_spark.analytics.registry import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        assert len(df.columns) > 0, t
