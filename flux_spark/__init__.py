@@ -10,7 +10,12 @@ Structured Streaming readers/writers, DataFrame analytics.
 
 from . import rollup, sources, streaming
 from .catalog import Catalog, TopicMetadata
-from .consumer import FluxConsumer, OffsetStore, PollResult
+from .consumer import (
+    FluxConsumer,
+    OffsetStore,
+    PollResult,
+    consumer_from_properties,
+)
 from .coordinator import GroupCoordinator
 from .errors import (
     FluxError,
@@ -39,6 +44,7 @@ __all__ = [
     "partition_for_key",
     "FluxProducer",
     "producer_from_properties",
+    "consumer_from_properties",
     "get_spark",
     "rollup",
     "sources",

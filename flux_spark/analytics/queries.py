@@ -2424,17 +2424,21 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY rk <= 32
     ), union_sketch AS (
       SELECT * FROM (
-        SELECT h, COUNT(*) AS sides,
+        SELECT h, COUNT(DISTINCT event_type) AS sides,
                ROW_NUMBER() OVER (ORDER BY h) AS rk
         FROM kmv GROUP BY h
       ) WHERE rk <= 32
     )
-    SELECT CAST(32 AS BIGINT) AS k_used,
-           CAST(31 / (MAX(h) / 1152921504606846976.0) AS DOUBLE) AS union_est,
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE (COUNT(*) - 1) / (MAX(h) / 1152921504606846976.0)
+                END AS DOUBLE) AS union_est,
            CAST(CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
-                AS DOUBLE) / 32 AS jaccard_est,
-           CAST((CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
-                 / 32.0) * (31 / (MAX(h) / 1152921504606846976.0))
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS jaccard_est,
+           CAST((CAST(CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                * (CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE (COUNT(*) - 1) / (MAX(h) / 1152921504606846976.0) END)
                 AS DOUBLE) AS intersection_est
     FROM union_sketch
     """,
@@ -2475,15 +2479,25 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     wu = Window.orderBy("h")
     union_sketch = (
         kmv.groupBy("h")
-        .agg(F.count("*").alias("sides"))
+        # DISTINCT bounds sides by the number of input sketches even under
+        # a (negligible, ~2^-60) cross-type 60-bit hash collision
+        .agg(F.count_distinct("event_type").alias("sides"))
         .withColumn("rk", F.row_number().over(wu))
         .where(F.col("rk") <= 32)
     )
     both = F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).cast("bigint")
-    union_est = F.lit(31) / (F.max("h") / F.lit(1152921504606846976.0))
+    # m = actual union-sketch size: when the merged sketch holds fewer
+    # than k=32 hashes every element was seen, so the count is exact and
+    # the (k-1)/h_k estimator would overestimate — fall back to m itself.
+    m = F.count("*")
+    union_est = F.when(m < 32, m.cast("double")).otherwise(
+        (m - F.lit(1)) / (F.max("h") / F.lit(1152921504606846976.0))
+    )
     return union_sketch.agg(
-        F.lit(32).cast("bigint").alias("k_used"),
+        m.cast("bigint").alias("k_used"),
         union_est.cast("double").alias("union_est"),
-        (both.cast("double") / F.lit(32)).alias("jaccard_est"),
-        ((both / F.lit(32.0)) * union_est).cast("double").alias("intersection_est"),
+        (both.cast("double") / m.cast("double")).alias("jaccard_est"),
+        ((both.cast("double") / m.cast("double")) * union_est)
+        .cast("double")
+        .alias("intersection_est"),
     )

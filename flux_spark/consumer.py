@@ -115,12 +115,19 @@ class FluxConsumer:
         coordinator: GroupCoordinator | None = None,
         protocols: tuple[str, ...] = ("range", "roundrobin"),
         member_id: str | None = None,
+        auto_offset_reset: str = "earliest",
     ):
+        if auto_offset_reset not in ("earliest", "latest"):
+            raise ValueError(
+                f"auto_offset_reset must be 'earliest' or 'latest', "
+                f"got {auto_offset_reset!r}"
+            )
         self.store = store
         self.group_id = group_id
         self.coordinator = coordinator or GroupCoordinator()
         self.protocols = list(protocols)
         self.member_id = member_id
+        self.auto_offset_reset = auto_offset_reset
         self.offset_store = OffsetStore(store)
         # (topic, partition) -> next offset to read
         self._positions: dict[tuple[str, int], int] = {}
@@ -167,8 +174,21 @@ class FluxConsumer:
         committed = self.offset_store.fetch(self.group_id)
         self._positions = {}
         for t, parts in self._assignment.items():
+            hwm = (
+                self.store.high_water_marks(t)
+                if self.auto_offset_reset == "latest"
+                and any((t, p) not in committed for p in parts)
+                else {}
+            )
             for p in parts:
-                self._positions[(t, p)] = committed.get((t, p), 0)
+                if (t, p) in committed:
+                    self._positions[(t, p)] = committed[(t, p)]
+                elif self.auto_offset_reset == "latest":
+                    # Kafka auto.offset.reset=latest: no committed offset
+                    # -> start at the end of the log, only new data.
+                    self._positions[(t, p)] = hwm.get(p, 0)
+                else:
+                    self._positions[(t, p)] = 0
 
     def assignment(self) -> dict[str, list[int]]:
         return dict(self._assignment)
@@ -247,3 +267,72 @@ class FluxConsumer:
             self.coordinator.leave_group(self.group_id, self.member_id)
         self._assignment = {}
         self._positions = {}
+
+
+# -- Kafka-style properties factory (Properties.java:6-44 parity) ------------
+
+# keys that map onto real FluxConsumer knobs
+_CONSUMER_PROPERTY_MAP = {
+    "group.id": ("group_id", str),
+    "client.id": ("member_id", str),
+    "auto.offset.reset": ("auto_offset_reset", str),
+}
+# reference/Kafka knobs Spark's runtime subsumes (accepted, validated,
+# ignored — fetch sizing and heartbeat cadence are the scheduler's and the
+# file-commit protocol's job, SURVEY.md §2.3/§2.6)
+_SUBSUMED_CONSUMER_PROPERTIES = {
+    "bootstrap.servers",
+    "enable.auto.commit",
+    "auto.commit.interval.ms",
+    "fetch.min.bytes",
+    "fetch.max.bytes",
+    "max.poll.records",
+    "max.poll.interval.ms",
+    "session.timeout.ms",
+    "heartbeat.interval.ms",
+}
+
+
+def consumer_from_properties(
+    store: LogStore,
+    properties: dict[str, str],
+    coordinator: GroupCoordinator | None = None,
+) -> FluxConsumer:
+    """Build a consumer from a Kafka-style string-properties map — the twin
+    of :func:`flux_spark.producer.producer_from_properties`, so reference
+    users (FluxConsumer.java:52-133 takes config-driven construction via
+    Properties.java:6-44) can carry their config dicts over.
+
+    Mapped: ``group.id``, ``client.id`` (member id), ``auto.offset.reset``
+    (``earliest``/``latest``), ``partition.assignment.strategy`` (comma list
+    of ``range``/``roundrobin``/``sticky``, Kafka class names accepted).
+    Subsumed knobs are accepted and ignored; unknown keys raise, mirroring
+    config validation (BrokerConfigValidator.java).
+    """
+    known = (
+        set(_CONSUMER_PROPERTY_MAP)
+        | _SUBSUMED_CONSUMER_PROPERTIES
+        | {"partition.assignment.strategy"}
+    )
+    unknown = set(properties) - known
+    if unknown:
+        raise ValueError(f"unknown consumer properties: {sorted(unknown)}")
+    kwargs = {}
+    for k, (name, conv) in _CONSUMER_PROPERTY_MAP.items():
+        if k in properties:
+            kwargs[name] = conv(properties[k])
+    if "partition.assignment.strategy" in properties:
+        protocols = []
+        for s in properties["partition.assignment.strategy"].split(","):
+            s = s.strip()
+            # accept Kafka's assignor class names as aliases
+            name = {
+                "org.apache.kafka.clients.consumer.RangeAssignor": "range",
+                "org.apache.kafka.clients.consumer.RoundRobinAssignor": "roundrobin",
+                "org.apache.kafka.clients.consumer.StickyAssignor": "sticky",
+            }.get(s, s.lower())
+            if name not in ("range", "roundrobin", "sticky"):
+                raise ValueError(f"unknown assignment strategy: {s!r}")
+            protocols.append(name)
+        kwargs["protocols"] = tuple(protocols)
+    return FluxConsumer(store, coordinator=coordinator, **kwargs)

@@ -450,11 +450,26 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hash_sample(d, 10).select("doc_id", "sample_bucket")
 
 
-@register(
-    LLM_QUERIES,
-    "doc_curation_pipeline",
-    _CORPUS_CTE
-    + f"""
+def _curation_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+                  max_bucket_size: int = 500) -> str:
+    """Oracle for the full curation pipeline, near-dup stage included.
+
+    The LSH CTEs mirror _minhash_lsh_sql but run over the quality+exact-dedup
+    survivors AND apply the production bucket cap (QUALIFY count per
+    (band, bhash) <= max_bucket_size) — the skew guard a 100 TB corpus needs
+    against boilerplate mega-buckets. Deterministic on both engines, so the
+    gate stays exact.
+    """
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(hs, m -> "
+        f"(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substring(m, 17, 8)) AS BIGINT)) % 4294967296))"
+        for i in range(num_hashes)
+    )
+    return (
+        _CORPUS_CTE
+        + f"""
     , feat AS (
       SELECT doc_id, text,
         len(string_split(text, ' ')) AS n_tokens,
@@ -474,17 +489,58 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM feat),
     keep AS (SELECT * FROM scored WHERE quality_score >= 0.5),
     canon AS (
-      SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS m FROM keep)
+      SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS m FROM keep),
+    surv AS (
+      SELECT doc_id, text, n_tokens, quality_score FROM canon WHERE doc_id = m),
+    __toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM surv),
+    __sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1),
+                              i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+      FROM __toks),
+    __sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM __sh),
+    __hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM __sized),
+    __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __hashed),
+    __bh AS (
+      SELECT s.doc_id, r.band,
+             md5(array_to_string(list_transform(
+               s.sig[r.band*{rows}+1 : r.band*{rows}+{rows}],
+               v -> CAST(v AS VARCHAR)), '|')) AS bhash
+      FROM __sigs s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r
+      QUALIFY COUNT(*) OVER (PARTITION BY r.band, bhash) <= {max_bucket_size}),
+    __cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM __bh a JOIN __bh b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized),
+    __common AS (
+      SELECT c.id_a, c.id_b, ea.n_sh AS na, eb.n_sh AS nb, COUNT(*) AS cc
+      FROM __cand c
+      JOIN __ex ea ON ea.doc_id = c.id_a
+      JOIN __ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+      GROUP BY 1, 2, 3, 4),
+    __dups AS (
+      SELECT DISTINCT id_b FROM __common
+      WHERE CAST(cc AS DOUBLE) / (na + nb - cc) >= {threshold})
     SELECT doc_id, n_tokens, quality_score,
       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'validation'
            ELSE 'test' END AS split
-    FROM canon WHERE doc_id = m
-    """,
+    FROM surv WHERE doc_id NOT IN (SELECT id_b FROM __dups)
+    """
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_curation_pipeline",
+    _curation_sql(),
     "end-to-end curation pipeline composition: quality filter -> exact "
-    "dedup (canonical survivor per content) -> deterministic split "
-    "assignment, all in one Catalyst plan over the duplicated corpus — "
-    "the operators compose because each is a pure DataFrame transform",
+    "dedup (canonical survivor per content) -> MinHash-LSH near-dup "
+    "removal with the production bucket-size skew guard (500) -> "
+    "deterministic split assignment, all pure DataFrame transforms over "
+    "the duplicated corpus",
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -492,10 +548,21 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dup_corpus(spark, sf_dir)
     q = text.quality_score(d).where(F.col("quality_score") >= 0.5)
     w = Window.partitionBy("text")
-    canon = q.withColumn("__m", F.min("doc_id").over(w)).where(
-        F.col("doc_id") == F.col("__m")
+    surv = (
+        q.withColumn("__m", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__m"))
+        .select("doc_id", "text", "n_tokens", "quality_score")
     )
-    return text.with_split(canon).select(
+    # Near-dup removal with the skew guard ON — the production default:
+    # a boilerplate (band, hash) bucket of k docs costs k^2 candidate
+    # rows, quadratic at corpus scale; capping at 500 bounds any bucket's
+    # contribution while leaving genuine near-dup buckets (tiny) intact.
+    # Greedy survivor rule: drop every doc appearing as the larger id of
+    # a verified pair (deterministic, engine-independent).
+    pairs = dedup.minhash_lsh_pairs(surv, threshold=0.5, max_bucket_size=500)
+    dup_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = surv.join(dup_ids, "doc_id", "left_anti")
+    return text.with_split(kept).select(
         "doc_id", "n_tokens", "quality_score", "split"
     )
 

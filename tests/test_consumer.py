@@ -308,3 +308,74 @@ def test_subscribe_pattern_matches_full_names_only(spark, store):
     res = c.poll()
     topics = {r.topic for r in res.records.collect()}
     assert topics == {"app_logs", "app_metrics"}
+
+
+def test_consumer_from_properties(spark, store):
+    """Round-trip: consumer constructed purely from Kafka-style properties
+    (Properties.java / FluxConsumer.java:52-133 parity)."""
+    import pytest as _pytest
+
+    from flux_spark.consumer import consumer_from_properties
+    from flux_spark.producer import FluxProducer
+
+    store.catalog.create_topic("cfgt", 3)
+    prod = FluxProducer(store)
+    for j in range(30):
+        prod.send("cfgt", value=f"v-{j}", key=f"k-{j % 5}")
+    prod.flush()
+
+    cons = consumer_from_properties(
+        store,
+        {
+            "group.id": "props-group",
+            "auto.offset.reset": "earliest",
+            "partition.assignment.strategy":
+                "org.apache.kafka.clients.consumer.RoundRobinAssignor,sticky",
+            "enable.auto.commit": "false",   # subsumed: accepted, ignored
+            "fetch.min.bytes": "1",          # subsumed
+        },
+    )
+    assert cons.group_id == "props-group"
+    assert cons.protocols == ["roundrobin", "sticky"]
+    cons.subscribe(["cfgt"])
+    res = cons.poll()
+    assert res.count == 30
+    cons.commit_offsets()
+
+    # a second consumer in the same group resumes past committed offsets
+    cons2 = consumer_from_properties(store, {"group.id": "props-group"})
+    cons2.subscribe(["cfgt"])
+    assert cons2.poll().count == 0
+
+    with _pytest.raises(ValueError, match="unknown consumer properties"):
+        consumer_from_properties(store, {"no.such.knob": "1"})
+    with _pytest.raises(ValueError, match="unknown assignment strategy"):
+        consumer_from_properties(
+            store, {"partition.assignment.strategy": "wat"}
+        )
+
+
+def test_auto_offset_reset_latest(spark, store):
+    """auto.offset.reset=latest: with no committed offsets a new group
+    starts at the high-water mark and sees only post-subscribe data."""
+    from flux_spark.consumer import consumer_from_properties
+    from flux_spark.producer import FluxProducer
+
+    store.catalog.create_topic("resett", 2)
+    prod = FluxProducer(store)
+    for j in range(10):
+        prod.send("resett", value=f"old-{j}", key=str(j))
+    prod.flush()
+
+    cons = consumer_from_properties(
+        store, {"group.id": "fresh", "auto.offset.reset": "latest"}
+    )
+    cons.subscribe(["resett"])
+    assert cons.poll().count == 0  # history skipped
+    for j in range(4):
+        prod.send("resett", value=f"new-{j}", key=str(j))
+    prod.flush()
+    res = cons.poll()
+    assert res.count == 4
+    vals = sorted(r.value for r in res.records.collect())
+    assert vals == ["new-0", "new-1", "new-2", "new-3"]
