@@ -861,6 +861,18 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "source_orc_roundtrip",
+    _EVENTS_COLS_SQL,
+    "ORC connector losslessness: columnar round-trip preserves types "
+    "natively (no text-format timestamp plumbing) and keeps predicate "
+    "pushdown + column pruning on the read side",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    LOG_QUERIES,
     "log_table_materialize",
     """
     WITH keyed AS (

@@ -708,6 +708,50 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    LLM_QUERIES,
+    "doc_filter_report",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sig AS (
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(tk, w -> CAST(len(w) AS BIGINT))),
+               (acc, x) -> acc + x) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+        CAST(len(list_filter(tk, x -> list_contains({{stop}}, x))) AS BIGINT)
+          AS stopword_count,
+        CAST(len(list_distinct(tk)) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS uniq_ratio,
+        CAST(list_max(list_transform(list_distinct(tk),
+               t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS top_token_frac
+      FROM toks)
+    SELECT doc_id, n_tokens, mean_word_len, stopword_count, uniq_ratio,
+           top_token_frac,
+      (n_tokens < 50 OR n_tokens > 100000) AS r_length,
+      (mean_word_len < 3.0 OR mean_word_len > 10.0) AS r_word_len,
+      (stopword_count < 2) AS r_stopword,
+      (uniq_ratio < 0.2) AS r_uniq,
+      (top_token_frac > 0.1) AS r_repetition,
+      NOT ((n_tokens < 50 OR n_tokens > 100000)
+           OR (mean_word_len < 3.0 OR mean_word_len > 10.0)
+           OR (stopword_count < 2)
+           OR (uniq_ratio < 0.2)
+           OR (top_token_frac > 0.1)) AS keep
+    FROM sig
+    """.replace("{stop}", _STOP_LIST),
+    "Gopher/C4-style rule-based filter audit: per-doc token/word-length/"
+    "stopword/uniqueness/repetition signals, one boolean per rule, final "
+    "keep flag — all per-row array expressions, zero shuffle",
+)
+def doc_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.filter_report(d)
+
+
 # ---------------------------------------------------------------------------
 # similarity-search queries
 # ---------------------------------------------------------------------------
@@ -715,10 +759,8 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIM = 64
 
 
-@register(
-    LLM_QUERIES,
-    "ann_cosine_topk",
-    f"""
+def _brute_topk_sql(k: int = 5) -> str:
+    return f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
     scored AS (
@@ -729,8 +771,14 @@ _DIM = 64
                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
       FROM scored)
     SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS "rank"
-    FROM ranked WHERE rnk <= 5
-    """,
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "ann_cosine_topk",
+    _brute_topk_sql(),
     "brute-force exact cosine top-5 for 5 query vectors (broadcast queries)",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,6 +928,48 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.ivf_topk(
         e, e.where(F.col("vec_id") < 5), centroids, k=5, nprobe=2
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_ivf_recall",
+    f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_brute_topk_sql()}) t),
+    ivf AS (SELECT query_id, neighbor_id, 1 AS hit FROM ({_ivf_sql()}) t)
+    SELECT e.query_id,
+           CAST(COUNT(i.hit) AS BIGINT) AS n_hit,
+           CAST(COUNT(i.hit) AS DOUBLE) / 5 AS recall_at_5
+    FROM exact e LEFT JOIN ivf i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    "ANN calibration: recall@5 of the IVF index vs exact brute force per "
+    "query — the measurement a pipeline runs on its own corpus before "
+    "trusting approximate retrieval at scales where exact search is "
+    "unaffordable (the companion of the MinHash est-vs-exact view)",
+)
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    ivf = (
+        similarity.ivf_topk(e, q, centroids, k=5, nprobe=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            (F.count("__hit").cast("double") / F.lit(5)).alias("recall_at_5"),
+        )
     )
 
 

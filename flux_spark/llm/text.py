@@ -316,3 +316,72 @@ def with_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def filter_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopwords: int = 2,
+    min_uniq_ratio: float = 0.2,
+    max_top_token_frac: float = 0.1,
+) -> DataFrame:
+    """Gopher/C4-style rule-based filter audit: per-document signals, one
+    boolean per rule, and the final keep decision — the "why was this doc
+    dropped" report a curation pipeline ships next to its filtered output
+    (Rae et al. 2021 §A1.1 quality heuristics, Raffel et al. 2020 §2.2).
+
+    Every signal is a per-row array expression (tokens never explode, no
+    shuffle — the report runs at parquet scan bandwidth at any corpus
+    size). top_token_frac is computed O(n·distinct) per row via a nested
+    higher-order function, trading per-row CPU for zero data movement —
+    the right trade at 100 TB where the shuffle, not the core, is scarce.
+    """
+    tk = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(tk)
+    sum_len = F.aggregate(
+        F.transform(tk, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = sum_len.cast("double") / n.cast("double")
+    stop_n = F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x)))
+    uniq_ratio = F.size(F.array_distinct(tk)).cast("double") / n.cast("double")
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(tk),
+                lambda t: F.size(F.filter(tk, lambda x: x == t)),
+            )
+        ).cast("double")
+        / n.cast("double")
+    )
+    out = df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        stop_n.cast("bigint").alias("stopword_count"),
+        uniq_ratio.alias("uniq_ratio"),
+        top_frac.alias("top_token_frac"),
+    )
+    r_len = (F.col("n_tokens") < min_tokens) | (F.col("n_tokens") > max_tokens)
+    r_wl = (F.col("mean_word_len") < min_mean_word_len) | (
+        F.col("mean_word_len") > max_mean_word_len
+    )
+    r_stop = F.col("stopword_count") < min_stopwords
+    r_uniq = F.col("uniq_ratio") < min_uniq_ratio
+    r_rep = F.col("top_token_frac") > max_top_token_frac
+    return out.select(
+        "*",
+        r_len.alias("r_length"),
+        r_wl.alias("r_word_len"),
+        r_stop.alias("r_stopword"),
+        r_uniq.alias("r_uniq"),
+        r_rep.alias("r_repetition"),
+        (~(r_len | r_wl | r_stop | r_uniq | r_rep)).alias("keep"),
+    )

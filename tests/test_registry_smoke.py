@@ -33,12 +33,24 @@ def test_registry_query_executes(spark, sf_dir, name):
     assert n >= 0
 
 
+# Non-SQL-expressible ops may omit an oracle (the driver then records a
+# weaker rows-only check), but each omission must be deliberate — keep this
+# list in sync when adding one.
+NO_ORACLE_BY_DESIGN = {
+    # HLL/KLL estimates are engine-implementation-specific; the query emits
+    # sketch + exact + relative error instead of a DuckDB twin.
+    "events_distinct_users_sketch",
+}
+
+
 def test_every_query_has_oracle_or_documented_exception():
     oracles = entry_mod.oracle_sql()
-    missing = [q for q in QUERY_NAMES if q not in oracles]
-    # Non-SQL-expressible ops may omit an oracle, but each omission must be
-    # deliberate — keep this list in sync when adding one.
-    assert missing == [], f"queries without oracle SQL: {missing}"
+    missing = {q for q in QUERY_NAMES if q not in oracles}
+    assert missing == NO_ORACLE_BY_DESIGN, (
+        f"undocumented queries without oracle SQL: "
+        f"{sorted(missing - NO_ORACLE_BY_DESIGN)}; "
+        f"stale exceptions: {sorted(NO_ORACLE_BY_DESIGN - missing)}"
+    )
 
 
 def test_events_ts_contract(spark, sf_dir):
