@@ -752,6 +752,32 @@ def doc_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.filter_report(d)
 
 
+@register(
+    LLM_QUERIES,
+    "doc_unigram_oov",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    ex AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+    cnt AS (SELECT w, COUNT(*) AS c FROM ex GROUP BY w),
+    vocab AS (SELECT w, 1 AS in_vocab FROM cnt ORDER BY c DESC, w LIMIT 20)
+    SELECT ex.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      CAST(CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM ex LEFT JOIN vocab v ON v.w = ex.w
+    GROUP BY ex.doc_id
+    """,
+    "tokenizer-coverage signal: per-doc OOV rate against the corpus's "
+    "top-20 unigram vocabulary (count desc, token asc ties); the "
+    "vocabulary is bounded and broadcasts, the corpus shuffles once",
+)
+def doc_unigram_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.unigram_oov(d)
+
+
 # ---------------------------------------------------------------------------
 # similarity-search queries
 # ---------------------------------------------------------------------------
@@ -929,6 +955,23 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         e, e.where(F.col("vec_id") < 5), centroids, k=5, nprobe=2
     )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_pq_codes",
+    similarity.sql_pq_encode(),
+    "product quantization: 8 subspaces x 16 seed codes, per-vector code "
+    "assignment (nearest L2, ties -> lowest code) + reconstruction error "
+    "— the 256B->8B compression billion-vector search runs on; codebook "
+    "broadcasts as one row, encoding is zero-shuffle",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    return similarity.pq_encode(e, codebook)
 
 
 @register(

@@ -364,3 +364,124 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_id_col: str = "code_id",
+    n_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``n_sub``
+    contiguous subvectors; per subspace, assign the nearest codebook entry
+    (L2, ties -> lowest code id). Returns (id, codes array<int>,
+    recon_err double = sum of per-subspace squared distances).
+
+    PQ is how billion-vector search fits in memory (Jegou et al. 2011):
+    a 64-dim float32 vector (256 B) compresses to ``n_sub`` bytes, and
+    asymmetric distances against the codes need only a per-query lookup
+    table. Plan shape: the codebook aggregates into ONE row (sorted
+    struct array) broadcast to every partition; encoding is then a pure
+    per-row expression — zero shuffle, scan-bandwidth at any corpus size.
+
+    Float determinism: squared-distance folds run left-to-right in
+    float64, so codes and errors are bit-identical to the DuckDB oracle.
+    """
+    sub = dim // n_sub
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cb = codebook.select(
+        F.col(code_id_col).alias("cid"), as_double.alias("cv")
+    ).agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("__cb")
+    )
+    v = F.col("__v")
+
+    def dists(s: int) -> Column:
+        # distances from this row's subvector s to every codebook entry
+        return F.transform(
+            F.col("__cb"),
+            lambda c: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(sub)),
+                    lambda j: (
+                        (
+                            F.element_at(v, (F.lit(s * sub) + j).cast("int"))
+                            - F.element_at(
+                                c["cv"], (F.lit(s * sub) + j).cast("int")
+                            )
+                        )
+                        * (
+                            F.element_at(v, (F.lit(s * sub) + j).cast("int"))
+                            - F.element_at(
+                                c["cv"], (F.lit(s * sub) + j).cast("int")
+                            )
+                        )
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    ds = F.array(*[dists(s) for s in range(n_sub)])
+    scored = (
+        corpus.select(F.col(id_col), as_double.alias("__v"))
+        .crossJoin(F.broadcast(cb))
+        .select(id_col, ds.alias("__ds"))
+    )
+    return scored.select(
+        id_col,
+        F.transform(
+            F.col("__ds"),
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        ).alias("codes"),
+        F.aggregate(
+            F.transform(F.col("__ds"), F.array_min),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("recon_err"),
+    )
+
+
+def sql_pq_encode(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
+    """DuckDB twin of :func:`pq_encode` with the vec_id < n_codes seed
+    codebook convention (same shape as _ivf_sql's seed centroids)."""
+    sub = dim // n_sub
+    d_exprs = ", ".join(
+        f"""list_transform(cb, c -> list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, {sub + 1}), j ->
+                  (v[{s * sub} + j] - c.cv[{s * sub} + j])
+                  * (v[{s * sub} + j] - c.cv[{s * sub} + j]))),
+              (acc, x) -> acc + x))"""
+        for s in range(n_sub)
+    )
+    return f"""
+    WITH cbt AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < {n_codes}),
+    cbrow AS (
+      SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cb
+      FROM cbt),
+    corp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    scored AS (
+      SELECT vec_id, [{d_exprs}] AS ds FROM corp CROSS JOIN cbrow)
+    SELECT vec_id,
+      list_transform(ds, d -> CAST(list_position(d, list_min(d)) - 1 AS INT))
+        AS codes,
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(ds, d -> list_min(d))),
+                  (acc, x) -> acc + x) AS recon_err
+    FROM scored
+    """

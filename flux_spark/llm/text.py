@@ -385,3 +385,38 @@ def filter_report(
         r_rep.alias("r_repetition"),
         (~(r_len | r_wl | r_stop | r_uniq | r_rep)).alias("keep"),
     )
+
+
+def unigram_oov(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 20,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` unigram vocabulary (count desc, token asc ties).
+
+    The tokenizer-coverage signal a curation pipeline tracks: documents
+    full of tokens the target vocabulary lacks will fragment into long
+    byte-level sequences. Plan: one count aggregation builds the
+    vocabulary (vocabulary-bounded, tiny), which broadcasts back onto the
+    exploded token stream — the corpus shuffles once for the per-doc
+    re-aggregation, never for the join.
+    """
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    vocab = (
+        ex.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    joined = ex.join(F.broadcast(vocab), "w", "left")
+    n_oov = F.sum(
+        F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / F.count("*").cast("double")).alias("oov_rate"),
+    )

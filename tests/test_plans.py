@@ -373,3 +373,23 @@ def test_quality_checks_single_scan_no_shuffle_per_rule(spark, sf):
     # all rules fold into one global aggregate: one scan, one gather
     assert plan.count("FileScan") == 1
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_filter_report_zero_shuffle(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_filter_report"].fn(spark, sf))
+    # all signals are per-row array expressions: no exchange, no explode
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_pq_encode_broadcast_codebook_no_corpus_shuffle(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["emb_pq_codes"].fn(spark, sf))
+    # the one-row codebook broadcasts; the corpus side never exchanges
+    # (the only Exchange allowed is the codebook's 1-row aggregation)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side.replace("BroadcastExchange", "")
