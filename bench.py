@@ -53,6 +53,13 @@ ANALYTICS_HEADLINE = [
     "orders_bucketed_join",
     "doc_bigram_score",
     "events_bloom_filtered_join",
+    # round-3 additions
+    "doc_filter_report",
+    "doc_unigram_oov",
+    "doc_curation_pipeline",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "emb_ivf_recall",
 ]
 
 

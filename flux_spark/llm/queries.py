@@ -976,6 +976,25 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LLM_QUERIES,
+    "emb_pq_adc_topk",
+    similarity.sql_pq_adc_topk(),
+    "PQ asymmetric-distance top-5: per-query distance lookup tables "
+    "(broadcast) summed over each candidate's 8 codes — n_sub lookups "
+    "replace the 64-wide dot product, the query path that makes "
+    "billion-vector search bandwidth-feasible",
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    return similarity.pq_adc_topk(
+        e, e.where(F.col("vec_id") < 5), codebook, k=5
+    )
+
+
+@register(
+    LLM_QUERIES,
     "emb_ivf_recall",
     f"""
     WITH exact AS (SELECT query_id, neighbor_id FROM ({_brute_topk_sql()}) t),

@@ -395,6 +395,32 @@ def pq_encode(
     Float determinism: squared-distance folds run left-to-right in
     float64, so codes and errors are bit-identical to the DuckDB oracle.
     """
+    scored = _pq_scored(
+        corpus, codebook, vec_col, id_col, code_id_col, n_sub, dim
+    )
+    return scored.select(
+        id_col,
+        _pq_codes_expr().alias("codes"),
+        F.aggregate(
+            F.transform(F.col("__ds"), F.array_min),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("recon_err"),
+    )
+
+
+def _pq_scored(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str,
+    id_col: str,
+    code_id_col: str,
+    n_sub: int,
+    dim: int,
+) -> DataFrame:
+    """(id, __ds) where __ds[s][c] = squared L2 distance from the row's
+    subvector s to codebook entry c — the shared kernel of encoding
+    (argmin per subspace) and ADC search (the query's lookup table)."""
     sub = dim // n_sub
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cb = codebook.select(
@@ -432,28 +458,83 @@ def pq_encode(
         )
 
     ds = F.array(*[dists(s) for s in range(n_sub)])
-    scored = (
-        corpus.select(F.col(id_col), as_double.alias("__v"))
+    return (
+        df.select(F.col(id_col), as_double.alias("__v"))
         .crossJoin(F.broadcast(cb))
         .select(id_col, ds.alias("__ds"))
     )
-    return scored.select(
-        id_col,
-        F.transform(
-            F.col("__ds"),
-            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
-        ).alias("codes"),
-        F.aggregate(
-            F.transform(F.col("__ds"), F.array_min),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("recon_err"),
+
+
+def _pq_codes_expr() -> Column:
+    return F.transform(
+        F.col("__ds"),
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
     )
 
 
-def sql_pq_encode(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
-    """DuckDB twin of :func:`pq_encode` with the vec_id < n_codes seed
-    codebook convention (same shape as _ivf_sql's seed centroids)."""
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_id_col: str = "code_id",
+    n_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jegou et al. 2011 ADC):
+    each query turns its ``__ds`` into a lookup table; a candidate's
+    approximate distance is the sum of table entries picked by its codes
+    — ``n_sub`` array lookups instead of a ``dim``-wide dot product.
+
+    Plan shape for 100 TB: the corpus is scanned as CODES (n_sub bytes of
+    effective payload per vector, not the raw embeddings), the per-query
+    LUTs broadcast, and only the window's top-k ranking shuffles — the
+    memory/bandwidth profile that makes billion-vector search feasible.
+    Ties break (adc_dist asc, neighbor_id asc) so results are
+    total-ordered and engine-independent.
+    """
+    from pyspark.sql import Window
+
+    enc = _pq_scored(
+        corpus, codebook, vec_col, id_col, code_id_col, n_sub, dim
+    ).select(
+        F.col(id_col).alias("neighbor_id"), _pq_codes_expr().alias("__codes")
+    )
+    qlut = _pq_scored(
+        queries, codebook, vec_col, id_col, code_id_col, n_sub, dim
+    ).select(F.col(id_col).alias("query_id"), F.col("__ds").alias("__qds"))
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_sub)),
+            lambda s: F.element_at(
+                F.element_at(F.col("__qds"), s.cast("int")),
+                F.element_at(F.col("__codes"), s.cast("int")) + F.lit(1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qlut))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def sql_pq_ctes(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
+    """Shared CTE prefix for the PQ oracles: cbt/cbrow (sorted seed
+    codebook, vec_id < n_codes convention like _ivf_sql), corp, and
+    scored(vec_id, ds) where ds = per-subspace distance arrays."""
     sub = dim // n_sub
     d_exprs = ", ".join(
         f"""list_transform(cb, c -> list_reduce(
@@ -477,6 +558,14 @@ def sql_pq_encode(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
       FROM embeddings),
     scored AS (
       SELECT vec_id, [{d_exprs}] AS ds FROM corp CROSS JOIN cbrow)
+    """
+
+
+def sql_pq_encode(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
+    """DuckDB twin of :func:`pq_encode`."""
+    return (
+        sql_pq_ctes(n_sub, dim, n_codes)
+        + """
     SELECT vec_id,
       list_transform(ds, d -> CAST(list_position(d, list_min(d)) - 1 AS INT))
         AS codes,
@@ -485,3 +574,42 @@ def sql_pq_encode(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
                   (acc, x) -> acc + x) AS recon_err
     FROM scored
     """
+    )
+
+
+def sql_pq_adc_topk(
+    n_sub: int = 8,
+    dim: int = 64,
+    n_codes: int = 16,
+    n_queries: int = 5,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk` (vec_id < n_queries queries)."""
+    return (
+        sql_pq_ctes(n_sub, dim, n_codes)
+        + f"""
+    , encoded AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(ds, d ->
+               CAST(list_position(d, list_min(d)) - 1 AS INT)) AS codes
+      FROM scored),
+    qlut AS (
+      SELECT vec_id AS query_id, ds AS qds
+      FROM scored WHERE vec_id < {n_queries}),
+    adc AS (
+      SELECT q.query_id, e.neighbor_id,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, {n_sub + 1}),
+                         s -> q.qds[s][e.codes[s] + 1])),
+          (acc, x) -> acc + x) AS adc_dist
+      FROM encoded e CROSS JOIN qlut q
+      WHERE e.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id ASC)
+                  AS rnk
+      FROM adc)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= {k}
+    """
+    )
