@@ -140,6 +140,47 @@ def log_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "log_latest_reset_consume",
+    _ROUTED_CTE
+    + """
+    SELECT part_id, record_offset, rec_value FROM routed
+    WHERE CAST(rec_value AS BIGINT) >= 500
+    """,
+    "auto.offset.reset=latest gate: a consumer group with no committed "
+    "offsets subscribes between two appends and must see ONLY the second "
+    "batch — its positions install at the subscribe-time high-water mark. "
+    "Offsets stay contiguous across appends, so the oracle is the full "
+    "routed numbering filtered to the second batch's ids",
+)
+def log_latest_reset_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import consumer_from_properties
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-latest-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("events", 3)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("events", e.where(F.col("seq") < 500), ordering_col="seq")
+    cons = consumer_from_properties(
+        store, {"group.id": "latest-gate", "auto.offset.reset": "latest"}
+    )
+    cons.subscribe(["events"])
+    store.append("events", e.where(F.col("seq") >= 500), ordering_col="seq")
+    return cons.poll().records.select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("value").alias("rec_value"),
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_consume_from_offset",
     _ROUTED_CTE
     + """
