@@ -729,6 +729,38 @@ def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "stream_pipeline_envelope",
+    _ROUTED_CTE
+    + """
+    SELECT rec_key,
+           to_json(struct_pack(payload := rec_value,
+                               src_partition := part_id,
+                               src_offset := record_offset)) AS envelope,
+           event_ts
+    FROM routed
+    """,
+    "end-to-end continuous pipeline gate: source topic -> readStream -> "
+    "JSON provenance envelope -> foreachBatch produce into a sink topic "
+    "(the engine's own exactly-once ingest path) -> read back. The sink "
+    "must hold exactly one enveloped record per source record — the "
+    "oracle rebuilds the envelope from the routed offset numbering, so "
+    "a duplicate or lost microbatch fails the value hash",
+)
+def stream_pipeline_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import end_to_end_pipeline
+
+    store = _ingest_events(spark, sf_dir, fresh=True)
+    store.catalog.create_topic("events_enriched", 3)
+    out = end_to_end_pipeline(store, "events", "events_enriched")
+    return out.select(
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("envelope"),
+        F.col("timestamp").alias("event_ts"),
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_offsets_for_times",
     _ROUTED_CTE
     + """
