@@ -1296,6 +1296,67 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LLM_QUERIES,
+    "doc_bpe_pair_stats",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 1) AS c1,
+             substr(w, CAST(i AS INTEGER) + 1, 1) AS c2, n
+      FROM wc CROSS JOIN UNNEST(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2),
+    agg AS (
+      SELECT c1, c2, CAST(SUM(n) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, c1, c2)
+               AS merge_rank
+      FROM agg)
+    SELECT c1, c2, pair_count, CAST(merge_rank AS INT) AS merge_rank
+    FROM ranked WHERE merge_rank <= 20
+    """,
+    "BPE tokenizer-training inner loop: adjacent-symbol pair frequencies "
+    "weighted by word frequency, top-20 merge candidates. The pair count "
+    "runs over the word-frequency DICT (vocabulary-bounded), not the raw "
+    "corpus — the aggregation that makes BPE training feasible at 100 TB: "
+    "one corpus pass builds the dict, every merge iteration after that "
+    "touches only vocabulary-sized data",
+)
+def doc_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.substr("w", i, F.lit(1)).alias("c1"),
+                    F.substr("w", i + F.lit(1), F.lit(1)).alias("c2"),
+                ),
+            )
+        ).alias("p"),
+        "n",
+    )
+    agg = pairs.groupBy(F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2")).agg(
+        F.sum("n").cast("bigint").alias("pair_count")
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), "c1", "c2")
+    return (
+        agg.withColumn("merge_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("merge_rank") <= 20)
+    )
+
+
+@register(
+    LLM_QUERIES,
     "doc_tfidf_top_terms",
     """
     WITH tf AS (
