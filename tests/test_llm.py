@@ -376,3 +376,29 @@ def test_dup_span_dedup_short_docs_pass_through(spark):
     )
     out = dedup.dup_span_dedup(df, k=4, min_docs=2).collect()
     assert sorted(r["clean_text"] for r in out) == ["a b", "a b"]
+
+
+def test_pq_encode_codebook_order_invariant(spark, sf_dir):
+    """The codebook collect_list is wrapped in sort_array (hidden inside
+    the aggregate's result expressions, so no plan assertion can see it):
+    codes must be identical whatever partition/arrival order the codebook
+    rows come in — at cluster scale collect_list order is arbitrary."""
+    from pyspark.sql import functions as F
+
+    from flux_spark.llm import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    shuffled = cb.orderBy(F.col("code_id").desc()).repartition(8)
+    r1 = {
+        r["vec_id"]: (tuple(r["codes"]), r["recon_err"])
+        for r in similarity.pq_encode(e, cb).collect()
+    }
+    r2 = {
+        r["vec_id"]: (tuple(r["codes"]), r["recon_err"])
+        for r in similarity.pq_encode(e, shuffled).collect()
+    }
+    assert r1 == r2
+    assert len(r1) == e.count()
