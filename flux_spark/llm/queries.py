@@ -1489,6 +1489,57 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LLM_QUERIES,
+    "doc_pack_sequences_sharded",
+    """
+    WITH sharded AS (
+      SELECT doc_id, n_chars, CAST(doc_id % 8 AS BIGINT) AS shard
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, n_chars, shard,
+             COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY shard
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS start_pos
+      FROM sharded
+    )
+    SELECT doc_id, shard, n_chars, start_pos,
+           shard * 1000000 + start_pos // 8192 AS bin_id,
+           start_pos % 8192 AS offset_in_bin
+    FROM sized
+    """,
+    "sequence packing, production form: docs hash into 8 shards, each "
+    "shard packs independently (window partitioned by shard — the sort "
+    "parallelizes across shards instead of one global ordering), bin ids "
+    "namespaced per shard. This is the shape that scales: at 100 TB the "
+    "shard count rises with the cluster and no single-partition sort "
+    "exists; the per-row packing math is identical to doc_pack_sequences",
+)
+def doc_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sh = d.withColumn("shard", (F.col("doc_id") % 8).cast("bigint"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("bigint")
+    return sh.select(
+        "doc_id",
+        "shard",
+        "n_chars",
+        start.alias("start_pos"),
+        (F.col("shard") * 1000000 + (start / 8192).cast("bigint")).alias(
+            "bin_id"
+        ),
+        F.pmod(start, F.lit(8192)).cast("bigint").alias("offset_in_bin"),
+    )
+
+
+@register(
+    LLM_QUERIES,
     "doc_dup_span_removal",
     """
     WITH toks AS (
