@@ -159,6 +159,39 @@ class Catalog:
     def partitions_for(self, name: str) -> list[int]:
         return self.get_topic(name).partition_ids()
 
+    def create_partitions(self, name: str, new_total: int) -> TopicMetadata:
+        """Kafka AdminClient.createPartitions analog: grow a topic to
+        ``new_total`` partitions. Only increases are allowed (like Kafka —
+        shrinking would orphan data). Existing partitions and their
+        offsets are untouched; new partitions start empty at offset 0.
+
+        Same caveat as Kafka: key->partition placement is hash(key) %
+        num_partitions, so records keyed AFTER the grow may land on a
+        different partition than records with the same key produced
+        before it. Per-key ordering is only guaranteed within each epoch;
+        compaction/materialization handle cross-partition keys by design
+        (latest-wins is offset+partition based, not placement based).
+        """
+        if new_total < 1:
+            raise ValidationError("new_total must be >= 1")
+        with self._lock:
+            state = self._load()
+            if name not in state["topics"]:
+                raise InvalidTopicError(f"topic {name!r} does not exist")
+            cur = state["topics"][name]["num_partitions"]
+            if new_total <= cur:
+                raise ValidationError(
+                    f"new_total ({new_total}) must exceed current partition "
+                    f"count ({cur}); Kafka topics cannot shrink"
+                )
+            state["topics"][name]["num_partitions"] = new_total
+            self._save(state)
+            for p in range(cur, new_total):
+                (self.warehouse / name / f"partition={p}").mkdir(
+                    parents=True, exist_ok=True
+                )
+            return self._to_meta(name, state["topics"][name])
+
     def set_topic_config(self, name: str, key: str, value: str) -> None:
         """Kafka alterConfigs analog: set one per-topic config entry
         (e.g. ``retention.ms``). Consumed by maintenance jobs like

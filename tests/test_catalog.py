@@ -62,3 +62,21 @@ def test_hwm_roundtrip(catalog):
     # hwm never regresses
     catalog.advance_hwm("t", {0: 7})
     assert catalog.get_topic("t").next_offset(0) == 10
+
+
+def test_create_partitions_grow_only(catalog):
+    from flux_spark.errors import ValidationError
+
+    catalog.create_topic("t", 2)
+    catalog.advance_hwm("t", {0: 10, 1: 5})
+    meta = catalog.create_partitions("t", 4)
+    assert meta.num_partitions == 4
+    # existing offsets untouched; new partitions start empty
+    assert meta.next_offset(0) == 10 and meta.next_offset(1) == 5
+    assert meta.next_offset(2) == 0 and meta.next_offset(3) == 0
+    with pytest.raises(ValidationError):
+        catalog.create_partitions("t", 4)   # not an increase
+    with pytest.raises(ValidationError):
+        catalog.create_partitions("t", 3)   # shrink
+    with pytest.raises(InvalidTopicError):
+        catalog.create_partitions("nope", 5)

@@ -593,3 +593,40 @@ def test_mirror_refuses_mismatched_partition_count(spark, store, tmp_path):
     dst.catalog.create_topic("mm", 2)  # wrong layout
     with pytest.raises(ValidationError, match="partitions"):
         dst.mirror_topic(store, "mm")
+
+
+def test_append_after_create_partitions_routes_over_new_count(spark, store):
+    """Kafka createPartitions semantics: after growing the topic, keyed
+    records hash over the NEW partition count and appends to fresh
+    partitions start at offset 0; pre-grow data is untouched."""
+    from pyspark.sql import functions as F
+
+    from flux_spark.murmur2 import partition_for_key
+
+    store.catalog.create_topic("grow", 2)
+    e1 = spark.createDataFrame(
+        [(i, f"k-{i}", f"v-{i}") for i in range(40)], "seq long, key string, value string"
+    )
+    store.append("grow", e1, ordering_col="seq")
+    before = {
+        (r["partition"], r["offset"]) for r in store.read("grow").collect()
+    }
+    store.catalog.create_partitions("grow", 5)
+    e2 = spark.createDataFrame(
+        [(100 + i, f"k-{i}", f"w-{i}") for i in range(40)], "seq long, key string, value string"
+    )
+    store.append("grow", e2, ordering_col="seq")
+    rows = store.read("grow").collect()
+    # pre-grow rows still present and unchanged
+    assert before <= {(r["partition"], r["offset"]) for r in rows}
+    w_rows = [r for r in rows if r["value"].startswith("w-")]
+    assert len(w_rows) == 40
+    seen_parts = set()
+    for r in w_rows:
+        assert r["partition"] == partition_for_key(r["key"], 5)
+        seen_parts.add(r["partition"])
+    assert max(seen_parts) >= 2  # new partitions actually receive data
+    # offsets in the new partitions are contiguous from 0
+    for p in range(2, 5):
+        offs = sorted(r["offset"] for r in rows if r["partition"] == p)
+        assert offs == list(range(len(offs)))
