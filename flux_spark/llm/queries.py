@@ -1296,6 +1296,63 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LLM_QUERIES,
+    "lsh_tuning_curve",
+    """
+    WITH cfg AS (
+      SELECT unnest([struct_pack(bands := 4, rows_per_band := 4),
+                     struct_pack(bands := 8, rows_per_band := 2),
+                     struct_pack(bands := 2, rows_per_band := 8),
+                     struct_pack(bands := 8, rows_per_band := 4),
+                     struct_pack(bands := 16, rows_per_band := 2)], recursive := true)),
+    grid AS (SELECT CAST(i AS DOUBLE) / 20 AS jaccard
+             FROM unnest(range(1, 20)) AS t(i)),
+    curve AS (
+      SELECT bands, rows_per_band, jaccard,
+        list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          list_transform(range(1, rows_per_band + 1), x -> jaccard)),
+          (acc, v) -> acc * v) AS p_band
+      FROM cfg CROSS JOIN grid)
+    SELECT bands, rows_per_band, jaccard, p_band,
+      1 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(range(1, bands + 1), x -> 1 - p_band)),
+            (acc, v) -> acc * v) AS p_detect
+    FROM curve
+    """,
+    "LSH design table: detection probability 1-(1-s^r)^b over a Jaccard "
+    "grid for candidate (bands, rows) configs — how a pipeline picks its "
+    "banding before a 100 TB dedup run. Powers are computed as ordered "
+    "repeated multiplication (not pow()), so both engines agree "
+    "bit-for-bit",
+)
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfgs = [(4, 4), (8, 2), (2, 8), (8, 4), (16, 2)]
+    cfg = spark.createDataFrame(cfgs, "bands int, rows_per_band int")
+    grid = spark.range(1, 20).select(
+        (F.col("id").cast("double") / 20).alias("jaccard")
+    )
+
+    def pown(base: F.Column, n: F.Column) -> F.Column:
+        # ordered repeated multiplication: fold over [1..n]
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(1), n), lambda _: base),
+            F.lit(1.0),
+            lambda acc, v: acc * v,
+        )
+
+    curve = cfg.crossJoin(grid).withColumn(
+        "p_band", pown(F.col("jaccard"), F.col("rows_per_band"))
+    )
+    return curve.select(
+        "bands",
+        "rows_per_band",
+        "jaccard",
+        "p_band",
+        (1 - pown(1 - F.col("p_band"), F.col("bands"))).alias("p_detect"),
+    )
+
+
+@register(
+    LLM_QUERIES,
     "doc_bpe_pair_stats",
     """
     WITH words AS (
