@@ -356,6 +356,71 @@ def log_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    LOG_QUERIES,
+    "log_group_lags_all",
+    _ROUTED_CTE
+    + """
+    , hw AS (
+      SELECT part_id, MAX(record_offset) + 1 AS hwm
+      FROM routed GROUP BY part_id
+    ),
+    co(group_id, part_id, committed) AS (VALUES
+      ('team-a', 0, 120), ('team-a', 1, 80), ('team-a', 2, 250),
+      ('team-b', 0, 10),  ('team-b', 1, 10), ('team-b', 2, 10))
+    SELECT c.group_id, h.part_id,
+           CAST(h.hwm AS BIGINT) AS hwm,
+           CAST(c.committed AS BIGINT) AS committed,
+           CAST(h.hwm - c.committed AS BIGINT) AS lag
+    FROM hw h JOIN co c ON c.part_id = h.part_id
+    """,
+    "multi-group lag describe (kafka-consumer-groups --describe --all): "
+    "every group's latest committed offset per partition vs the log "
+    "high-water marks, in one report. team-a commits TWICE per partition "
+    "and only the newer commit may surface — exercising the (commit_ts, "
+    "seq) latest-wins resolution across groups in a single scan of the "
+    "append-only _offsets table",
+)
+def log_group_lags_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import OffsetStore
+
+    store = _ingest_events(spark, sf_dir, fresh=True)
+    ostore = OffsetStore(store)
+    # team-a: stale commit first, then the one that must win
+    ostore.commit(
+        "team-a", {("events", 0): 5, ("events", 1): 5, ("events", 2): 5}
+    )
+    ostore.commit(
+        "team-a", {("events", 0): 120, ("events", 1): 80, ("events", 2): 250}
+    )
+    ostore.commit(
+        "team-b", {("events", 0): 10, ("events", 1): 10, ("events", 2): 10}
+    )
+    hw = (
+        store.read("events")
+        .groupBy(F.col("partition").alias("part_id"))
+        .agg((F.max("offset") + 1).alias("hwm"))
+    )
+    committed = (
+        spark.read.parquet(ostore.path)
+        .where(F.col("topic") == "events")
+        .groupBy("group_id", F.col("partition").alias("part_id"))
+        .agg(
+            F.max_by(
+                "offset",
+                F.struct(F.col("commit_ts"), F.coalesce(F.col("seq"), F.lit(-1))),
+            ).alias("committed")
+        )
+    )
+    return hw.join(committed, "part_id").select(
+        "group_id",
+        "part_id",
+        "hwm",
+        "committed",
+        (F.col("hwm") - F.col("committed")).alias("lag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Consumer-group assignor parity: the Python assignors vs independent SQL math
 # ---------------------------------------------------------------------------
