@@ -402,3 +402,69 @@ def test_pq_encode_codebook_order_invariant(spark, sf_dir):
     }
     assert r1 == r2
     assert len(r1) == e.count()
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    """Independent check (no DuckDB, no shared code): PQ codes and
+    reconstruction error recomputed with numpy on synthetic vectors."""
+    import numpy as np
+
+    from flux_spark.llm import similarity
+
+    rng = [((i * 2654435761) % 997) / 997.0 for i in range(24 * 64)]
+    vecs = [rng[i * 64 : (i + 1) * 64] for i in range(24)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    from pyspark.sql import functions as F
+
+    cb = df.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    got = {
+        r["vec_id"]: (list(r["codes"]), r["recon_err"])
+        for r in similarity.pq_encode(df, cb).collect()
+    }
+    # numpy reference (float32 storage widening like parquet)
+    V = np.array(vecs, dtype=np.float32).astype(np.float64)
+    CB = V[:16]
+    for i in range(24):
+        codes, err = [], 0.0
+        for s in range(8):
+            sub = slice(s * 8, (s + 1) * 8)
+            d = ((CB[:, sub] - V[i, sub]) ** 2).sum(axis=1)
+            c = int(np.argmin(d))  # argmin takes first on ties, like ours
+            codes.append(c)
+            err += float(d[c])
+        assert got[i][0] == codes, (i, got[i][0], codes)
+        assert abs(got[i][1] - err) < 1e-9, (i, got[i][1], err)
+
+
+def test_filter_report_reference_rows(spark):
+    """filter_report rule semantics on hand-computed documents."""
+    from flux_spark.llm import text as t
+
+    rows = [
+        (1, " ".join(["the quick brown fox jumps over a lazy dog"] * 6)),
+        (2, " ".join(["word"] * 60)),
+        (3, "a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in t.filter_report(df).collect()}
+    # doc 1: 54 tokens, length/word-len/stopword rules pass, but only 9
+    # distinct tokens -> uniq 9/54 < 0.2 and top frac 6/54 > 0.1
+    assert out[1]["n_tokens"] == 54
+    assert not out[1]["r_length"]
+    assert not out[1]["r_word_len"]
+    assert not out[1]["r_stopword"]   # 'the' x6 + 'a' x6 >= 2
+    assert out[1]["stopword_count"] == 12
+    assert out[1]["r_uniq"] and out[1]["r_repetition"]
+    assert not out[1]["keep"]
+    # doc 2: 60 identical tokens -> repetition (and uniq) fire
+    assert out[2]["n_tokens"] == 60
+    assert out[2]["r_repetition"]     # top token frac 60/60 > 0.1
+    assert not out[2]["keep"]
+    # doc 3: 2 tokens < 50
+    assert out[3]["r_length"]
+    assert not out[3]["keep"]
