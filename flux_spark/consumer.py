@@ -133,6 +133,8 @@ class FluxConsumer:
         self._positions: dict[tuple[str, int], int] = {}
         self._assignment: dict[str, list[int]] = {}
         self._topics: list[str] = []
+        # paused partitions are skipped by poll() but keep their position
+        self._paused: set[tuple[str, int]] = set()
 
     # -- G11: subscribe (FluxConsumer.java:52-133) ----------------------
     def subscribe(self, topics: list[str]) -> dict[str, list[int]]:
@@ -204,6 +206,8 @@ class FluxConsumer:
             hwm = self.store.high_water_marks(t)
             starts, ends = {}, {}
             for p in parts:
+                if (t, p) in self._paused:
+                    continue
                 pos = self._positions[(t, p)]
                 end = hwm.get(p, 0)
                 if max_records_per_partition is not None:
@@ -239,6 +243,40 @@ class FluxConsumer:
 
     def position(self, topic: str, partition: int) -> int:
         return self._positions.get((topic, partition), 0)
+
+    def seek_to_beginning(self, topic: str) -> None:
+        """Kafka ``seekToBeginning``: position every assigned partition of
+        ``topic`` at its earliest readable offset (the log-start offset —
+        0, or the first survivor after retention truncation)."""
+        begins = self.store.beginning_offsets(topic)
+        for (t, p) in list(self._positions):
+            if t == topic:
+                self._positions[(t, p)] = begins.get(p, 0)
+
+    def seek_to_end(self, topic: str) -> None:
+        """Kafka ``seekToEnd``: position at the high-water mark — only
+        records produced after this call will be polled."""
+        hwm = self.store.high_water_marks(topic)
+        for (t, p) in list(self._positions):
+            if t == topic:
+                self._positions[(t, p)] = hwm.get(p, 0)
+
+    # -- pause / resume (Kafka flow control) -----------------------------
+    def pause(self, topic: str, partitions: list[int] | None = None) -> None:
+        """Stop fetching from the given partitions (all assigned ones of
+        ``topic`` if unspecified) without losing position or assignment —
+        Kafka's flow-control primitive for slow downstreams."""
+        parts = partitions if partitions is not None else self._assignment.get(topic, [])
+        for p in parts:
+            self._paused.add((topic, p))
+
+    def resume(self, topic: str, partitions: list[int] | None = None) -> None:
+        parts = partitions if partitions is not None else self._assignment.get(topic, [])
+        for p in parts:
+            self._paused.discard((topic, p))
+
+    def paused(self) -> set[tuple[str, int]]:
+        return set(self._paused)
 
     def seek_to_timestamp(self, topic: str, ts) -> None:
         """Position every assigned partition of ``topic`` at the earliest

@@ -153,3 +153,9 @@ class GroupCoordinator:
 
     def describe(self, group_id: str) -> GroupState:
         return self._group(group_id)
+
+    def list_groups(self) -> list[str]:
+        """Kafka AdminClient.listConsumerGroups analog: every group id this
+        coordinator has seen (expired members are evicted lazily on the
+        group's next interaction, like the broker's heartbeat sweep)."""
+        return sorted(self._groups)

@@ -342,6 +342,25 @@ class LogStore:
         meta = self.catalog.get_topic(topic)
         return {p: meta.next_offset(p) for p in meta.partition_ids()}
 
+    def beginning_offsets(self, topic: str) -> dict[int, int]:
+        """Kafka ``beginningOffsets`` analog: earliest readable offset per
+        partition. 0 for untouched partitions; after retention truncation
+        it is the first surviving record's offset; an empty (fully
+        truncated) partition reports its high-water mark — beginning ==
+        end means nothing to read, matching Kafka's log-start-offset
+        semantics. One metadata-sized aggregation (min over the offset
+        column, rowgroup-stat friendly)."""
+        meta = self.catalog.get_topic(topic)
+        rows = (
+            self.read(topic)
+            .groupBy("partition")
+            .agg(F.min("offset").alias("mn"))
+            .collect()
+        )
+        out = {p: meta.next_offset(p) for p in meta.partition_ids()}
+        out.update({int(r["partition"]): int(r["mn"]) for r in rows})
+        return out
+
     def recover_hwm_from_data(self, topic: str) -> dict[int, int]:
         """Rebuild the high-water marks by scanning the log (crash recovery
         for a lost catalog, or re-adopting a torn append's tail):

@@ -379,3 +379,67 @@ def test_auto_offset_reset_latest(spark, store):
     assert res.count == 4
     vals = sorted(r.value for r in res.records.collect())
     assert vals == ["new-0", "new-1", "new-2", "new-3"]
+
+
+def test_pause_resume_flow_control(spark, store):
+    from flux_spark.consumer import FluxConsumer
+    from flux_spark.producer import FluxProducer
+
+    store.catalog.create_topic("flow", 2)
+    prod = FluxProducer(store)
+    for j in range(20):
+        prod.send("flow", value=f"v-{j}", partition=j % 2)
+    prod.flush()
+    c = FluxConsumer(store, group_id="flowg")
+    c.assign({"flow": [0, 1]})
+    c.pause("flow", [1])
+    assert c.paused() == {("flow", 1)}
+    r1 = c.poll()
+    assert r1.count == 10  # only partition 0
+    assert {r["partition"] for r in r1.records.collect()} == {0}
+    # position of the paused partition did not advance
+    assert c.position("flow", 1) == 0
+    c.resume("flow")
+    r2 = c.poll()
+    assert r2.count == 10
+    assert {r["partition"] for r in r2.records.collect()} == {1}
+    assert not c.poll().should_continue
+
+
+def test_seek_to_beginning_and_end(spark, store):
+    from flux_spark.consumer import FluxConsumer
+    from flux_spark.producer import FluxProducer
+
+    store.catalog.create_topic("seeks", 2)
+    prod = FluxProducer(store)
+    for j in range(30):
+        prod.send("seeks", value=f"v-{j}", partition=j % 2)
+    prod.flush()
+    c = FluxConsumer(store, group_id="seekg")
+    c.assign({"seeks": [0, 1]})
+    assert c.poll().count == 30
+    c.seek_to_beginning("seeks")
+    assert c.poll().count == 30  # full replay
+    c.seek_to_beginning("seeks")
+    c.seek_to_end("seeks")
+    assert c.poll().count == 0   # nothing new past the hwm
+    # after retention truncation, beginning == first survivor
+    store.truncate_before("seeks", {0: 5, 1: 5})
+    begins = store.beginning_offsets("seeks")
+    assert begins == {0: 5, 1: 5}
+    c.seek_to_beginning("seeks")
+    assert c.poll().count == 20  # offsets 5..14 in each partition
+
+
+def test_coordinator_list_groups(store):
+    from flux_spark.consumer import FluxConsumer
+    from flux_spark.coordinator import GroupCoordinator
+
+    store.catalog.create_topic("lg", 1)
+    coord = GroupCoordinator()
+    a = FluxConsumer(store, group_id="g-a", coordinator=coord)
+    b = FluxConsumer(store, group_id="g-b", coordinator=coord)
+    a.subscribe(["lg"])
+    b.subscribe(["lg"])
+    assert coord.list_groups() == ["g-a", "g-b"]
+    assert coord.describe("g-a").members  # non-empty membership
