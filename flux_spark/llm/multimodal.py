@@ -162,3 +162,56 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     raise NotImplementedError(
         "image codecs not available in this environment"
     )
+
+
+# ---------------------------------------------------------------------------
+# container-format sniffing (codec-free: real magic numbers, no decode)
+# ---------------------------------------------------------------------------
+
+# (format, hex signature at offset 0) — the real magic numbers
+MAGIC_SIGNATURES = (
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FFE0"),
+    ("riff", "52494646"),  # RIFF container (WAV/AVI; subtype at offset 8)
+    ("mp4", "0000001866747970"),  # size-24 box + 'ftyp'
+)
+
+
+def with_signed_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Like :func:`with_fake_media` but each payload carries a REAL
+    container signature (cycled by id) ahead of the md5 body — so the
+    sniffing path below exercises the actual byte patterns a media lake
+    contains, without needing any codec library."""
+    sigs = F.array(*[F.lit(h) for _, h in MAGIC_SIGNATURES])
+    sig_hex = F.element_at(sigs, (F.pmod(F.col(id_col), F.lit(4)) + 1).cast("int"))
+    return df.select(
+        F.col(id_col),
+        F.to_binary(F.concat(sig_hex, F.md5(F.col(text_col))), F.lit("hex")).alias(
+            "media"
+        ),
+    )
+
+
+def sniff_media_type(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pre-decode dispatch: detect the container format from the payload's
+    leading bytes (magic numbers) — pure Catalyst byte/hex expressions, no
+    Python, no codec. This is the step a 100 TB media pipeline runs FIRST:
+    route each blob to the right decoder (or quarantine) by prefix, so
+    only matching payloads reach the expensive Arrow decode stage, and
+    corrupt/mislabeled blobs are caught at scan bandwidth."""
+    head = lambda n: F.hex(F.substring(F.col("media"), 1, n))  # noqa: E731
+    detected = (
+        F.when(head(8) == "89504E470D0A1A0A", F.lit("png"))
+        .when(head(4) == "FFD8FFE0", F.lit("jpeg"))
+        .when(head(4) == "52494646", F.lit("riff"))
+        .when(head(8) == "0000001866747970", F.lit("mp4"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.select(
+        F.col(id_col),
+        detected.alias("detected"),
+        F.length("media").cast("int").alias("n_bytes"),
+        head(8).alias("header_hex"),
+    )

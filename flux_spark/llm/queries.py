@@ -1142,6 +1142,38 @@ def media_frame_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.chunk_payloads(multimodal.with_fake_media(d), chunk_size=4)
 
 
+@register(
+    LLM_QUERIES,
+    "media_type_sniff",
+    """
+    WITH signed AS (
+      SELECT doc_id,
+        from_hex(CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN '89504E470D0A1A0A'
+          WHEN 1 THEN 'FFD8FFE0'
+          WHEN 2 THEN '52494646'
+          ELSE '0000001866747970' END || md5(text)) AS media
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN substring(hex(media), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+           WHEN substring(hex(media), 1, 8) = 'FFD8FFE0' THEN 'jpeg'
+           WHEN substring(hex(media), 1, 8) = '52494646' THEN 'riff'
+           WHEN substring(hex(media), 1, 16) = '0000001866747970' THEN 'mp4'
+           ELSE 'unknown' END AS detected,
+      CAST(octet_length(media) AS INTEGER) AS n_bytes,
+      substring(hex(media), 1, 16) AS header_hex
+    FROM signed
+    """,
+    "container-format sniffing on binary payloads: real magic numbers "
+    "(PNG/JPEG/RIFF/MP4-ftyp) matched with pure byte/hex expressions — "
+    "the codec-free pre-decode dispatch that routes each blob to the "
+    "right decoder at scan bandwidth",
+)
+def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sniff_media_type(multimodal.with_signed_media(d))
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution
 # ---------------------------------------------------------------------------
