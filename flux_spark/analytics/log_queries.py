@@ -358,6 +358,35 @@ def log_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "log_snapshot_read",
+    _ROUTED_CTE
+    + """
+    SELECT part_id, record_offset, rec_key, rec_value FROM routed
+    WHERE record_offset < 100
+    """,
+    "snapshot (time-travel) read: an offset-vector bounded scan "
+    "[0, end_offsets) is a CONSISTENT, immutable view of the log no "
+    "matter how much is appended afterwards — record a (partition -> "
+    "offset) vector once and every later read of that vector returns the "
+    "identical dataset. This is the reproducible-training-set primitive: "
+    "a data manifest is just the end-offset vector, and it composes with "
+    "the md5 split/sampling operators for frozen, re-derivable corpora",
+)
+def log_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    ends = {p: 100 for p in (0, 1, 2)}
+    return store.read(
+        "events", partitions=[0, 1, 2], end_offsets=ends
+    ).select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("rec_value"),
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_group_lags_all",
     _ROUTED_CTE
     + """
