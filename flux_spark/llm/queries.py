@@ -993,6 +993,69 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_probe_sweep_sql(max_probe: int = 4, k: int = 5, n_q: int = 5) -> str:
+    total = k * n_q
+    probe_selects = "\n      UNION ALL\n".join(
+        f"      SELECT {np} AS nprobe, query_id, neighbor_id "
+        f"FROM ({_ivf_sql(nprobe=np)}) t{np}"
+        for np in range(1, max_probe + 1)
+    )
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_brute_topk_sql()}) tx),
+    probes AS (
+{probe_selects}
+    ),
+    counts AS (
+      SELECT pr.nprobe, COUNT(*) AS n_hit
+      FROM probes pr JOIN exact e
+        ON e.query_id = pr.query_id AND e.neighbor_id = pr.neighbor_id
+      GROUP BY pr.nprobe)
+    SELECT n.nprobe,
+           CAST(COALESCE(c.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(c.n_hit, 0) AS DOUBLE) / {total} AS recall_at_{k}
+    FROM (SELECT CAST(unnest(range(1, {max_probe + 1})) AS INTEGER) AS nprobe) n
+    LEFT JOIN counts c ON c.nprobe = n.nprobe
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "emb_ivf_probe_sweep",
+    _ivf_probe_sweep_sql(),
+    "ANN tuning sweep: overall recall@5 vs nprobe (1..4 of 8 centroid "
+    "buckets) — the cost/recall frontier an index owner walks before "
+    "fixing nprobe for production; raising nprobe to K recovers exact "
+    "search. (The sweep re-assigns per nprobe here for oracle clarity; "
+    "a production sweep assigns once and varies only the probe list)",
+)
+def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    probes = None
+    for np_ in range(1, 5):
+        p = similarity.ivf_topk(e, q, centroids, k=5, nprobe=np_).select(
+            F.lit(np_).cast("int").alias("nprobe"), "query_id", "neighbor_id"
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    counts = probes.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count("*").alias("n_hit"))
+    grid = spark.range(1, 5).select(F.col("id").cast("int").alias("nprobe"))
+    return grid.join(counts, "nprobe", "left").select(
+        "nprobe",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(25)
+        ).alias("recall_at_5"),
+    )
+
+
 @register(
     LLM_QUERIES,
     "emb_ivf_recall",
