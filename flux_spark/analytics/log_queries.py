@@ -1040,6 +1040,40 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "source_partition_backfill",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
+             AS value
+    FROM events
+    """,
+    "dynamic-partition backfill: events exported Hive-partitioned by "
+    "event_type; ONE partition ('click') is reprocessed and overwritten "
+    "via partitionOverwriteMode=dynamic while every other partition's "
+    "files are untouched — the surgical how-a-100TB-table-reprocesses-"
+    "one-bad-day primitive. The read-back must equal untouched+reprocessed",
+)
+def source_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import sources
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="flux-backfill-")
+    sources.write_sink(
+        e, path, "parquet", mode="overwrite", partition_by=["event_type"]
+    )
+    fixed = e.where(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    sources.overwrite_partitions(fixed, path, ["event_type"])
+    return sources.read_source(spark, path, "parquet").select(
+        "event_id", "event_type", "value"
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_table_materialize",
     """
     WITH keyed AS (
