@@ -358,6 +358,37 @@ def log_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "log_sql_view",
+    _ROUTED_CTE
+    + """
+    SELECT rec_key, COUNT(*) AS n_records,
+           CAST(MIN(record_offset) AS BIGINT) AS first_offset,
+           CAST(MAX(record_offset) AS BIGINT) AS last_offset
+    FROM routed
+    WHERE part_id = 1
+    GROUP BY rec_key
+    """,
+    "SQL-over-topics: the topic log registered as a temp view and "
+    "queried with plain spark.sql — the §7 phase-4 surface. The WHERE "
+    "partition=1 predicate written in SQL still prunes to one partition "
+    "directory because the view is a bare projection over the scan",
+)
+def log_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir)
+    view = store.create_view("events", "gate_events_view")
+    return spark.sql(
+        f"""
+        SELECT key AS rec_key, COUNT(*) AS n_records,
+               MIN(offset) AS first_offset, MAX(offset) AS last_offset
+        FROM {view}
+        WHERE partition = 1
+        GROUP BY key
+        """
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_snapshot_read",
     _ROUTED_CTE
     + """
