@@ -358,6 +358,41 @@ def log_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "log_beginning_offsets",
+    _ROUTED_CTE
+    + """
+    , hw AS (
+      SELECT part_id, MAX(record_offset) + 1 AS hwm
+      FROM routed GROUP BY part_id),
+    lo(part_id, log_start) AS (VALUES (0, 50), (1, 60), (2, 70))
+    SELECT h.part_id,
+           CAST(l.log_start AS BIGINT) AS log_start,
+           CAST(h.hwm AS BIGINT) AS hwm,
+           CAST(h.hwm - l.log_start AS BIGINT) AS n_readable
+    FROM hw h JOIN lo l ON l.part_id = h.part_id
+    """,
+    "log-start offsets after retention truncation (Kafka "
+    "beginningOffsets): partitions truncated below {50,60,70} must "
+    "report exactly those as their earliest readable offsets, with "
+    "n_readable = hwm - log_start — consumer seek_to_beginning and lag "
+    "math both build on this",
+)
+def log_beginning_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _ingest_events(spark, sf_dir, fresh=True)
+    store.truncate_before("events", {0: 50, 1: 60, 2: 70})
+    begins = store.beginning_offsets("events")
+    hwm = store.high_water_marks("events")
+    rows = [
+        (int(p), int(begins[p]), int(hwm[p]), int(hwm[p] - begins[p]))
+        for p in sorted(begins)
+    ]
+    return spark.createDataFrame(
+        rows, "part_id int, log_start long, hwm long, n_readable long"
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_sql_view",
     _ROUTED_CTE
     + """
