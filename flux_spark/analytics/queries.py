@@ -468,6 +468,72 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "events_watermark_planning",
+    """
+    WITH arr AS (
+      SELECT event_id, ts,
+        MAX(ts) OVER (PARTITION BY event_id % 3 ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+      FROM events),
+    d AS (SELECT CAST(unnest([0, 5, 30, 120]) AS INTEGER) AS delay_minutes)
+    SELECT d.delay_minutes,
+      CAST(SUM(CASE WHEN mx IS NOT NULL
+                     AND epoch_us(ts) < epoch_us(mx)
+                         - CAST(delay_minutes AS BIGINT) * 60000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(CAST(SUM(CASE WHEN mx IS NOT NULL
+                          AND epoch_us(ts) < epoch_us(mx)
+                              - CAST(delay_minutes AS BIGINT) * 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS late_rate
+    FROM arr CROSS JOIN d
+    GROUP BY d.delay_minutes
+    """,
+    "watermark planning: per candidate delay (0/5/30/120 min), how many "
+    "events arrive later than the running max event time minus the delay "
+    "— i.e. WOULD BE DROPPED by a streaming aggregation with that "
+    "watermark. Arrival order is tracked per log partition (event_id%3), "
+    "mirroring how Structured Streaming advances watermarks from "
+    "per-partition maxima; the report is what an operator consults "
+    "before fixing withWatermark() for a new source",
+)
+def events_watermark_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    w = (
+        Window.partitionBy(F.pmod(F.col("event_id"), F.lit(3)))
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select("event_id", "ts", F.max("ts").over(w).alias("mx"))
+    delays = spark.createDataFrame(
+        [(0,), (5,), (30,), (120,)], "delay_minutes int"
+    )
+    late = F.when(
+        F.col("mx").isNotNull()
+        & (
+            F.unix_micros("ts")
+            < F.unix_micros("mx")
+            - F.col("delay_minutes").cast("bigint") * F.lit(60000000)
+        ),
+        1,
+    ).otherwise(0)
+    n_late = F.sum(late).cast("bigint")
+    return (
+        arr.crossJoin(F.broadcast(delays))
+        .groupBy("delay_minutes")
+        .agg(
+            n_late.alias("n_late"),
+            F.count("*").cast("bigint").alias("n_events"),
+            (n_late.cast("double") / F.count("*").cast("double")).alias(
+                "late_rate"
+            ),
+        )
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
     "events_sessionize",
     """
     WITH ordered AS (
