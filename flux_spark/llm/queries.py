@@ -300,6 +300,46 @@ def doc_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(dup_corpus(spark, sf_dir))
 
 
+@register(
+    LLM_QUERIES,
+    "doc_dedup_summary",
+    f"""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         {_CORPUS_CTE} SELECT 1 FROM corpus GROUP BY text HAVING COUNT(*) >= 2
+       ) tx) AS n_exact_groups,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_minhash_lsh_sql()}) tm)
+        AS n_minhash_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_simhash_pairs_sql()}) ts)
+        AS n_simhash_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_ngram_jaccard_sql()}) tn)
+        AS n_ngram_pairs
+    """,
+    "dedup dashboard: the yield of every method over the same corpus in "
+    "one row — exact duplicate groups, MinHash-LSH pairs, SimHash pairs, "
+    "exact n-gram Jaccard pairs. The side-by-side a curation team reads "
+    "to pick (and sanity-check) its dedup strategy: LSH missing pairs "
+    "the exact inverted index finds means the banding is too strict",
+)
+def doc_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir)
+    exact = (
+        dedup.exact_dedup_groups(corpus)
+        .where(F.col("n_copies") >= 2)
+        .agg(F.count("*").cast("bigint").alias("n_exact_groups"))
+    )
+    mh = dedup.minhash_lsh_pairs(corpus, threshold=0.5).agg(
+        F.count("*").cast("bigint").alias("n_minhash_pairs")
+    )
+    sh = dedup.simhash_pairs(corpus).agg(
+        F.count("*").cast("bigint").alias("n_simhash_pairs")
+    )
+    ng = dedup.ngram_jaccard_pairs(corpus, threshold=0.5).agg(
+        F.count("*").cast("bigint").alias("n_ngram_pairs")
+    )
+    return exact.crossJoin(mh).crossJoin(sh).crossJoin(ng)
+
+
 # ---------------------------------------------------------------------------
 # text-analysis queries
 # ---------------------------------------------------------------------------
