@@ -393,3 +393,25 @@ def test_pq_encode_broadcast_codebook_no_corpus_shuffle(spark, sf):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     corpus_side = plan.split("BroadcastExchange")[0]
     assert "Exchange" not in corpus_side.replace("BroadcastExchange", "")
+
+
+def test_contamination_broadcasts_bench_never_shuffles_corpus(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_contamination"].fn(spark, sf))
+    # benchmark shingle set broadcasts; corpus side has no join shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pair_stats_aggregates_dict_not_corpus(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    df = LLM_QUERIES["doc_bpe_pair_stats"].fn(spark, sf)
+    df.collect()
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    # corpus scan is column-pruned to text only (word dict built from it)
+    scan = plan.split("FileScan")[1][:400]
+    assert "text" in scan and "doc_id" not in scan
+    # partial aggregation before both shuffles (word dict + pair counts)
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2
