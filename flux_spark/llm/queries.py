@@ -1096,6 +1096,86 @@ def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_emb_aug_sql() -> str:
+    """Embedding twin of _CORPUS_CTE's augmentation: same +100000 exact /
+    +200000 perturbed id scheme, so text pairs and embedding pairs talk
+    about the same documents."""
+    return f"""
+    eaug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 17 = 0
+      UNION ALL
+      SELECT vec_id + 200000,
+        list_prepend(CAST(embedding[1] AS DOUBLE) * CAST(1.5 AS DOUBLE),
+                     list_transform(embedding[2:{_DIM}], x -> CAST(x AS DOUBLE)))
+      FROM embeddings WHERE vec_id % 23 = 0
+    )"""
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_hybrid",
+    f"""
+    WITH {_hybrid_emb_aug_sql().lstrip()},
+    esigs AS (SELECT vec_id, v,
+              {similarity.sql_signature_bits("v", _PLANES, _DIM)} AS sig
+              FROM eaug),
+    epairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {similarity.sql_cosine("a.v", "b.v", _DIM)} AS cos_sim
+      FROM esigs a JOIN esigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98),
+    tpairs AS (SELECT * FROM ({_minhash_lsh_sql()}) tsub)
+    SELECT COALESCE(t.id_a, e.id_a) AS id_a,
+           COALESCE(t.id_b, e.id_b) AS id_b,
+           t.jaccard IS NOT NULL AS text_candidate,
+           e.cos_sim IS NOT NULL AS emb_candidate,
+           t.jaccard, e.cos_sim
+    FROM tpairs t
+    FULL JOIN epairs e ON e.id_a = t.id_a AND e.id_b = t.id_b
+    """,
+    "multi-signal near-dup ensemble: MinHash-LSH text pairs FULL OUTER "
+    "JOINed with sign-LSH embedding pairs over the SAME augmented ids — "
+    "per pair, which signal(s) fired plus both scores. The production "
+    "curation pattern: text dedup misses paraphrases, embedding dedup "
+    "misses short-text collisions; the union with per-signal evidence "
+    "lets the pipeline set per-signal thresholds and audit disagreements",
+)
+def doc_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select(F.col("vec_id"), as_double.alias("v"))
+    copies = e.where(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), as_double.alias("v")
+    )
+    perturbed = e.where(F.col("vec_id") % 23 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") * F.lit(1.5)),
+            F.transform(
+                F.slice("embedding", 2, _DIM - 1), lambda x: x.cast("double")
+            ),
+        ).alias("v"),
+    )
+    eaug = base.unionByName(copies).unionByName(perturbed)
+    epairs = similarity.lsh_near_dup_pairs(eaug, vec_col="v", threshold=0.98)
+    tpairs = dedup.minhash_lsh_pairs(dup_corpus(spark, sf_dir), threshold=0.5)
+    return (
+        tpairs.join(epairs, ["id_a", "id_b"], "full")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("jaccard").isNotNull().alias("text_candidate"),
+            F.col("cos_sim").isNotNull().alias("emb_candidate"),
+            "jaccard",
+            "cos_sim",
+        )
+    )
+
+
 @register(
     LLM_QUERIES,
     "emb_ivf_recall",
