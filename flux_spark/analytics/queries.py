@@ -327,6 +327,74 @@ def customer_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "customer_rfm_scores",
+    """
+    WITH r AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+               AS total_spend
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT *,
+        NTILE(5) OVER (ORDER BY last_order DESC, c_custkey) AS r_score,
+        NTILE(5) OVER (ORDER BY n_orders DESC, c_custkey) AS f_score,
+        NTILE(5) OVER (ORDER BY total_spend DESC, c_custkey) AS m_score
+      FROM r)
+    SELECT c_custkey, last_order, CAST(n_orders AS BIGINT) AS n_orders,
+           total_spend,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+    FROM s
+    """,
+    "RFM segmentation: recency/frequency/monetary quintiles per customer "
+    "(1 = best), composed into the classic 3-digit RFM code — one "
+    "aggregation then three rank windows with deterministic custkey "
+    "tie-breaks. The global NTILEs are the test-scale form; at warehouse "
+    "scale the same scores come from broadcast percentile cutoffs "
+    "(the customer_balance_deciles note applies)",
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("total_spend"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), F.asc("c_custkey"))
+    wf = Window.orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+    wm = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    s = r.select(
+        "*",
+        F.ntile(5).over(wr).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )
+    return s.select(
+        "c_custkey",
+        "last_order",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "total_spend",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        )
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
+
+
+@register(
+    ANALYTICS_QUERIES,
     "customer_balance_deciles",
     """
     WITH d AS (
