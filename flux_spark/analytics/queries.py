@@ -327,6 +327,55 @@ def customer_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "orders_ship_latency_sla",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days,
+           CAST(CAST(SUM(days) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_days,
+           quantile_cont(days, 0.5) AS p50_days,
+           quantile_cont(days, 0.9) AS p90_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+    "order-to-ship latency SLA per priority class: integer day diffs "
+    "aggregate exactly; p50/p90 are exact linear-interpolation "
+    "percentiles (bit-identical to quantile_cont). The operational "
+    "question behind TPC-H Q4, answered as a latency distribution",
+)
+def orders_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        (
+            F.sum("days").cast("bigint").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_days"),
+        F.expr("percentile(days, 0.5)").alias("p50_days"),
+        F.expr("percentile(days, 0.9)").alias("p90_days"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
     "customer_rfm_scores",
     """
     WITH r AS (
