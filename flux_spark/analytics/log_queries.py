@@ -358,6 +358,42 @@ def log_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "log_idempotent_replay",
+    _ROUTED_CTE
+    + "SELECT part_id, record_offset, rec_key, rec_value FROM routed",
+    "exactly-once produce under replay: the same batch appended TWICE "
+    "with the same batch_id must land exactly once — the second append "
+    "is a committed-marker no-op. The oracle is the single-copy routed "
+    "numbering, so any duplicate row or offset gap fails rows+hash. "
+    "This is the producer-side half of EOS (the streaming gate "
+    "stream_pipeline_envelope covers the consumer-side half)",
+)
+def log_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-idem-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("events", 3)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("events", e, ordering_col="seq", batch_id="replay-gate-1")
+    # replay: identical call, identical batch id — must be a no-op
+    store.append("events", e, ordering_col="seq", batch_id="replay-gate-1")
+    return store.read("events").select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("rec_value"),
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_beginning_offsets",
     _ROUTED_CTE
     + """
