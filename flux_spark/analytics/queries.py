@@ -327,6 +327,75 @@ def customer_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     ANALYTICS_QUERIES,
+    "supplier_fill_rate",
+    """
+    WITH lines AS (
+      SELECT l.l_suppkey,
+             CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                  THEN 1 ELSE 0 END AS on_time
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    agg AS (
+      SELECT l_suppkey, COUNT(*) AS n_lines,
+             CAST(SUM(on_time) AS BIGINT) AS n_on_time
+      FROM lines GROUP BY l_suppkey)
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(a.n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(a.n_on_time) AS BIGINT) AS n_on_time,
+           CAST(CAST(SUM(a.n_on_time) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(a.n_lines) AS BIGINT) AS DOUBLE) AS fill_rate
+    FROM agg a
+    JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+    "supplier on-time fill rate (shipped within 30 days of the order) "
+    "rolled up to nation: the operational metric behind TPC-H Q21 as a "
+    "ratio report. One co-partitioned fact-fact join on the order key, "
+    "then partial-aggregation to per-supplier counts BEFORE the "
+    "(broadcast) supplier and nation dims — the final shuffle carries "
+    "supplier-cardinality rows, never lineitems",
+)
+def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select(
+            "l_suppkey",
+            F.when(
+                F.datediff("l_shipdate", "o_orderdate") <= 30, 1
+            )
+            .otherwise(0)
+            .alias("on_time"),
+        )
+    )
+    agg = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("on_time").cast("bigint").alias("n_on_time"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = agg.join(
+        F.broadcast(s), agg["l_suppkey"] == s["s_suppkey"]
+    ).join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    nl = F.sum("n_lines").cast("bigint")
+    no = F.sum("n_on_time").cast("bigint")
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        nl.alias("n_lines"),
+        no.alias("n_on_time"),
+        (no.cast("double") / nl.cast("double")).alias("fill_rate"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
     "orders_ship_latency_sla",
     """
     WITH lat AS (
