@@ -10,13 +10,17 @@ Scale note: catalog state is O(#topics) — a few KB even with thousands of
 topics — so a JSON file with atomic replace is appropriate; on a real cluster
 this would live in a metastore / Delta commit log, and the high-water-mark map
 would be updated by the same transaction that commits data files. Writes are
-serialized by a per-process lock; ingest is single-writer per topic
-(PartitionWriteManager.java:17-84 analog) which makes the read-modify-write
-of the hwm safe.
+serialized by a per-process RLock AND a warehouse-level ``flock`` file lock,
+so two DRIVER PROCESSES sharing one warehouse cannot interleave the
+read-modify-write of the hwm (the lock auto-releases on process death —
+no stale-lock recovery needed). Ingest is additionally single-writer per
+topic (PartitionWriteManager.java:17-84 analog) via LogStore's per-topic
+thread + file locks.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -29,7 +33,31 @@ from pathlib import Path
 from .errors import InvalidTopicError, TopicExistsError, ValidationError
 
 _CATALOG_FILE = "_catalog.json"
+_CATALOG_LOCK_FILE = ".catalog.lock"
 _TOPIC_NAME_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+# committed-batch ids retained per topic for idempotent-produce replay
+# detection; FIFO-pruned so the catalog file stays O(KB). 4096 in-flight
+# retried batches per topic is far beyond any real producer's replay window.
+_MAX_COMMITTED_BATCHES = 4096
+
+
+@contextlib.contextmanager
+def file_lock(path: Path):
+    """Advisory inter-process exclusive lock (``flock``). Blocks until
+    acquired; the kernel releases it automatically if the holder dies, so
+    there is no stale-lock state to recover. Reentrant per-process usage is
+    prevented by the callers' threading locks, which are always taken
+    first."""
+    import fcntl
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        # closing the fd releases the flock
+        os.close(fd)
 
 
 @dataclass
@@ -58,6 +86,14 @@ class Catalog:
         self.warehouse = Path(warehouse)
         self.warehouse.mkdir(parents=True, exist_ok=True)
         self._lock = threading.RLock()
+
+    @contextlib.contextmanager
+    def _xlock(self):
+        """Mutation guard: in-process RLock (serializes threads, and makes
+        the flock below safe — flock conflicts between two fds of ONE
+        process too) + warehouse flock (serializes processes)."""
+        with self._lock, file_lock(self.warehouse / _CATALOG_LOCK_FILE):
+            yield
 
     # -- persistence -------------------------------------------------------
     @property
@@ -109,7 +145,7 @@ class Catalog:
             raise ValidationError("num_partitions must be >= 1")
         if not (0 <= replication_factor <= 3):
             raise ValidationError("replication_factor must be in [0, 3]")
-        with self._lock:
+        with self._xlock():
             state = self._load()
             if name in state["topics"]:
                 raise TopicExistsError(f"topic {name!r} already exists")
@@ -132,7 +168,7 @@ class Catalog:
     def delete_topic(self, name: str, drop_data: bool = False) -> None:
         """InMemoryTopicMetadataRepository.deleteTopic (44-49); the reference
         does no disk GC — data drop is opt-in here."""
-        with self._lock:
+        with self._xlock():
             state = self._load()
             if name not in state["topics"]:
                 raise InvalidTopicError(f"topic {name!r} does not exist")
@@ -174,7 +210,7 @@ class Catalog:
         """
         if new_total < 1:
             raise ValidationError("new_total must be >= 1")
-        with self._lock:
+        with self._xlock():
             state = self._load()
             if name not in state["topics"]:
                 raise InvalidTopicError(f"topic {name!r} does not exist")
@@ -196,7 +232,7 @@ class Catalog:
         """Kafka alterConfigs analog: set one per-topic config entry
         (e.g. ``retention.ms``). Consumed by maintenance jobs like
         ``LogStore.apply_retention``."""
-        with self._lock:
+        with self._xlock():
             state = self._load()
             if name not in state["topics"]:
                 raise InvalidTopicError(f"topic {name!r} does not exist")
@@ -206,12 +242,45 @@ class Catalog:
             self._save(state)
 
     # -- hwm maintenance (called by LogStore under the ingest lock) --------
-    def advance_hwm(self, name: str, new_next_offsets: dict[int, int]) -> None:
-        with self._lock:
+    def advance_hwm(
+        self,
+        name: str,
+        new_next_offsets: dict[int, int],
+        batch_id: str | None = None,
+    ) -> None:
+        """Advance the high-water marks; with ``batch_id``, record the
+        batch as committed IN THE SAME atomic catalog save — this is the
+        commit point of the idempotent-produce protocol (LogStore.append).
+        A crash before this save leaves neither the hwm advance nor the
+        batch marker; a crash after leaves both. There is no intermediate
+        state, so a same-batch_id retry can never re-append a batch whose
+        hwm already advanced (ADVICE r3: the old touch-file marker was
+        written after the hwm save, leaving a duplicate-visible window)."""
+        with self._xlock():
             state = self._load()
             if name not in state["topics"]:
                 raise InvalidTopicError(f"topic {name!r} does not exist")
-            hwm = state["topics"][name].setdefault("hwm", {})
+            topic = state["topics"][name]
+            hwm = topic.setdefault("hwm", {})
             for p, nxt in new_next_offsets.items():
                 hwm[str(p)] = max(int(hwm.get(str(p), 0)), int(nxt))
+            if batch_id is not None:
+                batches = topic.setdefault("committed_batches", {})
+                batches[str(batch_id)] = {
+                    str(p): int(nxt) for p, nxt in new_next_offsets.items()
+                }
+                while len(batches) > _MAX_COMMITTED_BATCHES:
+                    batches.pop(next(iter(batches)))  # FIFO prune (json
+                    # object order == insertion order)
             self._save(state)
+
+    def batch_committed(self, name: str, batch_id: str) -> bool:
+        """True iff ``batch_id`` was committed to ``name`` by a prior
+        :meth:`advance_hwm` (the replay-detection read of the idempotent
+        produce protocol)."""
+        state = self._load()
+        if name not in state["topics"]:
+            raise InvalidTopicError(f"topic {name!r} does not exist")
+        return str(batch_id) in state["topics"][name].get(
+            "committed_batches", {}
+        )

@@ -67,6 +67,8 @@ class OffsetStore:
     def commit(
         self, group_id: str, offsets: dict[tuple[str, int], int], metadata: str | None = None
     ) -> None:
+        from .catalog import file_lock
+
         now = time.time()
         with self._seq_lock:
             seq = next(self._seq)
@@ -75,7 +77,55 @@ class OffsetStore:
             for (t, p), off in offsets.items()
         ]
         df = self.store.spark.createDataFrame(rows, _OFFSETS_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        # flock shared with compact(): a commit can't append into the
+        # directory while compact is atomically swapping it out
+        with file_lock(self.store.warehouse / ".offsets.lock"):
+            df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def compact(self) -> int:
+        """Latest-wins rewrite of the ``_offsets`` log: keep only the
+        winning commit row per (group, topic, partition) and atomically
+        swap the directory (same pattern as ``LogStore.compact``,
+        serialized against concurrent commits by the same warehouse flock
+        + in-process seq lock). Long-lived groups commit one tiny file per
+        poll loop forever (VERDICT r3 anti-pattern audit #1); running this
+        from a maintenance hook keeps ``fetch()`` an O(#groups) scan
+        instead of an O(#commits-ever) one. Returns the number of rows
+        kept (0 = nothing to compact)."""
+        import os
+        import shutil
+        import uuid
+
+        from .catalog import file_lock
+
+        if not os.path.isdir(self.path):
+            return 0
+        from pyspark.sql import Window
+
+        with self._seq_lock, file_lock(
+            self.store.warehouse / ".offsets.lock"
+        ):
+            df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(
+                self.path
+            )
+            w = Window.partitionBy("group_id", "topic", "partition").orderBy(
+                F.col("commit_ts").desc(),
+                F.coalesce(F.col("seq"), F.lit(-1)).desc(),
+            )
+            winners = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            tmp = self.store.warehouse / f".offsets-compact-{uuid.uuid4().hex[:8]}"
+            winners.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            kept = self.store.spark.read.parquet(str(tmp)).count()
+            live = self.store.warehouse / "_offsets"
+            backup = self.store.warehouse / f".offsets-old-{uuid.uuid4().hex[:8]}"
+            os.replace(live, backup)
+            os.replace(tmp, live)
+            shutil.rmtree(backup, ignore_errors=True)
+            return kept
 
     def fetch(self, group_id: str) -> dict[tuple[str, int], int]:
         """Latest committed offset per (topic, partition) for the group."""
@@ -312,7 +362,12 @@ class FluxConsumer:
 # keys that map onto real FluxConsumer knobs
 _CONSUMER_PROPERTY_MAP = {
     "group.id": ("group_id", str),
-    "client.id": ("member_id", str),
+    # Kafka static membership: group.instance.id IS a unique per-member
+    # identity, so it is the correct source for member_id. (client.id is a
+    # shared app label — mapping it here would fold two members with the
+    # same client.id into one "rejoining" member and hand both the same
+    # partition slice; it is subsumed/ignored below instead.)
+    "group.instance.id": ("member_id", str),
     "auto.offset.reset": ("auto_offset_reset", str),
 }
 # reference/Kafka knobs Spark's runtime subsumes (accepted, validated,
@@ -320,6 +375,7 @@ _CONSUMER_PROPERTY_MAP = {
 # file-commit protocol's job, SURVEY.md §2.3/§2.6)
 _SUBSUMED_CONSUMER_PROPERTIES = {
     "bootstrap.servers",
+    "client.id",  # shared non-unique app label; NOT a member identity
     "enable.auto.commit",
     "auto.commit.interval.ms",
     "fetch.min.bytes",
@@ -341,11 +397,13 @@ def consumer_from_properties(
     users (FluxConsumer.java:52-133 takes config-driven construction via
     Properties.java:6-44) can carry their config dicts over.
 
-    Mapped: ``group.id``, ``client.id`` (member id), ``auto.offset.reset``
+    Mapped: ``group.id``, ``group.instance.id`` (static membership ->
+    member id; unique per member by Kafka contract), ``auto.offset.reset``
     (``earliest``/``latest``), ``partition.assignment.strategy`` (comma list
     of ``range``/``roundrobin``/``sticky``, Kafka class names accepted).
-    Subsumed knobs are accepted and ignored; unknown keys raise, mirroring
-    config validation (BrokerConfigValidator.java).
+    Subsumed knobs (including ``client.id``, a shared app label that is NOT
+    a member identity) are accepted and ignored; unknown keys raise,
+    mirroring config validation (BrokerConfigValidator.java).
     """
     known = (
         set(_CONSUMER_PROPERTY_MAP)

@@ -168,12 +168,18 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 # container-format sniffing (codec-free: real magic numbers, no decode)
 # ---------------------------------------------------------------------------
 
-# (format, hex signature at offset 0) — the real magic numbers
+# (format, hex signature at offset 0) — real on-disk header variants, chosen
+# to exercise the detector's PREFIX rules (not byte-for-byte table lookups):
+# both JFIF (FFD8FFE0) and EXIF (FFD8FFE1) JPEGs, and ftyp boxes of two
+# different sizes (24 and 32 bytes) — a detector that hardcodes one variant
+# misclassifies half of these.
 MAGIC_SIGNATURES = (
     ("png", "89504E470D0A1A0A"),
-    ("jpeg", "FFD8FFE0"),
+    ("jpeg", "FFD8FFE0"),  # JFIF
+    ("jpeg", "FFD8FFE1"),  # EXIF
     ("riff", "52494646"),  # RIFF container (WAV/AVI; subtype at offset 8)
-    ("mp4", "0000001866747970"),  # size-24 box + 'ftyp'
+    ("mp4", "0000001866747970"),  # size-24 ftyp box
+    ("mp4", "0000002066747970"),  # size-32 ftyp box
 )
 
 
@@ -185,7 +191,10 @@ def with_signed_media(
     sniffing path below exercises the actual byte patterns a media lake
     contains, without needing any codec library."""
     sigs = F.array(*[F.lit(h) for _, h in MAGIC_SIGNATURES])
-    sig_hex = F.element_at(sigs, (F.pmod(F.col(id_col), F.lit(4)) + 1).cast("int"))
+    sig_hex = F.element_at(
+        sigs,
+        (F.pmod(F.col(id_col), F.lit(len(MAGIC_SIGNATURES))) + 1).cast("int"),
+    )
     return df.select(
         F.col(id_col),
         F.to_binary(F.concat(sig_hex, F.md5(F.col(text_col))), F.lit("hex")).alias(
@@ -202,11 +211,17 @@ def sniff_media_type(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     only matching payloads reach the expensive Arrow decode stage, and
     corrupt/mislabeled blobs are caught at scan bandwidth."""
     head = lambda n: F.hex(F.substring(F.col("media"), 1, n))  # noqa: E731
+    # Prefix rules, not full-header equality: JPEG is any FFD8FF-prefixed
+    # stream (covers JFIF FFD8FFE0, EXIF FFD8FFE1, and other APPn markers);
+    # MP4 is 'ftyp' at bytes 5-8 regardless of the leading box-size word.
     detected = (
         F.when(head(8) == "89504E470D0A1A0A", F.lit("png"))
-        .when(head(4) == "FFD8FFE0", F.lit("jpeg"))
+        .when(head(3) == "FFD8FF", F.lit("jpeg"))
         .when(head(4) == "52494646", F.lit("riff"))
-        .when(head(8) == "0000001866747970", F.lit("mp4"))
+        .when(
+            F.hex(F.substring(F.col("media"), 5, 4)) == "66747970",
+            F.lit("mp4"),
+        )
         .otherwise(F.lit("unknown"))
     )
     return df.select(

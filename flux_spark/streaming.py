@@ -336,32 +336,32 @@ def stream_ingest(
 
     Delivery semantics: foreachBatch is at-least-once (a microbatch whose
     foreachBatch completed but whose checkpoint commit did not is
-    re-delivered with the SAME batch_id on restart). To make such replays
-    no-ops, every appended batch id is recorded in a marker directory
-    ``<warehouse>/<topic>/_stream_commits/<sink_id>/`` keyed by the
-    checkpoint location; write_batch skips ids already marked. The marker
-    is written after the append's file-commit, so the only residual
-    duplication window is a crash *between* parquet commit and marker
-    creation — strictly narrower than the reference, which acks before
-    fsync and drops batches after 3 retries (FluxProducer.java:229-233).
+    re-delivered with the SAME batch_id on restart). Each microbatch is
+    appended with ``batch_id="stream-<sink_id>-<n>"`` (sink id keyed by
+    topic + checkpoint location, so two sinks never collide), riding
+    LogStore.append's idempotent-produce protocol: the batch id commits in
+    the SAME atomic catalog save that advances the hwm, and a replay of a
+    half-written batch discards the torn files before re-appending — so
+    replays are exactly-once with NO residual duplication window (the
+    reference acks before fsync and drops batches after 3 retries,
+    FluxProducer.java:229-233). Empty microbatches are skipped unmarked:
+    replaying one is naturally a no-op.
     """
     import hashlib
 
     sink_id = hashlib.sha256(
         f"{topic}:{os.path.abspath(checkpoint)}".encode()
     ).hexdigest()[:16]
-    commits_dir = store.warehouse / topic / "_stream_commits" / sink_id
-    commits_dir.mkdir(parents=True, exist_ok=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = commits_dir / f"{batch_id}"
-        if marker.exists():  # replayed microbatch — already appended
-            return
         if batch_df.isEmpty():
-            marker.touch()
             return
-        store.append(topic, batch_df, ordering_col=ordering_col)
-        marker.touch()
+        store.append(
+            topic,
+            batch_df,
+            ordering_col=ordering_col,
+            batch_id=f"stream-{sink_id}-{batch_id}",
+        )
 
     writer = (
         source.writeStream.foreachBatch(write_batch)

@@ -443,3 +443,34 @@ def test_coordinator_list_groups(store):
     b.subscribe(["lg"])
     assert coord.list_groups() == ["g-a", "g-b"]
     assert coord.describe("g-a").members  # non-empty membership
+
+
+def test_offset_store_compact(spark, store):
+    """Latest-wins compaction of the _offsets log: many per-poll commit
+    files collapse to one, fetch() results are unchanged, and commits
+    after compaction keep working (VERDICT r3 anti-pattern audit #1)."""
+    import glob
+
+    from flux_spark.consumer import OffsetStore
+
+    os_store = OffsetStore(store)
+    # 120 commits x 2 groups, advancing offsets each time
+    for i in range(120):
+        os_store.commit("g-a", {("t", 0): i, ("t", 1): i * 2})
+        if i % 2 == 0:
+            os_store.commit("g-b", {("t", 0): 1000 + i})
+    before_a = os_store.fetch("g-a")
+    before_b = os_store.fetch("g-b")
+    n_files_before = len(glob.glob(f"{os_store.path}/*.parquet"))
+    assert n_files_before >= 180
+
+    kept = os_store.compact()
+    assert kept == 3  # (g-a,t,0) (g-a,t,1) (g-b,t,0)
+    n_files_after = len(glob.glob(f"{os_store.path}/*.parquet"))
+    assert n_files_after == 1
+    assert os_store.fetch("g-a") == before_a == {("t", 0): 119, ("t", 1): 238}
+    assert os_store.fetch("g-b") == before_b == {("t", 0): 1118}
+
+    # the log keeps accepting commits after the swap
+    os_store.commit("g-a", {("t", 0): 500})
+    assert os_store.fetch("g-a")[("t", 0)] == 500

@@ -441,6 +441,45 @@ def test_pq_encode_matches_numpy_reference(spark):
         assert abs(got[i][1] - err) < 1e-9, (i, got[i][1], err)
 
 
+def test_pq_encode_sparse_code_ids(spark):
+    """codes are the codebook's ACTUAL code_id values: relabelling the
+    codebook with sparse non-zero-based ids must relabel the codes the
+    same way and leave recon_err untouched (ADVICE r3: positions in the
+    sorted codebook array are only valid ids when ids are dense 0..n-1)."""
+    from pyspark.sql import functions as F
+
+    from flux_spark.llm import similarity
+
+    rng = [((i * 2654435761) % 997) / 997.0 for i in range(24 * 64)]
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng[i * 64 : (i + 1) * 64]])
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    dense_cb = df.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    # sparse relabel: 0..15 -> 1000, 1007, 1014, ... (order-preserving)
+    sparse_cb = dense_cb.withColumn(
+        "code_id", (F.col("code_id") * 7 + 1000).cast("long")
+    )
+    dense = {
+        r["vec_id"]: (list(r["codes"]), r["recon_err"])
+        for r in similarity.pq_encode(df, dense_cb).collect()
+    }
+    sparse = {
+        r["vec_id"]: (list(r["codes"]), r["recon_err"])
+        for r in similarity.pq_encode(df, sparse_cb).collect()
+    }
+    assert set(dense) == set(sparse)
+    for vid, (codes, err) in dense.items():
+        s_codes, s_err = sparse[vid]
+        assert s_codes == [c * 7 + 1000 for c in codes], vid
+        assert s_err == err, vid
+
+
 def test_filter_report_reference_rows(spark):
     """filter_report rule semantics on hand-computed documents."""
     from flux_spark.llm import text as t

@@ -343,6 +343,90 @@ def test_append_with_batch_id_is_idempotent(spark, store):
         assert lo == first[p][1] + 1
 
 
+def test_torn_append_retry_is_exactly_once(spark, store, monkeypatch):
+    """Driver crash BETWEEN parquet write and hwm advance, then a
+    same-batch_id retry: the intent protocol must discard the torn
+    attempt's files before re-appending, so rows land exactly once at
+    gap-free offsets (ADVICE r3: the old post-write marker left this
+    window duplicate-visible)."""
+    store.catalog.create_topic("torn", 2)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "seq long, value string"
+    )
+    store.append("torn", df, ordering_col="seq", batch_id="t-0")
+
+    # crash analog: parquet files commit, advance_hwm never runs
+    real_advance = store.catalog.advance_hwm
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated driver crash before commit")
+
+    monkeypatch.setattr(store.catalog, "advance_hwm", boom)
+    with pytest.raises(RuntimeError, match="simulated driver crash"):
+        store.append("torn", df, ordering_col="seq", batch_id="t-1")
+    monkeypatch.setattr(store.catalog, "advance_hwm", real_advance)
+
+    # torn files exist above the hwm but are invisible to committed reads
+    assert store.read("torn").count() == 40
+    assert store.read("torn", include_uncommitted=True).count() == 80
+    intent = store.warehouse / "torn" / "_batch_commits" / "t-1.intent"
+    assert intent.exists()
+
+    # retry: discards the torn attempt, appends exactly once
+    stats = store.append("torn", df, ordering_col="seq", batch_id="t-1")
+    assert sum(hi - lo + 1 for lo, hi in stats.values()) == 40
+    assert not intent.exists()
+    assert store.read("torn").count() == 80
+    assert store.read("torn", include_uncommitted=True).count() == 80
+    got = store.read("torn").select("partition", "offset").collect()
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"partition {p} gap"
+    # replay of the now-committed batch is still a no-op
+    assert store.append("torn", df, ordering_col="seq", batch_id="t-1") == {}
+    assert store.read("torn").count() == 80
+
+
+def test_two_stores_cannot_mint_duplicate_offsets(spark, store):
+    """Two LogStore instances over ONE warehouse (the two-driver-process
+    shape — separate catalog objects, separate threading locks, so only
+    the per-topic flock file serializes them) appending concurrently:
+    offsets must stay gap-free and every record must land exactly once."""
+    import threading
+
+    from flux_spark.log import LogStore
+
+    store.catalog.create_topic("multi", 2)
+    other = LogStore(spark, store.warehouse)  # second "process"
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "seq long, value string"
+    )
+    errors = []
+
+    def run(st):
+        try:
+            for _ in range(3):
+                st.append("multi", df, ordering_col="seq")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in (store, other)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    got = store.read("multi").select("partition", "offset").collect()
+    assert len(got) == 180
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"partition {p} dup/gap"
+
+
 def test_sql_view_over_topic(spark, store):
     store.catalog.create_topic("sqlt", 2)
     store.append("sqlt", _mk_records(spark, 40), ordering_col="seq")
