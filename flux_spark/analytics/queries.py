@@ -1817,24 +1817,18 @@ def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the final shuffle",
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
-    )
+    from .operators import co_occurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # cap=None: TPC-H orders hold <= 7 lineitems; real baskets would pass
+    # max_items_per_key to guard the per-key k² (see co_occurrence_pairs)
     return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
+        co_occurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select(
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
+            F.col("n_keys").alias("n_orders"),
+        )
         .where(F.col("n_orders") >= 2)
     )
 
@@ -2054,26 +2048,15 @@ def events_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the second graph algorithm next to parts_pagerank",
 )
 def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import triangle_count
+    from .operators import co_occurrence_pairs, triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    op = li.distinct()
-    a, b = op.alias("a"), op.alias("b")
+    li = load_table(spark, sf_dir, "lineitem")
+    # cap=None (TPC-H k <= 7); a pathological hot order would be dropped
+    # by max_items_per_key before the k² self-join (skew guard)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .where(F.col("n_orders") >= 2)
-        .select("src", "dst")
+        co_occurrence_pairs(li, "l_orderkey", "l_partkey")
+        .where(F.col("n_keys") >= 2)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     )
     return triangle_count(edges)
 

@@ -1,0 +1,121 @@
+"""Scale the driver's deterministic testdata to a larger scale factor.
+
+Replicates each scaling table FACTOR times with per-replica key offsets, so
+every foreign-key relationship of the source data holds inside each replica
+(o_custkey -> customer, l_orderkey -> orders, l_partkey/l_suppkey -> part/
+supplier, events.user_id density, documents/embeddings ids). Fixed-size
+dimensions (region, nation) are copied through unchanged, mirroring TPC-H
+(their cardinality is scale-independent).
+
+Payload perturbation keeps the scaled corpus realistic for dedup/ANN:
+
+* documents.text: per-replica letter substitution (length-preserving, so
+  ``n_chars`` stays consistent) — replicas are DISTINCT documents, not a
+  pathological all-duplicates corpus;
+* embeddings: small deterministic per-(vec_id, replica) additive epsilon —
+  replicas are near, not identical, vectors.
+
+Everything is pure deterministic SQL over the read-only source parquet —
+same data every run, no RNG. Output file layout matches TESTDATA.md
+(one ``<table>.parquet`` FILE per table) so tests/oracle_check.py, bench.py
+and the DuckDB oracles work unchanged via ``SPARK_GRAFT_SF_DIR``.
+
+Usage: python scripts/gen_sf.py [src_dir] [dst_dir] [factor]
+       python scripts/gen_sf.py            # sf0.1 -> .data/sf1, factor 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# table -> (key columns to offset by replica * source cardinality of the
+# offset base table). Cardinalities are read from the source, not hardcoded.
+KEY_OFFSETS = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "__events_users"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+COPY_THROUGH = ("region", "nation")
+
+
+def generate(src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    card: dict[str, int] = {}
+    for t in KEY_OFFSETS:
+        card[t] = con.execute(
+            f"SELECT count(*) FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchone()[0]
+    # user_id is NOT dense over events: offset by the user-id span instead
+    card["__events_users"] = con.execute(
+        f"SELECT max(user_id) + 1 FROM read_parquet('{src}/events.parquet')"
+    ).fetchone()[0]
+
+    for t in COPY_THROUGH:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) TO "
+            f"'{dst}/{t}.parquet' (FORMAT parquet, COMPRESSION zstd)"
+        )
+        print(f"{t}: copied through")
+
+    for t, offsets in KEY_OFFSETS.items():
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchall()
+        exprs = []
+        for name, typ, *_ in cols:
+            if name in offsets:
+                exprs.append(
+                    f"CAST({name} + r.r * {card[offsets[name]]} AS {typ})"
+                    f" AS {name}"
+                )
+            elif t == "documents" and name == "text":
+                # length-preserving, replica-distinct text: swap 'e' for a
+                # per-replica letter (replica 0 stays byte-identical)
+                exprs.append(
+                    "CASE WHEN r.r = 0 THEN text ELSE translate(text, 'e', "
+                    "chr(103 + CAST(r.r % 20 AS INTEGER))) END AS text"
+                )
+            elif t == "embeddings" and name == "embedding":
+                # deterministic near-duplicate perturbation per replica
+                exprs.append(
+                    "CAST(list_transform(embedding, x -> x + "
+                    "((vec_id * 131 + r.r * 37) % 11 - 5) * 0.01) "
+                    "AS FLOAT[]) AS embedding"
+                )
+            else:
+                exprs.append(name)
+        con.execute(
+            f"COPY (SELECT {', '.join(exprs)} "
+            f"FROM read_parquet('{src}/{t}.parquet') "
+            f"CROSS JOIN (SELECT unnest(range({factor})) AS r) r "
+            "ORDER BY r.r) "
+            f"TO '{dst}/{t}.parquet' (FORMAT parquet, COMPRESSION zstd)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {card.get(t)} -> {n}")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(__file__)), ".data/sf1")
+    )
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    generate(src, dst, factor)

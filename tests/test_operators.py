@@ -167,3 +167,38 @@ def test_join_variants_match_plain_join_randomized(spark, seed):
     )
     assert got_salted == want
     assert got_bloom == want
+
+
+def test_co_occurrence_pairs_skew_cap(spark):
+    """Per-key skew guard: a hot key with more items than the cap is
+    dropped before the k-squared self-join; normal keys are untouched, and
+    with cap=None results equal the uncapped hand computation."""
+    from flux_spark.analytics.operators import co_occurrence_pairs
+
+    rows = [("o1", "a"), ("o1", "b"), ("o2", "a"), ("o2", "b"), ("o2", "c")]
+    # hot key: 50 items -> 1225 pairs if not guarded
+    rows += [("hot", f"i{j:02d}") for j in range(50)]
+    df = spark.createDataFrame(rows, "k string, item string")
+
+    uncapped = {
+        (r["item_a"], r["item_b"]): r["n_keys"]
+        for r in co_occurrence_pairs(df, "k", "item").collect()
+    }
+    assert uncapped[("a", "b")] == 2
+    assert uncapped[("a", "c")] == 1
+    assert sum(v for kk, v in uncapped.items() if kk[0].startswith("i")) == 1225
+
+    capped = {
+        (r["item_a"], r["item_b"]): r["n_keys"]
+        for r in co_occurrence_pairs(
+            df, "k", "item", max_items_per_key=10
+        ).collect()
+    }
+    # hot key gone, normal keys' pairs identical
+    assert capped == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+    # duplicates dedup before pairing (distinct (key, item))
+    dup = spark.createDataFrame(
+        [("o", "x"), ("o", "x"), ("o", "y")], "k string, item string"
+    )
+    assert co_occurrence_pairs(dup, "k", "item").collect()[0]["n_keys"] == 1

@@ -233,3 +233,65 @@ def test_stream_export_exactly_once_across_restarts(filled_store, spark, tmp_pat
     streaming.stream_export(streaming.stream_topic(filled_store, "src"), out, ckpt)
     vals = [r.value for r in spark.read.parquet(out).collect()]
     assert len(vals) == 66 and len(set(vals)) == 66
+
+
+def test_processing_time_trigger_multi_microbatch(filled_store, spark, tmp_path):
+    """Continuous poll parity: a ProcessingTime trigger with
+    maxFilesPerTrigger=1 rate limiting must deliver the log across
+    MULTIPLE microbatches (not one gulp), advance the sink topic's hwm as
+    batches land, and pick up records appended while the query runs —
+    the reference's long-lived poll loop, expressed as a live stream."""
+    import time
+
+    filled_store.catalog.create_topic("ptsink", 3)
+    ckpt = tmp_path / "pt-ckpt"
+    # 60 src records across 3 partition dirs = 3 parquet files -> >= 3
+    # rate-limited microbatches before the live append's files
+    src = streaming.stream_topic(filled_store, "src", max_files_per_trigger=1)
+    q = streaming.stream_ingest(
+        src,
+        filled_store,
+        "ptsink",
+        str(ckpt),
+        trigger={"processingTime": "1 seconds"},
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sum(filled_store.high_water_marks("ptsink").values()) >= 60:
+                break
+            time.sleep(0.5)
+        hwm_mid = filled_store.high_water_marks("ptsink")
+        assert sum(hwm_mid.values()) == 60, hwm_mid
+
+        # live append while the query keeps running -> picked up as new
+        # microbatch input, offsets continue past the existing tail
+        extra = spark.createDataFrame(
+            [(100 + i, i % 3, f"k{i}", f"x{i}") for i in range(12)],
+            "seq long, partition int, key string, value string",
+        )
+        filled_store.append("src", extra, ordering_col="seq")
+        while time.time() < deadline:
+            if sum(filled_store.high_water_marks("ptsink").values()) >= 72:
+                break
+            time.sleep(0.5)
+        assert sum(filled_store.high_water_marks("ptsink").values()) == 72
+        # rate limiting forced multi-batch delivery
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(data_batches) >= 2, [
+            p["numInputRows"] for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # delivered exactly once, per-partition offsets contiguous
+    got = filled_store.read("ptsink").select("partition", "offset").collect()
+    assert len(got) == 72
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"partition {p}"
