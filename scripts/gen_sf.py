@@ -49,6 +49,14 @@ KEY_OFFSETS = {
 }
 COPY_THROUGH = ("region", "nation")
 
+# Row-group sizing: Spark can only split a parquet FILE at rowgroup
+# boundaries, and documents/embeddings feed compute-dense narrow chains
+# (explode, higher-order exprs) where scan parallelism IS the parallelism.
+# A single 50k-row rowgroup would serialize those stages on one core —
+# the single-file artifact of this generator, not a real-lake shape, so
+# generate lake-like splittability instead.
+ROW_GROUP_SIZES = {"documents": 2048, "embeddings": 2048}
+
 
 def generate(src: str, dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
@@ -97,12 +105,17 @@ def generate(src: str, dst: str, factor: int) -> None:
                 )
             else:
                 exprs.append(name)
+        rg = (
+            f", ROW_GROUP_SIZE {ROW_GROUP_SIZES[t]}"
+            if t in ROW_GROUP_SIZES
+            else ""
+        )
         con.execute(
             f"COPY (SELECT {', '.join(exprs)} "
             f"FROM read_parquet('{src}/{t}.parquet') "
             f"CROSS JOIN (SELECT unnest(range({factor})) AS r) r "
             "ORDER BY r.r) "
-            f"TO '{dst}/{t}.parquet' (FORMAT parquet, COMPRESSION zstd)"
+            f"TO '{dst}/{t}.parquet' (FORMAT parquet, COMPRESSION zstd{rg})"
         )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
