@@ -907,6 +907,35 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PLANES12 = similarity.hyperplanes(12, _DIM)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_near_dup_lsh_scaled",
+    _EMB_AUG_CTE
+    + f"""
+, sigs AS (SELECT vec_id, v, {similarity.sql_signature_bits("v", _PLANES12, _DIM)} AS sig FROM aug)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {similarity.sql_cosine("a.v", "b.v", _DIM)} AS cos_sim
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+""",
+    "sign-LSH near-dup at 12 planes — the corpus-growth knob in action: "
+    "candidate volume is ~n²/2^planes, so planes must track log2(n) as "
+    "the corpus scales (8 planes for the sf0.1 gate, 12 here => 16× "
+    "fewer pairs at the same corpus; recall trades against it). Same "
+    "verify path, same exact-cosine oracle",
+)
+def emb_near_dup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_near_dup_pairs(
+        _aug_embeddings(spark, sf_dir),
+        vec_col="v",
+        n_planes=12,
+        threshold=0.98,
+    )
+
+
 def _lsh_topk_sql(n_planes: int = 8, k: int = 5) -> str:
     sig = similarity.sql_signature_bits("embedding", _PLANES, _DIM)
     masks = ", ".join(f"CAST({2**i} AS BIGINT)" for i in range(n_planes))

@@ -560,6 +560,50 @@ class LogStore:
         self.truncate_before(topic, cuts)
         return cuts
 
+    def maintenance(
+        self,
+        min_files_to_compact: int = 16,
+        compact_offsets: bool = True,
+    ) -> dict[str, str]:
+        """One housekeeping pass over the warehouse — the cron-job entry
+        point a deployment schedules (Kafka's LogCleaner thread analog):
+
+        * per topic: enforce ``retention.ms`` if configured, then rewrite
+          any partition whose file count reached ``min_files_to_compact``
+          (small-file compaction; threshold is per-PARTITION since files
+          accrue per partition per append);
+        * the ``_offsets`` commit log: latest-wins rewrite
+          (:meth:`OffsetStore.compact`) so long-lived groups don't
+          accumulate one tiny file per poll loop forever.
+
+        Returns {subject: action} for observability. Safe to run while
+        producers are live — every rewrite takes the topic write lock and
+        swaps directories atomically.
+        """
+        actions: dict[str, str] = {}
+        for topic in self.catalog.list_topics():
+            if self.apply_retention(topic) is not None:
+                actions[topic] = "retention"
+            meta = self.catalog.get_topic(topic)
+            n_files = max(
+                (
+                    len(list((self.warehouse / topic / f"partition={p}").glob("*.parquet")))
+                    for p in meta.partition_ids()
+                ),
+                default=0,
+            )
+            if n_files >= min_files_to_compact:
+                self.compact(topic)
+                actions[topic] = (
+                    actions.get(topic, "") + "+compact"
+                ).lstrip("+")
+        if compact_offsets and (self.warehouse / "_offsets").is_dir():
+            from .consumer import OffsetStore
+
+            kept = OffsetStore(self).compact()
+            actions["_offsets"] = f"compacted ({kept} rows kept)"
+        return actions
+
     def compact(self, topic: str, target_records_per_file: int | None = None) -> None:
         """Rewrite each partition's many small segment files into few large
         offset-sorted ones (small-file compaction / OPTIMIZE).

@@ -714,3 +714,39 @@ def test_append_after_create_partitions_routes_over_new_count(spark, store):
     for p in range(2, 5):
         offs = sorted(r["offset"] for r in rows if r["partition"] == p)
         assert offs == list(range(len(offs)))
+
+
+def test_maintenance_pass(spark, store):
+    """maintenance(): compacts fragmented topics (file count threshold is
+    per-partition), enforces retention where configured, rewrites the
+    _offsets log, and leaves all data/fetch results intact."""
+    import glob
+
+    from flux_spark.consumer import OffsetStore
+
+    store.catalog.create_topic("frag", 2)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "seq long, value string"
+    )
+    for _ in range(6):  # 6 appends -> 6 files per partition
+        store.append("frag", df, ordering_col="seq")
+    os_store = OffsetStore(store)
+    for i in range(25):
+        os_store.commit("g", {("frag", 0): i})
+
+    before_fetch = os_store.fetch("g")
+    actions = store.maintenance(min_files_to_compact=4)
+    assert actions.get("frag") == "compact"
+    assert "_offsets" in actions
+    # physically compacted
+    for p in (0, 1):
+        files = glob.glob(str(store.warehouse / "frag" / f"partition={p}" / "*.parquet"))
+        assert len(files) == 1, (p, files)
+    assert len(glob.glob(str(store.warehouse / "_offsets" / "*.parquet"))) == 1
+    # logically unchanged
+    assert store.read("frag").count() == 120
+    assert os_store.fetch("g") == before_fetch == {("frag", 0): 24}
+    # below threshold -> no action
+    assert store.maintenance(min_files_to_compact=4) == {
+        "_offsets": "compacted (1 rows kept)"
+    }
