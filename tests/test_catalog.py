@@ -80,3 +80,43 @@ def test_create_partitions_grow_only(catalog):
         catalog.create_partitions("t", 3)   # shrink
     with pytest.raises(InvalidTopicError):
         catalog.create_partitions("nope", 5)
+
+
+def test_advance_hwm_cross_process_no_lost_updates(tmp_path):
+    """TRUE multi-process race on the catalog's read-modify-write: two OS
+    processes each advance the hwm 40 times; without the warehouse flock
+    in Catalog._xlock the interleaved load->save would lose updates. The
+    hwm is max-merged, so each process advances a DISTINCT partition and
+    every increment must survive."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from flux_spark.catalog import Catalog
+
+    wh = tmp_path / "wh"
+    cat = Catalog(wh)
+    cat.create_topic("race", 2)
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, {repo!r})
+        from flux_spark.catalog import Catalog
+        cat = Catalog({wh!r})
+        p = int(sys.argv[1])
+        for _ in range(40):
+            cur = cat.get_topic("race").next_offset(p)
+            cat.advance_hwm("race", {{p: cur + 1}})
+        """
+    ).format(repo=str(__import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))), wh=str(wh))
+
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(p)])
+        for p in (0, 1)
+    ]
+    for pr in procs:
+        assert pr.wait(timeout=120) == 0
+    meta = cat.get_topic("race")
+    assert meta.next_offset(0) == 40
+    assert meta.next_offset(1) == 40
