@@ -161,6 +161,19 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 
+def auto_planes(corpus_size: int, target_bucket: int = 16) -> int:
+    """Plane count that keeps expected LSH bucket size ~``target_bucket``
+    as the corpus grows: candidate volume is ~n²/2^planes, so planes must
+    track log2(n) — with planes FIXED, a 10× corpus means 100× the pairs
+    (the measured r4 cliff). ceil(log2(n / target_bucket)), floored at 4:
+    2k vectors -> 7 planes, 20k -> 11, 1B -> 26."""
+    import math
+
+    if corpus_size <= target_bucket:
+        return 4
+    return max(4, math.ceil(math.log2(corpus_size / target_bucket)))
+
+
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic +-1 hyperplanes: component (i, d) is +1 iff the first
     md5 hex digit of "i:d" is odd. Seedless and engine-independent — the

@@ -507,3 +507,18 @@ def test_filter_report_reference_rows(spark):
     # doc 3: 2 tokens < 50
     assert out[3]["r_length"]
     assert not out[3]["keep"]
+
+
+def test_auto_planes_tracks_log2():
+    """auto_planes keeps expected bucket size ~target as corpora grow —
+    the knob that keeps LSH candidate volume linear at 100x scale."""
+    from flux_spark.llm.similarity import auto_planes
+
+    assert auto_planes(10) == 4                  # floor
+    assert auto_planes(2_000) == 7               # 2000/16 -> 125 -> 2^7
+    assert auto_planes(20_000) == 11
+    assert auto_planes(1_000_000_000) == 26
+    # expected bucket size stays in [target/2, 2*target]
+    for n in (10_000, 100_000, 10_000_000):
+        p = auto_planes(n)
+        assert 8 <= n / (2 ** p) <= 32, (n, p)
