@@ -522,3 +522,27 @@ def test_auto_planes_tracks_log2():
     for n in (10_000, 100_000, 10_000_000):
         p = auto_planes(n)
         assert 8 <= n / (2 ** p) <= 32, (n, p)
+
+
+def test_pair_cosine_arrow_bit_identical_to_fold(spark):
+    """pair_cosine_arrow must be BIT-identical to the Catalyst fold
+    cosine() — same left-to-right float64 accumulation — including on
+    adversarial magnitudes where summation order changes the rounding."""
+    rows = []
+    for i in range(64):
+        # wildly mixed magnitudes + signs: catches any pairwise/SIMD
+        # summation shortcut (numpy .sum would diverge here)
+        a = [((i * 131 + j * 17) % 23 - 11) * (10.0 ** ((j % 13) - 6)) for j in range(64)]
+        b = [((i * 37 + j * 101) % 19 - 9) * (10.0 ** (((j + 5) % 13) - 6)) for j in range(64)]
+        rows.append((i, [float(x) for x in a], [float(y) for y in b]))
+    df = spark.createDataFrame(
+        rows, "pid long, a array<float>, b array<float>"
+    )
+    got = df.select(
+        "pid",
+        similarity.cosine(F.col("a"), F.col("b")).alias("fold"),
+        similarity.pair_cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert len(got) == 64
+    for r in got:
+        assert r.fold == r.arrow, (r.pid, r.fold, r.arrow, r.fold - r.arrow)
