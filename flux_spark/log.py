@@ -492,29 +492,35 @@ class LogStore:
         valid). Implemented as a filtered rewrite + atomic directory swap,
         like compact(); at warehouse scale the same operation would drop
         whole files below the watermark first and rewrite only the
-        boundary file."""
-        meta = self.catalog.get_topic(topic)
-        n = meta.num_partitions
-        keep = None
-        for p, lo in min_offsets.items():
-            c = (F.col("partition") == int(p)) & (F.col("offset") >= int(lo))
-            keep = c if keep is None else (keep | c)
-        untouched = ~F.col("partition").isin([int(p) for p in min_offsets])
-        cond = untouched if keep is None else (keep | untouched)
-        df = self.read(topic).drop("topic").where(cond)
-        tmp = self.warehouse / f".trunc-{topic}-{uuid.uuid4().hex[:8]}"
-        (
-            df.repartition(n, "partition")
-            .sortWithinPartitions("offset")
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", self.max_records_per_file)
-            .option("compression", self.compression)
-            .partitionBy("partition")
-            .parquet(str(tmp))
-        )
-        live = Path(self.topic_path(topic))
-        backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
+        boundary file.
+
+        Holds the topic write lock for the WHOLE read-rewrite-swap (not
+        just the swap): an append committing between the rewrite's
+        snapshot and the directory swap would otherwise be silently
+        erased by the swap (caught by
+        tests/test_log.py::test_compact_races_live_appends)."""
         with self._write_lock(topic):
+            meta = self.catalog.get_topic(topic)
+            n = meta.num_partitions
+            keep = None
+            for p, lo in min_offsets.items():
+                c = (F.col("partition") == int(p)) & (F.col("offset") >= int(lo))
+                keep = c if keep is None else (keep | c)
+            untouched = ~F.col("partition").isin([int(p) for p in min_offsets])
+            cond = untouched if keep is None else (keep | untouched)
+            df = self.read(topic).drop("topic").where(cond)
+            tmp = self.warehouse / f".trunc-{topic}-{uuid.uuid4().hex[:8]}"
+            (
+                df.repartition(n, "partition")
+                .sortWithinPartitions("offset")
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", self.max_records_per_file)
+                .option("compression", self.compression)
+                .partitionBy("partition")
+                .parquet(str(tmp))
+            )
+            live = Path(self.topic_path(topic))
+            backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
             os.replace(live, backup)
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
@@ -610,26 +616,34 @@ class LogStore:
 
         Keeps rowgroup-stat pruning effective as segment counts grow; the
         poll-latency mitigation from SURVEY.md §7 risk 2.
+
+        Runs entirely under the topic write lock: the rewrite reads a
+        snapshot, so an append landing between snapshot and swap would be
+        erased if producers weren't excluded for the whole operation
+        (regression-tested by test_compact_races_live_appends). Producers
+        block for the compaction window — the Kafka-cleaner trade; at
+        warehouse scale the cleaner compacts partition-by-partition to
+        shrink each window.
         """
-        meta = self.catalog.get_topic(topic)
-        n = meta.num_partitions
-        tmp = self.warehouse / f".compact-{topic}-{uuid.uuid4().hex[:8]}"
-        df = self.read(topic).drop("topic")
-        (
-            df.repartition(n, "partition")
-            .sortWithinPartitions("offset")
-            .write.mode("overwrite")
-            .option(
-                "maxRecordsPerFile",
-                target_records_per_file or self.max_records_per_file,
-            )
-            .option("compression", self.compression)
-            .partitionBy("partition")
-            .parquet(str(tmp))
-        )
-        live = Path(self.topic_path(topic))
-        backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
         with self._write_lock(topic):
+            meta = self.catalog.get_topic(topic)
+            n = meta.num_partitions
+            tmp = self.warehouse / f".compact-{topic}-{uuid.uuid4().hex[:8]}"
+            df = self.read(topic).drop("topic")
+            (
+                df.repartition(n, "partition")
+                .sortWithinPartitions("offset")
+                .write.mode("overwrite")
+                .option(
+                    "maxRecordsPerFile",
+                    target_records_per_file or self.max_records_per_file,
+                )
+                .option("compression", self.compression)
+                .partitionBy("partition")
+                .parquet(str(tmp))
+            )
+            live = Path(self.topic_path(topic))
+            backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
             os.replace(live, backup)
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)
@@ -646,33 +660,35 @@ class LogStore:
         One shuffle keyed on (partition, key) — at warehouse scale the
         cleaner would run per-partition over only the dirty ratio, but the
         plan shape (window max-offset per key, no driver loop) is the one
-        that scales."""
+        that scales. Entire read-rewrite-swap runs under the topic write
+        lock so a concurrent append can't land between snapshot and swap
+        and be erased (see compact())."""
         from pyspark.sql import Window
 
-        meta = self.catalog.get_topic(topic)
-        n = meta.num_partitions
-        df = self.read(topic).drop("topic")
-        w = Window.partitionBy("partition", "key").orderBy(F.col("offset").desc())
-        keyed = (
-            df.where(F.col("key").isNotNull())
-            .withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") == 1) & F.col("value").isNotNull())
-            .drop("__rn")
-        )
-        compacted = df.where(F.col("key").isNull()).unionByName(keyed)
-        tmp = self.warehouse / f".kcompact-{topic}-{uuid.uuid4().hex[:8]}"
-        (
-            compacted.repartition(n, "partition")
-            .sortWithinPartitions("offset")
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", self.max_records_per_file)
-            .option("compression", self.compression)
-            .partitionBy("partition")
-            .parquet(str(tmp))
-        )
-        live = Path(self.topic_path(topic))
-        backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
         with self._write_lock(topic):
+            meta = self.catalog.get_topic(topic)
+            n = meta.num_partitions
+            df = self.read(topic).drop("topic")
+            w = Window.partitionBy("partition", "key").orderBy(F.col("offset").desc())
+            keyed = (
+                df.where(F.col("key").isNotNull())
+                .withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") == 1) & F.col("value").isNotNull())
+                .drop("__rn")
+            )
+            compacted = df.where(F.col("key").isNull()).unionByName(keyed)
+            tmp = self.warehouse / f".kcompact-{topic}-{uuid.uuid4().hex[:8]}"
+            (
+                compacted.repartition(n, "partition")
+                .sortWithinPartitions("offset")
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", self.max_records_per_file)
+                .option("compression", self.compression)
+                .partitionBy("partition")
+                .parquet(str(tmp))
+            )
+            live = Path(self.topic_path(topic))
+            backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
             os.replace(live, backup)
             os.replace(tmp, live)
         shutil.rmtree(backup, ignore_errors=True)

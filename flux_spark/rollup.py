@@ -62,7 +62,21 @@ class ContinuousRollup:
 
     def refresh(self) -> int:
         """Fold all records past the committed offsets into the rollup.
-        Returns the number of new records absorbed."""
+        Returns the number of new records absorbed.
+
+        Serialized by a flock on the rollup path: two concurrent
+        refreshes (threads OR processes) could otherwise interleave
+        poll -> swap -> commit such that the last offset commit doesn't
+        match the last table swap, double-folding a window on the next
+        refresh. Single-maintainer is the normal deployment (Kafka
+        Streams' one-task-per-store rule); the lock makes violations
+        safe instead of silently corrupting."""
+        from .catalog import file_lock
+
+        with file_lock(self.path.parent / f".{self.path.name}.lock"):
+            return self._refresh_locked()
+
+    def _refresh_locked(self) -> int:
         res = self.consumer.poll()
         if res.count == 0:
             return 0

@@ -36,6 +36,7 @@ LSO advancing past completed transactions.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -73,6 +74,16 @@ class TxnLog:
         self.warehouse.mkdir(parents=True, exist_ok=True)
         self._lock = threading.RLock()
 
+    @contextlib.contextmanager
+    def _xlock(self):
+        """Thread RLock + warehouse flock: two driver processes sharing
+        the warehouse cannot interleave the txn log's read-modify-write
+        (same pattern as Catalog._xlock)."""
+        from .catalog import file_lock
+
+        with self._lock, file_lock(self.warehouse / ".txns.lock"):
+            yield
+
     @property
     def _path(self) -> Path:
         return self.warehouse / _TXN_FILE
@@ -98,7 +109,7 @@ class TxnLog:
         """Bump the transactional id's epoch; abort its in-flight txn
         (zombie fencing — the old incarnation's unfinished work becomes
         permanently invisible to read_committed)."""
-        with self._lock:
+        with self._xlock():
             state = self._load()
             ent = state["ids"].setdefault(tid, {"epoch": 0, "seq": 0})
             ent["epoch"] += 1
@@ -113,7 +124,7 @@ class TxnLog:
 
     # -- per-transaction lifecycle -------------------------------------
     def begin(self, tid: str, epoch: int) -> str:
-        with self._lock:
+        with self._xlock():
             state = self._load()
             self._check_epoch(state, tid, epoch)
             ent = state["ids"][tid]
@@ -132,7 +143,7 @@ class TxnLog:
     def add_ranges(
         self, tid: str, epoch: int, key: str, ranges: list[tuple[str, int, int, int]]
     ) -> None:
-        with self._lock:
+        with self._xlock():
             state = self._load()
             self._check_epoch(state, tid, epoch)
             txn = self._ongoing(state, key)
@@ -141,7 +152,7 @@ class TxnLog:
 
     def finish(self, tid: str, epoch: int, key: str, status: str) -> None:
         assert status in ("committed", "aborted")
-        with self._lock:
+        with self._xlock():
             state = self._load()
             self._check_epoch(state, tid, epoch)
             txn = state["txns"].get(key)
@@ -191,7 +202,7 @@ class TxnLog:
         """GC committed transactions (their ranges are never consulted);
         returns the number dropped. Kafka analog: LSO moving past completed
         transactions lets the aborted-txn index stay small."""
-        with self._lock:
+        with self._xlock():
             state = self._load()
             done = [
                 k for k, t in state["txns"].items() if t["status"] == "committed"

@@ -750,3 +750,52 @@ def test_maintenance_pass(spark, store):
     assert store.maintenance(min_files_to_compact=4) == {
         "_offsets": "compacted (1 rows kept)"
     }
+
+
+def test_compact_races_live_appends(spark, store):
+    """Maintenance must be safe against live producers: a thread runs
+    small-file compaction while another keeps appending. Every record
+    survives, offsets stay gap-free, and the reader never sees a torn
+    directory (the atomic-swap + per-topic write-lock interplay)."""
+    import threading
+
+    store.catalog.create_topic("live", 2)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "seq long, value string"
+    )
+    store.append("live", df, ordering_col="seq")
+    errors = []
+    done = threading.Event()
+
+    def producer():
+        try:
+            for _ in range(4):
+                store.append("live", df, ordering_col="seq")
+        except Exception as e:  # noqa: BLE001
+            errors.append(("producer", e))
+        finally:
+            done.set()
+
+    def compactor():
+        try:
+            while not done.is_set():
+                store.compact("live")
+        except Exception as e:  # noqa: BLE001
+            errors.append(("compactor", e))
+
+    threads = [
+        threading.Thread(target=producer),
+        threading.Thread(target=compactor),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    got = store.read("live").select("partition", "offset").collect()
+    assert len(got) == 150
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"partition {p}"
