@@ -1453,3 +1453,155 @@ def log_txn_read_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("rec_key"),
         F.col("value").alias("rec_value"),
     )
+
+
+@register(
+    LOG_QUERIES,
+    "log_admin_reset_offsets",
+    _ROUTED_CTE
+    + """
+    , hw AS (
+      SELECT part_id, MAX(record_offset) + 1 AS hwm
+      FROM routed GROUP BY part_id)
+    SELECT part_id,
+           CAST(hwm AS BIGINT) AS hwm,
+           CAST(hwm AS BIGINT) AS after_latest,
+           CAST(0 AS BIGINT) AS after_earliest,
+           CAST(0 AS BIGINT) AS lag_after_latest
+    FROM hw
+    """,
+    "kafka-consumer-groups --reset-offsets parity: one group reset "
+    "to-latest must commit exactly the high-water marks (lag 0), another "
+    "reset to-earliest exactly the log-start offsets (0 here, no "
+    "retention truncation) — both read back from the durable _offsets "
+    "log through the same latest-wins resolution the lag monitor uses",
+)
+def log_admin_reset_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import OffsetStore
+
+    store = _ingest_events(spark, sf_dir)
+    ostore = OffsetStore(store)
+    ostore.reset_offsets("reset-latest-gate", "events", to="latest")
+    ostore.reset_offsets("reset-earliest-gate", "events", to="earliest")
+
+    def committed(group: str, alias: str) -> DataFrame:
+        return (
+            spark.read.parquet(ostore.path)
+            .where((F.col("group_id") == group) & (F.col("topic") == "events"))
+            .groupBy(F.col("partition").alias("part_id"))
+            .agg(
+                F.max_by(
+                    "offset",
+                    F.struct(F.col("commit_ts"), F.coalesce(F.col("seq"), F.lit(-1))),
+                ).alias(alias)
+            )
+        )
+
+    hw = (
+        store.read("events")
+        .groupBy(F.col("partition").alias("part_id"))
+        .agg((F.max("offset") + 1).alias("hwm"))
+    )
+    return (
+        hw.join(committed("reset-latest-gate", "after_latest"), "part_id")
+        .join(committed("reset-earliest-gate", "after_earliest"), "part_id")
+        .select(
+            "part_id",
+            "hwm",
+            "after_latest",
+            "after_earliest",
+            (F.col("hwm") - F.col("after_latest")).alias("lag_after_latest"),
+        )
+    )
+
+
+@register(
+    LOG_QUERIES,
+    "log_delete_group",
+    """
+    SELECT group_id, CAST(n_parts AS BIGINT) AS n_parts
+    FROM (VALUES ('dg-gate-b', 2)) AS t(group_id, n_parts)
+    """,
+    "Kafka AdminClient.deleteConsumerGroups parity: two groups commit "
+    "offsets, one is deleted — the durable _offsets log must keep "
+    "exactly the surviving group's rows (scoped to the dg-gate-* "
+    "namespace so the shared gate store's other groups are untouched)",
+)
+def log_delete_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import OffsetStore
+
+    store = _ingest_events(spark, sf_dir)
+    ostore = OffsetStore(store)
+    ostore.commit("dg-gate-a", {("events", 0): 10, ("events", 1): 20, ("events", 2): 30})
+    ostore.commit("dg-gate-b", {("events", 0): 40, ("events", 1): 50})
+    ostore.delete_group("dg-gate-a")
+    return (
+        spark.read.parquet(ostore.path)
+        .where(F.col("group_id").startswith("dg-gate-"))
+        .select("group_id", "topic", "partition")
+        .distinct()
+        .groupBy("group_id")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    LOG_QUERIES,
+    "log_alter_partitions",
+    """
+    WITH r AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 < 2 THEN 'p1' ELSE 'p2' END AS rec_key,
+             CASE WHEN event_id % 5 < 2 THEN CAST(event_id % 2 AS INTEGER)
+                  ELSE CAST(event_id % 4 AS INTEGER) END AS part_id
+      FROM events),
+    o AS (
+      SELECT part_id, rec_key,
+             ROW_NUMBER() OVER (PARTITION BY part_id
+                                ORDER BY (rec_key = 'p2'), event_id) - 1
+               AS record_offset
+      FROM r)
+    SELECT part_id, rec_key,
+           COUNT(*) AS n_records,
+           CAST(MIN(record_offset) AS BIGINT) AS min_off,
+           CAST(MAX(record_offset) AS BIGINT) AS max_off
+    FROM o GROUP BY part_id, rec_key
+    """,
+    "Kafka AdminClient.createPartitions parity (catalog.create_partitions): "
+    "a 2-partition topic takes an epoch of mod-2-routed records, grows to "
+    "4 partitions, then takes a mod-4-routed epoch — pre-grow offsets are "
+    "untouched, new partitions start at 0, and post-grow offsets continue "
+    "contiguously from each partition's high-water mark; the oracle "
+    "recomputes the full two-epoch (partition, offset) numbering",
+)
+def log_alter_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-grow-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("grow", 2)
+    e = load_table(spark, sf_dir, "events")
+    phase1 = e.where(F.col("event_id") % 5 < 2).select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(2)).cast("int").alias("partition"),
+        F.lit("p1").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("grow", phase1, ordering_col="seq")
+    store.catalog.create_partitions("grow", 4)
+    phase2 = e.where(F.col("event_id") % 5 >= 2).select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+        F.lit("p2").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("grow", phase2, ordering_col="seq")
+    return (
+        store.read("grow")
+        .groupBy(F.col("partition").alias("part_id"), F.col("key").alias("rec_key"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("offset").alias("min_off"),
+            F.max("offset").alias("max_off"),
+        )
+    )

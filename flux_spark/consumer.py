@@ -147,6 +147,87 @@ class OffsetStore:
         )
         return {(r["topic"], int(r["partition"])): int(r["offset"]) for r in rows}
 
+    # -- admin surface (Kafka AdminClient / kafka-consumer-groups parity) --
+
+    def groups(self) -> list[str]:
+        """Kafka AdminClient.listConsumerGroups over the durable offsets
+        log: every group id with at least one committed offset. (The
+        in-memory ``GroupCoordinator.list_groups`` covers live-membership
+        groups; this covers the broker-durable view, like listing groups
+        from ``__consumer_offsets``.)"""
+        import os
+
+        if not os.path.isdir(self.path):
+            return []
+        df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(self.path)
+        return sorted(
+            r["group_id"]
+            for r in df.select("group_id").distinct().collect()
+        )
+
+    def delete_group(self, group_id: str) -> int:
+        """Kafka AdminClient.deleteConsumerGroups analog: drop every
+        committed offset for ``group_id``. Same atomic rewrite-and-swap
+        as :meth:`compact` (under the warehouse flock + seq lock, so a
+        concurrent commit can't land in the directory being swapped out).
+        Returns the number of commit rows removed."""
+        import os
+        import shutil
+        import uuid
+
+        from .catalog import file_lock
+
+        if not os.path.isdir(self.path):
+            return 0
+        with self._seq_lock, file_lock(self.store.warehouse / ".offsets.lock"):
+            df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(self.path)
+            total = df.count()
+            keep = df.where(F.col("group_id") != group_id)
+            kept = keep.count()
+            if kept == total:
+                return 0
+            tmp = self.store.warehouse / f".offsets-delg-{uuid.uuid4().hex[:8]}"
+            keep.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            live = self.store.warehouse / "_offsets"
+            backup = self.store.warehouse / f".offsets-old-{uuid.uuid4().hex[:8]}"
+            os.replace(live, backup)
+            os.replace(tmp, live)
+            shutil.rmtree(backup, ignore_errors=True)
+            return int(total - kept)
+
+    def reset_offsets(
+        self,
+        group_id: str,
+        topic: str,
+        to="latest",
+        partitions: list[int] | None = None,
+    ) -> dict[tuple[str, int], int]:
+        """``kafka-consumer-groups --reset-offsets`` analog. ``to`` is
+        ``"earliest"`` (log-start offsets, i.e. post-retention
+        beginnings), ``"latest"`` (high-water marks), or a timestamp
+        (first offset with record time >= ts per partition, Kafka's
+        ``--to-datetime``; partitions with no such record reset to
+        latest, matching the CLI). The computed targets are committed for
+        the group and returned."""
+        if to == "earliest":
+            targets = self.store.beginning_offsets(topic)
+        elif to == "latest":
+            targets = self.store.high_water_marks(topic)
+        else:
+            hwm = self.store.high_water_marks(topic)
+            by_ts = self.store.offsets_for_times(topic, to)
+            targets = {
+                p: (off if off is not None else hwm[p])
+                for p, off in by_ts.items()
+            }
+        if partitions is not None:
+            want = set(partitions)
+            targets = {p: o for p, o in targets.items() if p in want}
+        offsets = {(topic, int(p)): int(o) for p, o in targets.items()}
+        if offsets:
+            self.commit(group_id, offsets, metadata=f"reset:{to}")
+        return offsets
+
 
 @dataclass
 class PollResult:

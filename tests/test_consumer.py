@@ -474,3 +474,63 @@ def test_offset_store_compact(spark, store):
     # the log keeps accepting commits after the swap
     os_store.commit("g-a", {("t", 0): 500})
     assert os_store.fetch("g-a")[("t", 0)] == 500
+
+
+def test_offset_store_admin_groups_delete(spark, store):
+    """Durable-group admin surface: groups() lists every group with a
+    committed offset (Kafka listConsumerGroups over __consumer_offsets);
+    delete_group removes exactly that group's rows and leaves the others'
+    fetch() results untouched (Kafka deleteConsumerGroups)."""
+    from flux_spark.consumer import OffsetStore
+
+    os_store = OffsetStore(store)
+    assert os_store.groups() == []
+    assert os_store.delete_group("nope") == 0
+
+    os_store.commit("dg-a", {("t", 0): 5, ("t", 1): 7})
+    os_store.commit("dg-b", {("t", 0): 11})
+    os_store.commit("dg-a", {("t", 0): 6})  # superseding commit
+    assert os_store.groups() == ["dg-a", "dg-b"]
+
+    removed = os_store.delete_group("dg-a")
+    assert removed == 3  # both original rows + the superseding one
+    assert os_store.groups() == ["dg-b"]
+    assert os_store.fetch("dg-a") == {}
+    assert os_store.fetch("dg-b") == {("t", 0): 11}
+    # deleting a group that has no rows (again) is a no-op
+    assert os_store.delete_group("dg-a") == 0
+    # the log keeps accepting commits after the swap
+    os_store.commit("dg-a", {("t", 0): 1})
+    assert os_store.fetch("dg-a") == {("t", 0): 1}
+
+
+def test_offset_store_reset_offsets(topic_store):
+    """kafka-consumer-groups --reset-offsets parity: to-earliest lands on
+    log-start offsets, to-latest on high-water marks, to-datetime on the
+    first offset at/after the timestamp (falling back to latest where no
+    such record exists); a partitions filter restricts the scope."""
+    from flux_spark.consumer import OffsetStore
+
+    fill(topic_store, 90)
+    os_store = OffsetStore(topic_store)
+
+    latest = os_store.reset_offsets("rg", "t", to="latest")
+    hwm = topic_store.high_water_marks("t")
+    assert latest == {("t", p): o for p, o in hwm.items()}
+    assert os_store.fetch("rg") == latest
+
+    earliest = os_store.reset_offsets("rg", "t", to="earliest")
+    begins = topic_store.beginning_offsets("t")
+    assert earliest == {("t", p): o for p, o in begins.items()}
+    assert os_store.fetch("rg") == earliest
+
+    # timestamp far in the past -> first record of each partition;
+    # far in the future -> no record at/after it -> latest (CLI behavior)
+    past = os_store.reset_offsets("rg", "t", to="1970-01-01 00:00:00")
+    assert past == earliest
+    future = os_store.reset_offsets("rg", "t", to="2200-01-01 00:00:00")
+    assert future == latest
+
+    only0 = os_store.reset_offsets("rg2", "t", to="latest", partitions=[0])
+    assert set(only0) == {("t", 0)}
+    assert os_store.fetch("rg2") == only0
