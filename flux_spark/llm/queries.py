@@ -1885,3 +1885,47 @@ def doc_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.dup_span_dedup(d, k=8, min_docs=2)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_semantic_dedup",
+    _EMB_AUG_CTE
+    + f"""
+, cen AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, v, cid AS cluster_id FROM (
+    SELECT a.vec_id, a.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {similarity.sql_cosine("a.v", "c.cv", _DIM)} DESC,
+                                       c.cid ASC) AS rn
+    FROM aug a CROSS JOIN cen c) WHERE rn = 1),
+dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+  GROUP BY b.vec_id)
+SELECT g.vec_id, g.cluster_id, d.dup_of, d.dup_of IS NULL AS is_kept
+FROM asg g LEFT JOIN dups d ON d.vec_id = g.vec_id
+""",
+    "SemDeDup (Abbas et al. 2023) semantic dedup: max-cosine centroid "
+    "assignment (8 broadcast centroids), within-cluster-only pairwise "
+    "cosine, min-id survivor per >=0.98 group — pair cost is "
+    "sum(|cluster|^2), kept linear at scale by growing K with the corpus "
+    "(auto_centroids), never the n^2 all-pairs matrix",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    return similarity.semantic_dedup(
+        _aug_embeddings(spark, sf_dir),
+        centroids,
+        vec_col="v",
+        id_col="vec_id",
+        threshold=0.98,
+    )

@@ -431,6 +431,90 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def auto_centroids(corpus_size: int, target_cluster: int = 1024) -> int:
+    """Centroid count that keeps expected cluster size ~``target_cluster``
+    as the corpus grows: within-cluster pair cost is Σ|cluster|², so K
+    must track n/target (the paper uses 11k clusters for 100M docs ≈
+    9k/cluster). ceil(n / target), floored at 1."""
+    import math
+
+    return max(1, math.ceil(corpus_size / target_cluster))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-
+    threshold semantic deduplication. Each vector is assigned to its
+    max-cosine centroid (broadcast join, one narrow corpus pass — same
+    kernel as :func:`ivf_topk`); pairwise cosine is then computed only
+    WITHIN clusters, and a vector is marked duplicate when a lower-id
+    cluster-mate has cosine >= ``threshold`` (deterministic greedy
+    min-id retention, the same survivor rule the text-dedup pipeline
+    uses).
+
+    Returns one row per corpus vector: (id, cluster_id, dup_of, is_kept)
+    where ``dup_of`` is the smallest qualifying cluster-mate id (NULL
+    for kept vectors).
+
+    Scale shape: pair cost is Σ|cluster|² — K must grow with the corpus
+    (see :func:`auto_centroids`) exactly as LSH planes must
+    (:func:`auto_planes`); with K ∝ n the total candidate volume stays
+    linear. The verify path uses the Arrow-vectorized cosine
+    (bit-identical to the Catalyst fold), so the per-pair cost is batch
+    SIMD, not interpreter evaluation.
+
+    The reference has no similarity surface (SURVEY.md §2.7); this is
+    the BASELINE.json LLM-pipeline dedup family's embedding member.
+    """
+    from pyspark.sql import Window
+
+    cen = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cen))
+        .withColumn("__ccos", cosine(F.col(vec_col), F.col("__cvec")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("__cid"))
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("__cid").alias("cluster_id"))
+    )
+    a = assigned.select(
+        "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        "cluster_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", pair_cosine_arrow(F.col("__va"), F.col("__vb")))
+        .where(F.col("__cos") >= threshold)
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return assigned.join(dups, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        "dup_of",
+        F.col("dup_of").isNull().alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # product quantization (PQ)
 # ---------------------------------------------------------------------------
 

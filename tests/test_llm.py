@@ -546,3 +546,53 @@ def test_pair_cosine_arrow_bit_identical_to_fold(spark):
     assert len(got) == 64
     for r in got:
         assert r.fold == r.arrow, (r.pid, r.fold, r.arrow, r.fold - r.arrow)
+
+
+# -- semantic dedup (SemDeDup) ---------------------------------------------
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """The SemDeDup contract: duplicates are detected only WITHIN a
+    vector's assigned cluster — two identical vectors in different
+    clusters are never compared (that is the scalability trade), while
+    cluster-mates above the threshold collapse onto the min id."""
+    rows = [
+        # cluster around +x
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 0.0, 0.0]),        # exact dup of 10 -> dup_of=10
+        (12, [0.999, 0.01, 0.0, 0.0]),     # near dup -> dup_of=10
+        (13, [0.8, 0.58, 0.0, 0.0]),       # same cluster, cos < 0.98 -> kept
+        # cluster around +y
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 1.0, 0.0, 0.0]),        # exact dup of 20 -> dup_of=20
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, v array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            corpus, cen, vec_col="v", threshold=0.98
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[10].is_kept and out[10].dup_of is None
+    assert out[11].dup_of == 10 and not out[11].is_kept
+    assert out[12].dup_of == 10
+    assert out[13].is_kept                     # below threshold
+    assert out[20].is_kept
+    assert out[21].dup_of == 20
+    # cross-cluster isolation: 10/11 (cluster 0) never pair with 20/21
+    assert out[20].cluster_id != out[10].cluster_id
+
+
+def test_auto_centroids_tracks_corpus_size():
+    from flux_spark.llm.similarity import auto_centroids
+
+    assert auto_centroids(100) == 1
+    assert auto_centroids(1024) == 1
+    assert auto_centroids(1_000_000, target_cluster=1000) == 1000
+    # paper's operating point: ~100M docs / 11k clusters ~ 9k per cluster
+    assert 10_000 <= auto_centroids(100_000_000, target_cluster=9000) <= 12_000
