@@ -1929,3 +1929,43 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         threshold=0.98,
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_perplexity_buckets",
+    _BIGRAM_CTES
+    + """
+    , scores AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(CAST(SUM(CAST(floor(cond_prob * 1e15) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e15 AS mean_cond_prob
+      FROM ex JOIN model USING (w1, w2)
+      GROUP BY doc_id),
+    bucketed AS (
+      SELECT d.lang, s.mean_cond_prob,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.mean_cond_prob DESC, s.doc_id ASC)
+               AS bucket
+      FROM scores s JOIN documents d USING (doc_id))
+    SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(mean_cond_prob) AS min_score,
+           MAX(mean_cond_prob) AS max_score
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    "CCNet-style (Wenzek et al. 2020) per-language LM quality buckets: "
+    "documents scored under the corpus bigram LM, NTILE(3)-split within "
+    "each language into head/middle/tail — the standard keep-head/"
+    "middle, drop-tail curation split; only (id, lang, score) rows reach "
+    "the window shuffle, never the text",
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    buckets = text.perplexity_buckets(d, text.bigram_counts(d), n_buckets=3)
+    return buckets.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("mean_cond_prob").alias("min_score"),
+        F.max("mean_cond_prob").alias("max_score"),
+    )

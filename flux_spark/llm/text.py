@@ -184,6 +184,37 @@ def bigram_doc_score(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    model: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style (Wenzek et al. 2020) per-language quality bucketing:
+    score every document under the corpus LM (:func:`bigram_doc_score`),
+    then NTILE the scores *within each language* into ``n_buckets``
+    quantile buckets — bucket 1 is the most-fluent "head", the last is
+    the "tail" (CCNet trains on head/middle and drops tail). Per-language
+    partitioning matters: absolute LM scores are not comparable across
+    languages, ranks within one are.
+
+    Scale shape: the model broadcasts, scoring is one corpus pass, and
+    the NTILE window shuffles only (id, lang, score) rows — ~24 bytes per
+    document, never the text. Ties break on ascending id so the bucket
+    boundary is deterministic and oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    scores = bigram_doc_score(df, model, text_col=text_col, id_col=id_col)
+    scored = df.select(id_col, lang_col).join(scores, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("mean_cond_prob"), F.asc(id_col)
+    )
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
 # PII patterns shared by the Spark plan and the SQL oracle: the subset of
 # regex syntax on which Java's engine and RE2 agree (char classes, bounded
 # repetition, \b, non-capturing groups)

@@ -596,3 +596,27 @@ def test_auto_centroids_tracks_corpus_size():
     assert auto_centroids(1_000_000, target_cluster=1000) == 1000
     # paper's operating point: ~100M docs / 11k clusters ~ 9k per cluster
     assert 10_000 <= auto_centroids(100_000_000, target_cluster=9000) <= 12_000
+
+
+def test_perplexity_buckets_per_language(spark):
+    """CCNet bucketing: NTILE is per-language (ranks are not comparable
+    across languages) and bucket 1 is the most-fluent head."""
+    rows = [
+        # 'en': common bigrams -> high scores; one junk doc -> tail
+        (1, "a b a b a b", "en"),
+        (2, "a b a b", "en"),
+        (3, "x y", "en"),        # rare bigram -> lowest en score
+        # 'fr': single doc -> its own bucket 1 regardless of score
+        (4, "x y", "fr"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in text.perplexity_buckets(
+            d, text.bigram_counts(d), n_buckets=3
+        ).collect()
+    }
+    assert out[3].bucket == 3                      # en tail
+    assert out[1].bucket == 1                      # en head
+    assert out[4].bucket == 1                      # fr's only doc heads its own lang
+    assert out[4].lang == "fr"
