@@ -2736,3 +2736,47 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("intersection_est"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_grouping_sets",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+    SELECT event_type, day,
+           CAST(GROUPING(event_type, day) AS INTEGER) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM base
+    GROUP BY GROUPING SETS ((event_type), (day), ())
+    """,
+    "explicit GROUPING SETS with a non-cube subset — the two marginals "
+    "plus the grand total, WITHOUT the (type, day) cross — something "
+    "neither CUBE nor ROLLUP can express; grouping_id disambiguates "
+    "aggregated-away columns from genuine NULLs, and the expand-then-"
+    "aggregate plan still partial-aggregates each set map-side",
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # pre-project the day expression: groupingSets set-matching works on
+    # plain attributes (an expression object used in both the sets list
+    # and the grouping columns is treated as two distinct columns,
+    # silently aggregating both away -> gid 3 everywhere)
+    base = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+    )
+    return (
+        base.groupingSets(
+            [[F.col("event_type")], [F.col("day")], []],
+            F.col("event_type"),
+            F.col("day"),
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+    )
