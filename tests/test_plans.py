@@ -415,3 +415,39 @@ def test_bpe_pair_stats_aggregates_dict_not_corpus(spark, sf):
     assert "text" in scan and "doc_id" not in scan
     # partial aggregation before both shuffles (word dict + pair counts)
     assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian_pairs(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["emb_semantic_dedup"].fn(spark, sf))
+    # centroid assignment: broadcast nested-loop over the tiny centroid
+    # set (a deliberate K-row fan-out, not a data-scale cross product);
+    # the within-cluster pair join is hash-keyed on cluster_id
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only Python in the plan is the Arrow-vectorized pair cosine
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_perplexity_buckets_broadcast_model_narrow_window(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_perplexity_buckets"].fn(spark, sf))
+    # the vocab-bounded LM broadcasts into the per-doc scoring join; the
+    # corpus side never sort-merge-shuffles its exploded bigrams
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_expands_then_partial_aggregates(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_grouping_sets"].fn(spark, sf))
+    # expand-then-aggregate: one Expand node feeding a partial aggregate,
+    # no join anywhere
+    assert "Expand" in plan
+    assert "partial" in plan.lower()
+    assert "Join" not in plan
