@@ -60,6 +60,71 @@ def file_lock(path: Path):
         os.close(fd)
 
 
+_SWAP_BACKUP_SUFFIX = ".swap-backup"
+
+
+def _swap_backup_path(live: Path) -> Path:
+    return live.parent / (live.name + _SWAP_BACKUP_SUFFIX)
+
+
+def atomic_dir_swap(live: Path, tmp: Path, guard: Path) -> None:
+    """Replace directory ``live`` with freshly-written ``tmp``.
+
+    POSIX rename cannot atomically replace a non-empty directory, so every
+    rewrite (compact / truncate / offsets compaction / rollup refresh) is
+    two renames — and a process dying between them used to leave NO live
+    directory, with the data stranded in a uuid-named backup nothing could
+    find: readers silently saw an empty store, and a subsequent append
+    would resurrect the path empty, turning the crash into data loss.
+
+    Fix: the backup name is DETERMINISTIC (``<name>.swap-backup`` beside
+    ``live``), and both renames happen under the warehouse-level ``guard``
+    flock that :func:`recover_dir_swap` also takes — so a reader either
+    waits out an in-flight swap or finds the marker and restores it.
+    Callers must additionally hold whatever lock serializes writers of
+    ``live`` (the topic write lock / offsets lock), as before.
+    """
+    import shutil
+
+    live, tmp = Path(live), Path(tmp)
+    backup = _swap_backup_path(live)
+    with file_lock(guard):
+        if backup.exists():
+            # previous swap completed its second rename but died before
+            # cleanup; the backup is stale
+            shutil.rmtree(backup)
+        os.replace(live, backup)
+        os.replace(tmp, live)
+        shutil.rmtree(backup, ignore_errors=True)
+
+
+def recover_dir_swap(live: Path, guard: Path) -> bool:
+    """Finish a :func:`atomic_dir_swap` interrupted between its renames:
+    if ``live`` is missing but its deterministic backup exists, restore
+    the backup (the interrupted rewrite's effect is lost — maintenance
+    rewrites are idempotent and simply run again). If both exist, the
+    swap completed and only cleanup was lost — drop the stale backup.
+    Cheap when nothing is wrong (one ``exists`` check, no lock). Returns
+    True iff a restore happened."""
+    import shutil
+
+    live = Path(live)
+    backup = _swap_backup_path(live)
+    if not backup.exists():
+        return False
+    with file_lock(guard):
+        # re-check under the lock: an in-flight swap holds `guard` across
+        # both renames, so by the time we get here it either finished
+        # (live exists, backup gone or stale) or died mid-way
+        if not backup.exists():
+            return False
+        if live.exists():
+            shutil.rmtree(backup, ignore_errors=True)
+            return False
+        os.replace(backup, live)
+        return True
+
+
 @dataclass
 class TopicMetadata:
     """FluxTopic + PartitionMetadata analog (commons/FluxTopic.java:7-16)."""
@@ -141,6 +206,11 @@ class Catalog:
             raise ValidationError("topic name must be non-empty")
         if not _TOPIC_NAME_RE.match(name):
             raise ValidationError(f"invalid topic name {name!r}")
+        if name.endswith(_SWAP_BACKUP_SUFFIX):
+            raise ValidationError(
+                f"topic name {name!r} collides with the reserved "
+                f"'{_SWAP_BACKUP_SUFFIX}' crash-recovery suffix"
+            )
         if num_partitions < 1:
             raise ValidationError("num_partitions must be >= 1")
         if not (0 <= replication_factor <= 3):

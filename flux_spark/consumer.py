@@ -18,9 +18,11 @@ index-seek property, README.md:198).
 from __future__ import annotations
 
 import itertools
+import os
 import threading
 import time
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,6 +66,18 @@ class OffsetStore:
         self._seq = itertools.count()
         self._seq_lock = threading.Lock()
 
+    def _recover(self) -> bool:
+        """Restore an ``_offsets`` directory stranded by a compact/delete
+        rewrite that crashed between its two renames. Must run before any
+        read (which would silently see zero commits) and before any
+        commit (whose append would recreate the path empty, making a
+        later recovery discard the backup as stale)."""
+        from .catalog import recover_dir_swap
+
+        return recover_dir_swap(
+            Path(self.path), self.store.warehouse / ".swap.lock"
+        )
+
     def commit(
         self, group_id: str, offsets: dict[tuple[str, int], int], metadata: str | None = None
     ) -> None:
@@ -77,6 +91,7 @@ class OffsetStore:
             for (t, p), off in offsets.items()
         ]
         df = self.store.spark.createDataFrame(rows, _OFFSETS_SCHEMA)
+        self._recover()
         # flock shared with compact(): a commit can't append into the
         # directory while compact is atomically swapping it out
         with file_lock(self.store.warehouse / ".offsets.lock"):
@@ -92,12 +107,11 @@ class OffsetStore:
         from a maintenance hook keeps ``fetch()`` an O(#groups) scan
         instead of an O(#commits-ever) one. Returns the number of rows
         kept (0 = nothing to compact)."""
-        import os
-        import shutil
         import uuid
 
-        from .catalog import file_lock
+        from .catalog import atomic_dir_swap, file_lock
 
+        self._recover()
         if not os.path.isdir(self.path):
             return 0
         from pyspark.sql import Window
@@ -120,17 +134,14 @@ class OffsetStore:
             tmp = self.store.warehouse / f".offsets-compact-{uuid.uuid4().hex[:8]}"
             winners.coalesce(1).write.mode("overwrite").parquet(str(tmp))
             kept = self.store.spark.read.parquet(str(tmp)).count()
-            live = self.store.warehouse / "_offsets"
-            backup = self.store.warehouse / f".offsets-old-{uuid.uuid4().hex[:8]}"
-            os.replace(live, backup)
-            os.replace(tmp, live)
-            shutil.rmtree(backup, ignore_errors=True)
+            atomic_dir_swap(
+                Path(self.path), tmp, self.store.warehouse / ".swap.lock"
+            )
             return kept
 
     def fetch(self, group_id: str) -> dict[tuple[str, int], int]:
         """Latest committed offset per (topic, partition) for the group."""
-        import os
-
+        self._recover()
         if not os.path.isdir(self.path):
             return {}
         df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(self.path)
@@ -155,8 +166,7 @@ class OffsetStore:
         in-memory ``GroupCoordinator.list_groups`` covers live-membership
         groups; this covers the broker-durable view, like listing groups
         from ``__consumer_offsets``.)"""
-        import os
-
+        self._recover()
         if not os.path.isdir(self.path):
             return []
         df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(self.path)
@@ -171,12 +181,11 @@ class OffsetStore:
         as :meth:`compact` (under the warehouse flock + seq lock, so a
         concurrent commit can't land in the directory being swapped out).
         Returns the number of commit rows removed."""
-        import os
-        import shutil
         import uuid
 
-        from .catalog import file_lock
+        from .catalog import atomic_dir_swap, file_lock
 
+        self._recover()
         if not os.path.isdir(self.path):
             return 0
         with self._seq_lock, file_lock(self.store.warehouse / ".offsets.lock"):
@@ -188,11 +197,9 @@ class OffsetStore:
                 return 0
             tmp = self.store.warehouse / f".offsets-delg-{uuid.uuid4().hex[:8]}"
             keep.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-            live = self.store.warehouse / "_offsets"
-            backup = self.store.warehouse / f".offsets-old-{uuid.uuid4().hex[:8]}"
-            os.replace(live, backup)
-            os.replace(tmp, live)
-            shutil.rmtree(backup, ignore_errors=True)
+            atomic_dir_swap(
+                Path(self.path), tmp, self.store.warehouse / ".swap.lock"
+            )
             return int(total - kept)
 
     def reset_offsets(

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from .catalog import Catalog
+from .catalog import Catalog, atomic_dir_swap
 from .errors import InvalidTopicError, ValidationError
 from .routing import assign_partitions
 from pyspark.sql.types import IntegerType, StructField
@@ -110,6 +110,18 @@ class LogStore:
         with self._locks_guard:
             return self._ingest_locks.setdefault(topic, threading.Lock())
 
+    def _recover_swap(self, topic: str) -> bool:
+        """Restore a topic directory stranded by a rewrite (compact /
+        truncate) that crashed between its two renames — MUST run before
+        anything recreates the live path (the flock file in
+        :meth:`_write_lock` would otherwise resurrect the topic dir empty
+        and a later recovery would discard the backup as stale)."""
+        from .catalog import recover_dir_swap
+
+        return recover_dir_swap(
+            Path(self.topic_path(topic)), self.warehouse / ".swap.lock"
+        )
+
     @contextlib.contextmanager
     def _write_lock(self, topic: str):
         """Single-writer-per-topic guard, now across PROCESSES too: the
@@ -122,6 +134,9 @@ class LogStore:
         death, so a crashed writer never wedges the topic."""
         from .catalog import file_lock
 
+        # before the flock call below creates the topic dir (its lock file
+        # lives inside it), finish any crash-interrupted rewrite swap
+        self._recover_swap(topic)
         with self._ingest_lock(topic), file_lock(
             self.warehouse / topic / ".ingest.lock"
         ):
@@ -321,6 +336,7 @@ class LogStore:
         predicates — no join, no extra pass (txn.py module docstring).
         """
         meta = self.catalog.get_topic(topic)
+        self._recover_swap(topic)
         if end_offsets is None and not include_uncommitted:
             end_offsets = {p: meta.next_offset(p) for p in meta.partition_ids()}
         df = (
@@ -519,11 +535,9 @@ class LogStore:
                 .partitionBy("partition")
                 .parquet(str(tmp))
             )
-            live = Path(self.topic_path(topic))
-            backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
-            os.replace(live, backup)
-            os.replace(tmp, live)
-        shutil.rmtree(backup, ignore_errors=True)
+            atomic_dir_swap(
+                Path(self.topic_path(topic)), tmp, self.warehouse / ".swap.lock"
+            )
 
     def create_view(self, topic: str, view_name: str | None = None) -> str:
         """Register the topic log as a temp view for ``spark.sql`` access
@@ -642,11 +656,9 @@ class LogStore:
                 .partitionBy("partition")
                 .parquet(str(tmp))
             )
-            live = Path(self.topic_path(topic))
-            backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
-            os.replace(live, backup)
-            os.replace(tmp, live)
-        shutil.rmtree(backup, ignore_errors=True)
+            atomic_dir_swap(
+                Path(self.topic_path(topic)), tmp, self.warehouse / ".swap.lock"
+            )
 
     def compact_by_key(self, topic: str) -> None:
         """Kafka-style log compaction: per (partition, key) retain only the
@@ -687,11 +699,9 @@ class LogStore:
                 .partitionBy("partition")
                 .parquet(str(tmp))
             )
-            live = Path(self.topic_path(topic))
-            backup = self.warehouse / f".old-{topic}-{uuid.uuid4().hex[:8]}"
-            os.replace(live, backup)
-            os.replace(tmp, live)
-        shutil.rmtree(backup, ignore_errors=True)
+            atomic_dir_swap(
+                Path(self.topic_path(topic)), tmp, self.warehouse / ".swap.lock"
+            )
 
     def describe_topic(self, topic: str) -> DataFrame:
         """AdminClient.describeTopics analog: one row per partition with

@@ -18,13 +18,13 @@ query's oracle asserts.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .catalog import atomic_dir_swap, file_lock, recover_dir_swap
 from .consumer import FluxConsumer
 from .log import LogStore
 
@@ -71,8 +71,7 @@ class ContinuousRollup:
         refresh. Single-maintainer is the normal deployment (Kafka
         Streams' one-task-per-store rule); the lock makes violations
         safe instead of silently corrupting."""
-        from .catalog import file_lock
-
+        recover_dir_swap(self.path, self.store.warehouse / ".swap.lock")
         with file_lock(self.path.parent / f".{self.path.name}.lock"):
             return self._refresh_locked()
 
@@ -109,17 +108,19 @@ class ContinuousRollup:
         )
         tmp = self.path.parent / f".rollup-{uuid.uuid4().hex[:8]}"
         out.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        backup = self.path.parent / f".rollup-old-{uuid.uuid4().hex[:8]}"
         if self.path.exists():
-            os.replace(self.path, backup)
-        os.replace(tmp, self.path)
-        shutil.rmtree(backup, ignore_errors=True)
+            atomic_dir_swap(
+                self.path, tmp, self.store.warehouse / ".swap.lock"
+            )
+        else:
+            os.replace(tmp, self.path)
         # commit only after the rollup swap: a crash in between re-reads
         # the same window next refresh and rebuilds from the old table
         self.consumer.commit_offsets()
         return res.count
 
     def snapshot(self) -> DataFrame:
+        recover_dir_swap(self.path, self.store.warehouse / ".swap.lock")
         if not self.path.exists():
             raise FileNotFoundError(
                 f"rollup at {self.path} has never been refreshed"

@@ -534,3 +534,26 @@ def test_offset_store_reset_offsets(topic_store):
     only0 = os_store.reset_offsets("rg2", "t", to="latest", partitions=[0])
     assert set(only0) == {("t", 0)}
     assert os_store.fetch("rg2") == only0
+
+
+def test_offsets_rewrite_crash_recovery(spark, store):
+    """compact()/delete_group() dying between their two renames must not
+    make committed offsets vanish: fetch(), groups() and commit() all
+    restore the deterministic .swap-backup first."""
+    import os
+
+    from flux_spark.consumer import OffsetStore
+
+    os_store = OffsetStore(store)
+    os_store.commit("cg", {("t", 0): 7, ("t", 1): 9})
+
+    os.replace(os_store.path, os_store.path + ".swap-backup")
+    assert os_store.fetch("cg") == {("t", 0): 7, ("t", 1): 9}
+
+    # crash again: a commit must restore the backup BEFORE appending
+    # (otherwise it recreates the dir with only the new row and a later
+    # recovery discards the old commits as a stale backup)
+    os.replace(os_store.path, os_store.path + ".swap-backup")
+    os_store.commit("cg2", {("t", 0): 1})
+    assert os_store.fetch("cg") == {("t", 0): 7, ("t", 1): 9}
+    assert os_store.groups() == ["cg", "cg2"]

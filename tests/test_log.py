@@ -799,3 +799,48 @@ def test_compact_races_live_appends(spark, store):
         by_part.setdefault(r.partition, []).append(r.offset)
     for p, offs in by_part.items():
         assert sorted(offs) == list(range(len(offs))), f"partition {p}"
+
+
+def test_topic_rewrite_crash_recovery(spark, store):
+    """A rewrite (compact/truncate) that dies between its two renames
+    leaves the topic dir missing and the data in the deterministic
+    .swap-backup — the next read or append must restore it instead of
+    silently seeing (or resurrecting) an empty topic."""
+    import os
+
+    store.catalog.create_topic("cr", 2)
+    e = spark.range(100).select(
+        F.col("id").alias("seq"),
+        F.pmod("id", F.lit(2)).cast("int").alias("partition"),
+        F.col("id").cast("string").alias("value"),
+    )
+    store.append("cr", e, ordering_col="seq")
+
+    # simulate the crash window: first rename done, second never happened
+    live = store.topic_path("cr")
+    os.replace(live, live + ".swap-backup")
+    assert not os.path.isdir(live)
+
+    # read() recovers and sees every record
+    assert store.read("cr").count() == 100
+    assert os.path.isdir(live)
+    assert not os.path.isdir(live + ".swap-backup")
+
+    # crash again; this time an APPEND must recover first (its lock file
+    # would otherwise recreate the dir empty and orphan the backup)
+    os.replace(live, live + ".swap-backup")
+    store.append("cr", e.limit(10), ordering_col="seq")
+    assert store.read("cr").count() == 110
+
+    # stale backup (swap completed, cleanup lost): reads keep live data
+    # and drop the leftover
+    os.makedirs(live + ".swap-backup")
+    assert store.read("cr").count() == 110
+    assert not os.path.isdir(live + ".swap-backup")
+
+
+def test_swap_backup_topic_name_reserved(store):
+    from flux_spark.errors import ValidationError
+
+    with pytest.raises(ValidationError):
+        store.catalog.create_topic("t.swap-backup", 1)
