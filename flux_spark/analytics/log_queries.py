@@ -1605,3 +1605,65 @@ def log_alter_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("offset").alias("max_off"),
         )
     )
+
+
+@register(
+    LOG_QUERIES,
+    "log_maintenance_pass",
+    """
+    WITH routed AS (
+      SELECT
+        CAST(event_id % 3 AS INTEGER) AS part_id,
+        ROW_NUMBER() OVER (PARTITION BY event_id % 3
+                           ORDER BY (event_id // 3) % 3, event_id) - 1
+          AS record_offset,
+        CAST(user_id AS VARCHAR) AS rec_key,
+        CAST(event_id AS VARCHAR) AS rec_value
+      FROM events
+    )
+    SELECT part_id, record_offset, rec_key, rec_value FROM routed
+    """,
+    "warehouse maintenance() housekeeping (the cron-job / Kafka LogCleaner "
+    "entry point): the topic is ingested in three chunks so each partition "
+    "holds several segment files, offsets are committed repeatedly, then "
+    "one maintenance pass compacts both the topic and the _offsets log — "
+    "and every record must read back at its exact (partition, offset) with "
+    "key and value intact (the oracle is the full routed numbering, so any "
+    "row lost, duplicated or re-offset by the rewrite fails rows+hash)",
+)
+def log_maintenance_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import OffsetStore
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-maint-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("events", 3)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    # three appends -> >=3 segment files per partition, offsets contiguous
+    # across the chunk boundaries (chunked by a deterministic mod rule)
+    for chunk in range(3):
+        store.append(
+            "events",
+            e.where(F.pmod(F.floor(F.col("seq") / 3), F.lit(3)) == chunk),
+            ordering_col="seq",
+        )
+    ostore = OffsetStore(store)
+    for i in range(4):
+        ostore.commit("maint-gate", {("events", 0): i, ("events", 1): i})
+    actions = store.maintenance(min_files_to_compact=2)
+    # guard the scenario itself: the pass must actually have compacted
+    # both the topic and the offsets log, or this gate proves nothing
+    assert "compact" in actions.get("events", ""), actions
+    assert "_offsets" in actions, actions
+    return store.read("events").select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("rec_value"),
+    )
