@@ -120,3 +120,64 @@ def test_advance_hwm_cross_process_no_lost_updates(tmp_path):
     meta = cat.get_topic("race")
     assert meta.next_offset(0) == 40
     assert meta.next_offset(1) == 40
+
+
+def test_reader_waits_out_inflight_swap_cross_process(tmp_path):
+    """TRUE multi-process in-flight-swap window: another OS process holds
+    the warehouse swap guard with the live directory renamed away (the
+    exact state a reader would otherwise misread as a crash, or — before
+    the deterministic-backup fix — as an empty store). recover_dir_swap
+    must BLOCK on the guard until the swap completes, then see the
+    swapped-in directory and restore nothing."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    from flux_spark.catalog import recover_dir_swap
+
+    live = tmp_path / "data"
+    live.mkdir()
+    (live / "old.txt").write_text("old")
+    tmp = tmp_path / ".rewrite"
+    tmp.mkdir()
+    (tmp / "new.txt").write_text("new")
+    guard = tmp_path / ".swap.lock"
+    started = tmp_path / "swap-started"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, {repo!r})
+        from flux_spark.catalog import file_lock
+        live, tmp, guard, started = sys.argv[1:5]
+        with file_lock(type(__import__('pathlib').Path())(guard)):
+            backup = live + ".swap-backup"
+            os.replace(live, backup)
+            open(started, "w").write("1")   # signal: mid-swap, guard held
+            time.sleep(2.0)                 # hold the dangerous window open
+            os.replace(tmp, live)
+            import shutil; shutil.rmtree(backup, ignore_errors=True)
+        """
+    ).format(repo=repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script, str(live), str(tmp), str(guard), str(started)]
+    )
+    try:
+        deadline = time.time() + 30
+        while not started.exists():
+            assert time.time() < deadline, "swap process never started"
+            time.sleep(0.02)
+        t0 = time.time()
+        restored = recover_dir_swap(live, guard)
+        waited = time.time() - t0
+        # we blocked until the swapper finished, found the NEW live dir,
+        # and restored nothing
+        assert not restored
+        assert waited > 1.0, waited
+        assert (live / "new.txt").exists()
+        assert not (tmp_path / "data.swap-backup").exists()
+    finally:
+        assert proc.wait(timeout=60) == 0
