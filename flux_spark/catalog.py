@@ -248,6 +248,12 @@ class Catalog:
             import shutil
 
             shutil.rmtree(self.warehouse / name, ignore_errors=True)
+            # a crash-recovery backup for this topic is now orphaned data
+            # from a deleted namespace — drop it too, or a re-created
+            # topic of the same name could "recover" the old contents
+            shutil.rmtree(
+                _swap_backup_path(self.warehouse / name), ignore_errors=True
+            )
 
     def topic_exists(self, name: str) -> bool:
         return name in self._load()["topics"]

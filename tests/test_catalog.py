@@ -181,3 +181,21 @@ def test_reader_waits_out_inflight_swap_cross_process(tmp_path):
         assert not (tmp_path / "data.swap-backup").exists()
     finally:
         assert proc.wait(timeout=60) == 0
+
+
+def test_delete_topic_drops_orphaned_swap_backup(tmp_path):
+    """delete_topic(drop_data=True) must also remove a crash-recovery
+    backup for that topic, or re-creating the topic would 'recover' the
+    deleted contents."""
+    import os
+
+    from flux_spark.catalog import Catalog
+
+    cat = Catalog(tmp_path / "wh")
+    cat.create_topic("gone", 1)
+    backup = tmp_path / "wh" / "gone.swap-backup"
+    backup.mkdir()
+    (backup / "stale.parquet").write_text("x")
+    cat.delete_topic("gone", drop_data=True)
+    assert not backup.exists()
+    assert not (tmp_path / "wh" / "gone").exists()
