@@ -2780,3 +2780,101 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("value"), "total_value"),
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_histogram_quantiles",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin_id,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bin_id, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_n,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM b
+    ), qs AS (
+      SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                     CAST(0.99 AS DOUBLE)]) AS q
+    ), hit AS (
+      SELECT c.event_type, qs.q, c.bin_id, c.n, c.cum_n, c.total,
+             ROW_NUMBER() OVER (PARTITION BY c.event_type, qs.q
+                                ORDER BY c.bin_id ASC) AS rn
+      FROM c CROSS JOIN qs
+      WHERE CAST(c.cum_n AS DOUBLE) >= qs.q * CAST(c.total AS DOUBLE)
+    )
+    SELECT event_type, q,
+           CAST(bin_id AS DOUBLE) * 50.0
+             + (q * CAST(total AS DOUBLE) - CAST(cum_n - n AS DOUBLE))
+               / CAST(n AS DOUBLE) * 50.0 AS est_value
+    FROM hit WHERE rn = 1
+    """,
+    "quantile estimation (p50/p90/p99) from the mergeable equi-width "
+    "histogram registers — the sketch-family member that answers "
+    "percentile queries without a global sort: registers SUM-merge "
+    "across shards, the quantile is located by cumulative rank and "
+    "linearly interpolated inside its bin; every arithmetic step is the "
+    "same IEEE double expression in both engines, so the approximate "
+    "estimator still oracle-checks bit-for-bit (exact counterpart: "
+    "events_value_percentiles)",
+)
+def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bin_id = F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9)).cast(
+        "bigint"
+    )
+    b = e.groupBy("event_type", bin_id.alias("bin_id")).agg(
+        F.count("*").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bin_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bin_id",
+        "n",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    hit = (
+        c.crossJoin(
+            F.broadcast(
+                c.sparkSession.range(1).select(
+                    F.explode(
+                        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+                    ).alias("q")
+                )
+            )
+        )
+        .where(
+            F.col("cum_n").cast("double")
+            >= F.col("q") * F.col("total").cast("double")
+        )
+    )
+    w_first = Window.partitionBy("event_type", "q").orderBy(F.asc("bin_id"))
+    return (
+        hit.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "q",
+            (
+                F.col("bin_id").cast("double") * F.lit(50.0)
+                + (
+                    F.col("q") * F.col("total").cast("double")
+                    - (F.col("cum_n") - F.col("n")).cast("double")
+                )
+                / F.col("n").cast("double")
+                * F.lit(50.0)
+            ).alias("est_value"),
+        )
+    )

@@ -1969,3 +1969,60 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mean_cond_prob").alias("min_score"),
         F.max("mean_cond_prob").alias("max_score"),
     )
+
+
+def _dedup_keep_best_sql(threshold: float = 0.5) -> str:
+    """Clusters + quality-aware retention: keep the LONGEST member of
+    each duplicate cluster (tie-break min id) instead of the min-id one."""
+    base = _dedup_clusters_sql(threshold)
+    final = (
+        "SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS cluster_id\n"
+        "FROM corpus c LEFT JOIN comps k ON k.id = c.doc_id"
+    )
+    assert final in base
+    return base.replace(
+        final,
+        """
+, clusters AS (
+  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS cluster_id,
+         CAST(length(c.text) AS BIGINT) AS doc_len
+  FROM corpus c LEFT JOIN comps k ON k.id = c.doc_id)
+SELECT doc_id, cluster_id, doc_len,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY doc_len DESC, doc_id ASC) = 1 AS is_kept
+FROM clusters
+""",
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_keep_best",
+    _dedup_keep_best_sql(),
+    "quality-aware dedup retention: transitive MinHash-LSH duplicate "
+    "clusters, but each cluster keeps its LONGEST member (tie-break min "
+    "id) instead of the min-id one — the curation policy that preserves "
+    "the most complete copy of near-duplicated content; one extra narrow "
+    "window over (cluster_id, len, id) rows on top of the cluster plan",
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    corpus = dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+    comps = dedup.connected_components(pairs, vertices=corpus.select("doc_id"))
+    scored = comps.join(
+        corpus.select(
+            "doc_id", F.length("text").cast("bigint").alias("doc_len")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("doc_len"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "doc_len",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
