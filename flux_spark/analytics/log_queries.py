@@ -1461,20 +1461,28 @@ def log_txn_read_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ROUTED_CTE
     + """
     , hw AS (
-      SELECT part_id, MAX(record_offset) + 1 AS hwm
+      SELECT part_id,
+             MAX(record_offset) + 1 AS hwm,
+             SUM(CASE WHEN event_ts < TIMESTAMP '2024-01-15 00:00:00'
+                      THEN 1 ELSE 0 END) AS n_before_ts
       FROM routed GROUP BY part_id)
     SELECT part_id,
            CAST(hwm AS BIGINT) AS hwm,
            CAST(hwm AS BIGINT) AS after_latest,
            CAST(0 AS BIGINT) AS after_earliest,
+           CAST(n_before_ts AS BIGINT) AS after_ts,
            CAST(0 AS BIGINT) AS lag_after_latest
     FROM hw
     """,
     "kafka-consumer-groups --reset-offsets parity: one group reset "
     "to-latest must commit exactly the high-water marks (lag 0), another "
     "reset to-earliest exactly the log-start offsets (0 here, no "
-    "retention truncation) — both read back from the durable _offsets "
-    "log through the same latest-wins resolution the lag monitor uses",
+    "retention truncation), a third reset --to-datetime exactly the "
+    "first offset at/after the timestamp — which the oracle recomputes "
+    "as the per-partition count of records strictly before it (record "
+    "time is monotone in arrival order here, mirroring Kafka time-index "
+    "lookups); all read back from the durable _offsets log through the "
+    "same latest-wins resolution the lag monitor uses",
 )
 def log_admin_reset_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..consumer import OffsetStore
@@ -1483,6 +1491,7 @@ def log_admin_reset_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ostore = OffsetStore(store)
     ostore.reset_offsets("reset-latest-gate", "events", to="latest")
     ostore.reset_offsets("reset-earliest-gate", "events", to="earliest")
+    ostore.reset_offsets("reset-ts-gate", "events", to="2024-01-15 00:00:00")
 
     def committed(group: str, alias: str) -> DataFrame:
         return (
@@ -1505,11 +1514,13 @@ def log_admin_reset_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hw.join(committed("reset-latest-gate", "after_latest"), "part_id")
         .join(committed("reset-earliest-gate", "after_earliest"), "part_id")
+        .join(committed("reset-ts-gate", "after_ts"), "part_id")
         .select(
             "part_id",
             "hwm",
             "after_latest",
             "after_earliest",
+            "after_ts",
             (F.col("hwm") - F.col("after_latest")).alias("lag_after_latest"),
         )
     )
