@@ -175,6 +175,12 @@ def minhash_lsh_pairs(
          division in double.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``id_col`` values MUST be unique: a duplicated id merges two
+    documents' shingle sets in the verification join, so the intersection
+    count can exceed either set size and |A|+|B|-|A∩B| can reach zero
+    (surfaces as an ANSI DIVIDE_BY_ZERO — exactly how a colliding
+    id-offset scheme in the gate corpus was caught at sf3).
     """
     rows = num_hashes // bands
     # Persist the shingle and band tables: each feeds both sides of a

@@ -33,9 +33,9 @@ _CORPUS_CTE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || '{_NEAR_SUFFIX}' AS text
+  SELECT doc_id + 2000000000 AS doc_id, text || '{_NEAR_SUFFIX}' AS text
   FROM documents WHERE doc_id % 23 = 0
 )
 """
@@ -44,10 +44,10 @@ WITH corpus AS (
 def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = d.where(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1000000000).alias("doc_id"), "text"
     )
     near = d.where(F.col("doc_id") % 23 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 2000000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_NEAR_SUFFIX)).alias("text"),
     )
     return d.unionByName(exact).unionByName(near)
@@ -858,10 +858,10 @@ _EMB_AUG_CTE = f"""
 WITH aug AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
   UNION ALL
-  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  SELECT vec_id + 1000000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
   FROM embeddings WHERE vec_id % 29 = 0
   UNION ALL
-  SELECT vec_id + 20000,
+  SELECT vec_id + 2000000000,
     list_prepend(CAST(embedding[1] AS DOUBLE) * CAST(1.5 AS DOUBLE),
                  list_transform(embedding[2:{_DIM}], x -> CAST(x AS DOUBLE)))
   FROM embeddings WHERE vec_id % 31 = 0
@@ -874,10 +874,10 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = e.select(F.col("vec_id"), as_double.alias("v"))
     copies = e.where(F.col("vec_id") % 29 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), as_double.alias("v")
+        (F.col("vec_id") + 1000000000).alias("vec_id"), as_double.alias("v")
     )
     perturbed = e.where(F.col("vec_id") % 31 == 0).select(
-        (F.col("vec_id") + 20000).alias("vec_id"),
+        (F.col("vec_id") + 2000000000).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1).cast("double") * F.lit(1.5)),
             F.transform(
@@ -1126,18 +1126,18 @@ def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_emb_aug_sql() -> str:
-    """Embedding twin of _CORPUS_CTE's augmentation: same +100000 exact /
-    +200000 perturbed id scheme, so text pairs and embedding pairs talk
+    """Embedding twin of _CORPUS_CTE's augmentation: same +1e9 exact /
+    +2e9 perturbed id scheme, so text pairs and embedding pairs talk
     about the same documents."""
     return f"""
     eaug AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
       UNION ALL
-      SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      SELECT vec_id + 1000000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
       FROM embeddings WHERE vec_id % 17 = 0
       UNION ALL
-      SELECT vec_id + 200000,
+      SELECT vec_id + 2000000000,
         list_prepend(CAST(embedding[1] AS DOUBLE) * CAST(1.5 AS DOUBLE),
                      list_transform(embedding[2:{_DIM}], x -> CAST(x AS DOUBLE)))
       FROM embeddings WHERE vec_id % 23 = 0
@@ -1178,10 +1178,10 @@ def doc_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = e.select(F.col("vec_id"), as_double.alias("v"))
     copies = e.where(F.col("vec_id") % 17 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), as_double.alias("v")
+        (F.col("vec_id") + 1000000000).alias("vec_id"), as_double.alias("v")
     )
     perturbed = e.where(F.col("vec_id") % 23 == 0).select(
-        (F.col("vec_id") + 200000).alias("vec_id"),
+        (F.col("vec_id") + 2000000000).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1).cast("double") * F.lit(1.5)),
             F.transform(
