@@ -208,31 +208,53 @@ class OffsetStore:
         topic: str,
         to="latest",
         partitions: list[int] | None = None,
+        shift_by: int | None = None,
     ) -> dict[tuple[str, int], int]:
         """``kafka-consumer-groups --reset-offsets`` analog. ``to`` is
         ``"earliest"`` (log-start offsets, i.e. post-retention
-        beginnings), ``"latest"`` (high-water marks), or a timestamp
-        (first offset with record time >= ts per partition, Kafka's
-        ``--to-datetime``; partitions with no such record reset to
-        latest, matching the CLI). The computed targets are committed for
-        the group and returned."""
-        if to == "earliest":
-            targets = self.store.beginning_offsets(topic)
+        beginnings), ``"latest"`` (high-water marks), an int (absolute
+        ``--to-offset``), or a timestamp (first offset with record time
+        >= ts per partition, Kafka's ``--to-datetime``; partitions with
+        no such record reset to latest, matching the CLI). Alternatively
+        pass ``shift_by`` for ``--shift-by N``: each partition's current
+        committed offset (log start when none) moves by N. Absolute and
+        shifted targets are clamped into [log start, hwm] like the CLI.
+        The computed targets are committed for the group and returned."""
+        begins = self.store.beginning_offsets(topic)
+        hwm = self.store.high_water_marks(topic)
+
+        def clamp(p: int, o: int) -> int:
+            return max(begins.get(p, 0), min(int(o), hwm[p]))
+
+        if shift_by is not None:
+            cur = self.fetch(group_id)
+            targets = {
+                p: clamp(p, cur.get((topic, p), begins.get(p, 0)) + shift_by)
+                for p in hwm
+            }
+            label = f"shift:{shift_by}"
+        elif to == "earliest":
+            targets = begins
+            label = "reset:earliest"
         elif to == "latest":
-            targets = self.store.high_water_marks(topic)
+            targets = hwm
+            label = "reset:latest"
+        elif isinstance(to, int):
+            targets = {p: clamp(p, to) for p in hwm}
+            label = f"reset:{to}"
         else:
-            hwm = self.store.high_water_marks(topic)
             by_ts = self.store.offsets_for_times(topic, to)
             targets = {
                 p: (off if off is not None else hwm[p])
                 for p, off in by_ts.items()
             }
+            label = f"reset:{to}"
         if partitions is not None:
             want = set(partitions)
             targets = {p: o for p, o in targets.items() if p in want}
         offsets = {(topic, int(p)): int(o) for p, o in targets.items()}
         if offsets:
-            self.commit(group_id, offsets, metadata=f"reset:{to}")
+            self.commit(group_id, offsets, metadata=label)
         return offsets
 
 

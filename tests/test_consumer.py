@@ -557,3 +557,30 @@ def test_offsets_rewrite_crash_recovery(spark, store):
     os_store.commit("cg2", {("t", 0): 1})
     assert os_store.fetch("cg") == {("t", 0): 7, ("t", 1): 9}
     assert os_store.groups() == ["cg", "cg2"]
+
+
+def test_offset_store_reset_to_offset_and_shift(topic_store):
+    """--to-offset and --shift-by parity: absolute targets and shifted
+    current positions, both clamped into [log start, hwm] like the CLI."""
+    from flux_spark.consumer import OffsetStore
+
+    fill(topic_store, 90)
+    os_store = OffsetStore(topic_store)
+    hwm = topic_store.high_water_marks("t")
+
+    absolute = os_store.reset_offsets("ra", "t", to=5)
+    assert absolute == {("t", p): 5 for p in hwm}
+
+    # out-of-range absolute clamps to hwm
+    big = os_store.reset_offsets("ra", "t", to=10_000)
+    assert big == {("t", p): h for p, h in hwm.items()}
+
+    # shift from current committed, clamped at both ends
+    os_store.reset_offsets("rs", "t", to=5)
+    shifted = os_store.reset_offsets("rs", "t", shift_by=3)
+    assert shifted == {("t", p): 8 for p in hwm}
+    back = os_store.reset_offsets("rs", "t", shift_by=-100)
+    assert back == {("t", p): 0 for p in hwm}
+    # a group with no commits shifts from log start
+    fresh = os_store.reset_offsets("rnew", "t", shift_by=2)
+    assert fresh == {("t", p): 2 for p in hwm}
