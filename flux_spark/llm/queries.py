@@ -2026,3 +2026,22 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_len",
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_minhash_scaled",
+    _minhash_lsh_sql(num_hashes=32, bands=4),
+    "MinHash(32) + LSH(4x8 bands) near-dup pairs — the text-dedup "
+    "corpus-growth knob in action (twin of emb_near_dup_lsh_scaled): "
+    "doubling rows-per-band from 4 to 8 squares down each band's "
+    "collision probability, so candidate volume stays tractable as the "
+    "corpus grows while the exact-Jaccard verify keeps precision; "
+    "recall at the 0.5 threshold trades against it (s^8 band-match "
+    "curve vs s^4). Same oracle machinery, 32-hash signatures "
+    "(h1 + 31*h2 < 2^37, still exact int64)",
+)
+def doc_dedup_minhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        dup_corpus(spark, sf_dir), num_hashes=32, bands=4, threshold=0.5
+    )
