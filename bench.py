@@ -60,6 +60,10 @@ ANALYTICS_HEADLINE = [
     "emb_pq_codes",
     "emb_pq_adc_topk",
     "emb_ivf_recall",
+    # round-4 additions
+    "emb_semantic_dedup",
+    "doc_perplexity_buckets",
+    "events_grouping_sets",
 ]
 
 
