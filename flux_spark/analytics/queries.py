@@ -2878,3 +2878,60 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_value"),
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_scd2_user_state",
+    """
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    scd AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM changes WHERE prev IS DISTINCT FROM event_type)
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL
+             AS is_current
+    FROM scd
+    """,
+    "SCD type-2 dimension reconstruction from a change stream: collapse "
+    "consecutive identical states per user (null-safe change detection), "
+    "then derive [valid_from, valid_to) intervals with LEAD — the "
+    "warehouse history-table pattern; one window shuffle keyed on the "
+    "dimension key, deterministic (ts, event_id) ordering",
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    scd = changes.where(
+        ~F.col("prev").eqNullSafe(F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return scd.select(
+        "user_id",
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

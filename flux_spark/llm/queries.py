@@ -2045,3 +2045,29 @@ def doc_dedup_minhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         dup_corpus(spark, sf_dir), num_hashes=32, bands=4, threshold=0.5
     )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_mips_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {similarity.sql_dot("qv", "cv", _DIM)} AS ip
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ip DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, ip, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= 5
+    """,
+    "exact maximum-inner-product top-5 (MIPS, the ANN objective when "
+    "magnitudes carry signal — recommendation retrieval, unnormalized "
+    "two-tower embeddings): broadcast queries, one corpus pass, raw "
+    "float64-fold dot product scores bit-matched by the oracle",
+)
+def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.mips_topk(e, e.where(F.col("vec_id") < 5), k=5)

@@ -156,6 +156,42 @@ def brute_force_topk(
     )
 
 
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query (MIPS — the retrieval
+    objective when magnitudes carry signal, e.g. recommendation scores or
+    unnormalized two-tower embeddings; cosine is MIPS on the unit
+    sphere). Same broadcast-queries / one-corpus-pass / per-query-window
+    plan as :func:`brute_force_topk`; the score is the raw float64 fold
+    dot product, so the oracle compares bit-for-bit."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("ip", dot(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "ip", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sign-LSH (random hyperplanes)
 # ---------------------------------------------------------------------------

@@ -202,3 +202,50 @@ def test_co_occurrence_pairs_skew_cap(spark):
         [("o", "x"), ("o", "x"), ("o", "y")], "k string, item string"
     )
     assert co_occurrence_pairs(dup, "k", "item").collect()[0]["n_keys"] == 1
+
+
+def test_co_occurrence_pairs_matches_bruteforce(spark):
+    """The gather+comprehension edge builder must equal the obvious
+    brute force on inputs with duplicates, singleton keys, shared items
+    and a hot key — guarding the rewrite of the old self-join form."""
+    import itertools
+
+    from flux_spark.analytics.operators import co_occurrence_pairs
+
+    rows = []
+    data = {
+        "k1": [3, 1, 2, 1],        # duplicate item within key
+        "k2": [2, 3],
+        "k3": [7],                 # singleton -> no pairs
+        "k4": [1, 2, 3, 4, 5, 6],  # hot key
+        "k5": [2, 3],              # repeats the (2,3) pair
+    }
+    for k, items in data.items():
+        rows += [(k, i) for i in items]
+    df = spark.createDataFrame(rows, "k string, item long")
+
+    expected = {}
+    for items in data.values():
+        for a, b in itertools.combinations(sorted(set(items)), 2):
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+
+    got = {
+        (r.item_a, r.item_b): r.n_keys
+        for r in co_occurrence_pairs(df, "k", "item").collect()
+    }
+    assert got == expected
+
+    # cap drops the hot key entirely, nothing else
+    expected_capped = {}
+    for items in data.values():
+        if len(set(items)) > 4:
+            continue
+        for a, b in itertools.combinations(sorted(set(items)), 2):
+            expected_capped[(a, b)] = expected_capped.get((a, b), 0) + 1
+    got_capped = {
+        (r.item_a, r.item_b): r.n_keys
+        for r in co_occurrence_pairs(
+            df, "k", "item", max_items_per_key=4
+        ).collect()
+    }
+    assert got_capped == expected_capped
