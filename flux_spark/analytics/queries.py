@@ -2935,3 +2935,92 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_missing_hours",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT t.h AS expected_hour FROM bounds,
+             LATERAL unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)),
+    types AS (SELECT DISTINCT event_type FROM events),
+    observed AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events)
+    SELECT ty.event_type, s.expected_hour
+    FROM types ty CROSS JOIN spine s
+    LEFT JOIN observed o
+      ON o.event_type = ty.event_type AND o.h = s.expected_hour
+    WHERE o.h IS NULL
+    """,
+    "time-series completeness audit via a calendar spine: generate the "
+    "full hour range between the stream's bounds, cross with the type "
+    "dimension, anti-join the observed hours — the standard backfill "
+    "gap-detection pattern; the spine is generated (never scanned) and "
+    "broadcasts against the aggregated observed set",
+)
+def events_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("expected_hour")
+    )
+    types = e.select("event_type").distinct()
+    observed = e.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    return (
+        types.crossJoin(spine)
+        .join(
+            observed,
+            (observed["event_type"] == types["event_type"])
+            & (observed["h"] == F.col("expected_hour")),
+            "left_anti",
+        )
+        .select(types["event_type"], "expected_hour")
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "customer_percent_rank",
+    """
+    SELECT c_custkey,
+           n_name AS nation,
+           c_acctbal,
+           percent_rank() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal, c_custkey) AS pr,
+           cume_dist() OVER (PARTITION BY n_name
+                             ORDER BY c_acctbal, c_custkey) AS cd
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "relative-standing windows: percent_rank and cume_dist of customer "
+    "balances within each nation (deterministic (balance, key) ordering; "
+    "both are rank arithmetic over identical orderings, so the doubles "
+    "are bit-identical cross-engine) — completes the ranking-window "
+    "family next to NTILE deciles and row_number top-k",
+)
+def customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("nation"), "c_acctbal")
+    w = Window.partitionBy("nation").orderBy("c_acctbal", "c_custkey")
+    return j.select(
+        "c_custkey",
+        "nation",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
