@@ -3024,3 +3024,71 @@ def customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "supplier_pareto_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(25,6))) * 1000000 AS BIGINT) AS rev_i
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT s_suppkey, rev_i,
+             CAST(SUM(rev_i) OVER (ORDER BY rev_i DESC, s_suppkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_i,
+             CAST(SUM(rev_i) OVER () AS BIGINT) AS tot_i,
+             ROW_NUMBER() OVER (ORDER BY rev_i DESC, s_suppkey) AS rnk
+      FROM rev)
+    SELECT s_suppkey,
+           CAST(rev_i AS DOUBLE) / 1000000 AS revenue,
+           CAST(rnk AS INTEGER) AS revenue_rank,
+           CAST(cum_i AS DOUBLE) / CAST(tot_i AS DOUBLE) AS cum_share,
+           cum_i * 10 <= tot_i * 8 AS in_top80
+    FROM ranked
+    """,
+    "Pareto (80/20) analysis of supplier revenue: rank by exact decimal "
+    "revenue, cumulative share via integer-quantized running sums (the "
+    "80% membership test is pure int64 arithmetic — no float boundary "
+    "ambiguity), one IEEE division per row for the reported share",
+)
+def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        (
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    _DEC
+                )
+            )
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("rev_i")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev_i"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    w_rnk = Window.orderBy(F.desc("rev_i"), F.asc("s_suppkey"))
+    ranked = rev.select(
+        "s_suppkey",
+        "rev_i",
+        F.sum("rev_i").over(w_cum).cast("long").alias("cum_i"),
+        F.sum("rev_i").over(w_all).cast("long").alias("tot_i"),
+        F.row_number().over(w_rnk).alias("rnk"),
+    )
+    return ranked.select(
+        "s_suppkey",
+        (F.col("rev_i").cast("double") / F.lit(1000000)).alias("revenue"),
+        F.col("rnk").cast("int").alias("revenue_rank"),
+        (F.col("cum_i").cast("double") / F.col("tot_i").cast("double")).alias(
+            "cum_share"
+        ),
+        (F.col("cum_i") * 10 <= F.col("tot_i") * 8).alias("in_top80"),
+    )

@@ -2071,3 +2071,54 @@ def doc_dedup_minhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.mips_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_tokenizer_fertility",
+    r"""
+    WITH pieces AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(
+              list_filter(
+                string_split_regex(
+                  regexp_replace(text, '([0-9]+|[^\w\s]+)', ' \1 ', 'g'),
+                  '\s+'),
+                x -> x <> ''),
+              w -> CAST(ceil(len(w) / CAST(6 AS DOUBLE)) AS BIGINT))),
+          (acc, x) -> acc + x) AS n_subword
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_subword) AS BIGINT) AS n_subword_tokens,
+           CAST(CAST(SUM(n_subword) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE) AS fertility
+    FROM pieces GROUP BY lang
+    """,
+    "tokenizer fertility by language (subword tokens per whitespace "
+    "word) — the standard metric for how well a tokenizer fits each "
+    "language's data; integer sums then ONE exact double division per "
+    "group keeps it bit-portable",
+)
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    counted = text.token_count_bpe_ish(d)
+    return (
+        counted.withColumn(
+            "n_words", F.size(F.split("text", " ")).cast("long")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_subword_tokens").alias("n_subword_tokens"),
+            (
+                F.sum("n_subword_tokens").cast("double")
+                / F.sum("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
