@@ -3092,3 +3092,118 @@ def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("cum_i") * 10 <= F.col("tot_i") * 8).alias("in_top80"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_ab_test_report",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN CAST(('0x' || substring(
+                     md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             user_id, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT variant,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value * 1000000 AS DECIMAL(25,6))) AS BIGINT)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000
+             AS mean_value
+    FROM assigned GROUP BY variant
+    """,
+    "A/B experiment readout: deterministic salted-md5 user-level variant "
+    "assignment (the identical user always lands in the same arm — the "
+    "experimentation-platform invariant), purchase-value totals and "
+    "means per arm with integer-quantized exact averaging",
+)
+def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = e.select(
+        F.when(bucket == 0, "control").otherwise("treatment").alias("variant"),
+        "user_id",
+        "value",
+    )
+    return assigned.groupBy("variant").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        _dec_sum(F.col("value"), "total_value"),
+        (
+            F.sum((F.col("value") * 1000000).cast(_DEC))
+            .cast("long")
+            .cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1000000)
+        ).alias("mean_value"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type FROM seq
+      WHERE prev_type IS NOT NULL),
+    counts AS (
+      SELECT prev_type, next_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+    totals AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM counts GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n, t.n_from,
+           CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p_transition
+    FROM counts c JOIN totals t USING (prev_type)
+    """,
+    "first-order Markov transition matrix of user event sequences: LAG "
+    "per user for consecutive pairs, then transition probabilities by "
+    "row-normalized counts — behavioral-modeling staple; one user-keyed "
+    "window shuffle plus a 5x5-bounded aggregate",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return counts.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "p_transition"
+        ),
+    )

@@ -2122,3 +2122,35 @@ def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rnk
+      FROM documents)
+    SELECT doc_id, lang, CAST(rnk AS INTEGER) AS sample_rank
+    FROM ranked WHERE rnk <= 10
+    """,
+    "deterministic stratified sampling: exactly 10 docs per language, "
+    "chosen by ranking on a salted md5 of the id — the balanced-eval-set "
+    "construction pattern; stable under repartitioning/retries unlike "
+    "rand()-ordered sampling, and a different salt gives an independent "
+    "draw; only (id, lang, hash) rows reach the per-stratum window",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.asc("doc_id"))
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= 10)
+    )
