@@ -3207,3 +3207,105 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "customer_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY 1),
+    joined AS (
+      SELECT f.cohort_month,
+             date_diff('month', f.cohort_month,
+                       date_trunc('month', o.o_orderdate)) AS months_since,
+             o.o_totalprice
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey)
+    SELECT cohort_month,
+           CAST(months_since AS INTEGER) AS months_since,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM joined GROUP BY 1, 2
+    """,
+    "cohort lifetime-value matrix: customers bucketed by first-order "
+    "month, revenue accumulated by months-since-acquisition — the "
+    "retention/LTV triangle every growth dashboard draws; the firsts "
+    "dimension partial-aggregates to customer cardinality and joins "
+    "back broadcastable",
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "cohort_month"
+        )
+    )
+    joined = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year(F.date_trunc("month", F.col("o_orderdate")))
+             - F.year("cohort_month")) * 12
+            + (F.month(F.date_trunc("month", F.col("o_orderdate")))
+               - F.month("cohort_month"))
+        ).cast("int").alias("months_since"),
+        "o_totalprice",
+    )
+    return joined.groupBy("cohort_month", "months_since").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_dau_wau_mau",
+    """
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+    acts AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events)
+    SELECT d.day,
+           COUNT(DISTINCT CASE WHEN a.day = d.day
+                               THEN a.user_id END) AS dau,
+           COUNT(DISTINCT CASE WHEN a.day > d.day - INTERVAL 7 DAY
+                               THEN a.user_id END) AS wau,
+           COUNT(DISTINCT a.user_id) AS mau,
+           CAST(COUNT(DISTINCT CASE WHEN a.day = d.day
+                                    THEN a.user_id END) AS DOUBLE)
+             / CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) AS stickiness
+    FROM days d JOIN acts a
+      ON a.day <= d.day AND a.day > d.day - INTERVAL 30 DAY
+    GROUP BY d.day
+    """,
+    "activity metrics: DAU / trailing-7-day WAU / trailing-30-day MAU "
+    "and DAU-over-MAU stickiness per day — computed from the (day, user) "
+    "DISTINCT activity set (cardinality bounded by days x users, far "
+    "smaller than the event stream) range-joined against the day spine",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    acts = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = acts.select("day").distinct().select(F.col("day").alias("d"))
+    j = days.join(
+        acts,
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") > F.col("d") - F.expr("INTERVAL 30 DAY")),
+    )
+    dau_user = F.when(F.col("day") == F.col("d"), F.col("user_id"))
+    wau_user = F.when(
+        F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAY"), F.col("user_id")
+    )
+    return j.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct(dau_user).alias("dau"),
+        F.count_distinct(wau_user).alias("wau"),
+        F.count_distinct("user_id").alias("mau"),
+        (
+            F.count_distinct(dau_user).cast("double")
+            / F.count_distinct("user_id").cast("double")
+        ).alias("stickiness"),
+    )
