@@ -210,9 +210,14 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # SHUFFLE_HASH: both sides scale with the corpus, and the static
+    # planner's size estimates for cached/derived relations are unreliable
+    # enough to pick a broadcast that cannot be built at 100x data (the
+    # sf10 ladder run failed exactly there); shuffled hash join is the
+    # strategy that is correct at every scale for these bucket joins.
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__bhash") == F.col("b.__bhash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -230,9 +235,15 @@ def minhash_lsh_pairs(
     eb = ex.select(
         F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"), "__s"
     )
+    # join1 builds on the narrow candidate pairs (shuffled hash, ~16 B/row);
+    # join2's smaller side is the exploded shingle index — too big to hash-
+    # build 32x concurrently in one local heap, so force sort-merge, which
+    # spills instead of OOMing (broadcast, the static planner's pick off
+    # bogus cached-relation stats, cannot be built at all at 100x)
     common = (
-        cand.join(ea, "id_a")
-        .join(eb, ["id_b", "__s"])
+        cand.hint("shuffle_hash")
+        .join(ea, "id_a")
+        .join(eb.hint("merge"), ["id_b", "__s"])
         .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count("*").alias("__common"))
     )
@@ -371,7 +382,7 @@ def ngram_jaccard_pairs(
     ea = ex.select(F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__na"), "__s")
     eb = ex.select(F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"), "__s")
     common = (
-        ea.join(eb, "__s")
+        ea.join(eb.hint("merge"), "__s")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count("*").alias("__common"))

@@ -271,9 +271,11 @@ def lsh_near_dup_pairs(
         F.col(id_col), F.col(vec_col), signature_bits(F.col(vec_col), planes).alias("__sig")
     ).persist()
     a, b = s.alias("a"), s.alias("b")
+    # SHUFFLE_HASH: see minhash_lsh_pairs — corpus-scaled self-joins must
+    # never be planned as broadcasts off unreliable cached-relation stats
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.__sig") == F.col("b.__sig"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
@@ -535,7 +537,7 @@ def semantic_dedup(
         "cluster_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     )
     dups = (
-        a.join(b, "cluster_id")
+        a.join(b.hint("shuffle_hash"), "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("__cos", pair_cosine_arrow(F.col("__va"), F.col("__vb")))
         .where(F.col("__cos") >= threshold)
