@@ -577,7 +577,13 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         (names[1], "lineitem", "l_orderkey"),
     ):
         (
+            # repartition on the bucket key FIRST: without it every input
+            # task sorts and writes all 8 buckets (N*8 files and N
+            # concurrent sorts — the sf10 ladder run exhausted execution
+            # memory exactly here); with it each bucket is one task's one
+            # spill-friendly sort and exactly one file
             load_table(spark, sf_dir, table)
+            .repartition(8, F.col(key))
             .write.mode("overwrite")
             .option("path", f"{base}/{name}")
             .bucketBy(8, key)
