@@ -191,8 +191,10 @@ def triangle_count(
     # times — measured 3× wall time on the co-purchase graph at sf1.
     # Materialize it once; edge lists are tiny next to the input that
     # produced them (same localCheckpoint discipline as the connected-
-    # components iteration state in llm/dedup.py).
-    edges = edges.select(src, dst).localCheckpoint(eager=True)
+    # components iteration state in llm/dedup.py). eager=False: the
+    # checkpoint fills on the FIRST action, so merely composing or
+    # explaining the plan doesn't launch the edge-build job.
+    edges = edges.select(src, dst).localCheckpoint(eager=False)
     e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
     wedges = e1.join(e2, "b").select("a", "b", "c")

@@ -247,13 +247,24 @@ class Catalog:
         if drop_data:
             import shutil
 
-            shutil.rmtree(self.warehouse / name, ignore_errors=True)
-            # a crash-recovery backup for this topic is now orphaned data
-            # from a deleted namespace — drop it too, or a re-created
-            # topic of the same name could "recover" the old contents
-            shutil.rmtree(
-                _swap_backup_path(self.warehouse / name), ignore_errors=True
-            )
+            # serialize against an in-flight rewrite of this topic: take
+            # the topic write lock (so no compactor is mid-swap) and the
+            # swap guard (so no recovery interleaves). Without these, the
+            # rmtree could delete a compactor's mid-swap backup out from
+            # under it — or the compactor's second rename could resurrect
+            # the "deleted" topic from its tmp directory.
+            with file_lock(self.warehouse / ".locks" / f"{name}.lock"), file_lock(
+                self.warehouse / ".swap.lock"
+            ):
+                shutil.rmtree(self.warehouse / name, ignore_errors=True)
+                # a crash-recovery backup for this topic is now orphaned
+                # data from a deleted namespace — drop it too, or a
+                # re-created topic of the same name could "recover" the
+                # old contents
+                shutil.rmtree(
+                    _swap_backup_path(self.warehouse / name),
+                    ignore_errors=True,
+                )
 
     def topic_exists(self, name: str) -> bool:
         return name in self._load()["topics"]

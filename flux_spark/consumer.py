@@ -91,10 +91,14 @@ class OffsetStore:
             for (t, p), off in offsets.items()
         ]
         df = self.store.spark.createDataFrame(rows, _OFFSETS_SCHEMA)
-        self._recover()
         # flock shared with compact(): a commit can't append into the
-        # directory while compact is atomically swapping it out
+        # directory while compact is atomically swapping it out. Crash
+        # recovery runs INSIDE the lock: a committer that merely checked
+        # before blocking could append into a directory a dying compactor
+        # had renamed away, recreating it with one row and making the
+        # next recovery discard every older commit as a stale backup.
         with file_lock(self.store.warehouse / ".offsets.lock"):
+            self._recover()
             df.coalesce(1).write.mode("append").parquet(self.path)
 
     def compact(self) -> int:
@@ -111,14 +115,14 @@ class OffsetStore:
 
         from .catalog import atomic_dir_swap, file_lock
 
-        self._recover()
-        if not os.path.isdir(self.path):
-            return 0
         from pyspark.sql import Window
 
         with self._seq_lock, file_lock(
             self.store.warehouse / ".offsets.lock"
         ):
+            self._recover()
+            if not os.path.isdir(self.path):
+                return 0
             df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(
                 self.path
             )
@@ -140,22 +144,30 @@ class OffsetStore:
             return kept
 
     def fetch(self, group_id: str) -> dict[tuple[str, int], int]:
-        """Latest committed offset per (topic, partition) for the group."""
-        self._recover()
-        if not os.path.isdir(self.path):
-            return {}
-        df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(self.path)
-        rows = (
-            df.where(F.col("group_id") == group_id)
-            .groupBy("topic", "partition")
-            .agg(
-                F.max_by(
-                    "offset",
-                    F.struct(F.col("commit_ts"), F.coalesce(F.col("seq"), F.lit(-1))),
-                ).alias("offset")
+        """Latest committed offset per (topic, partition) for the group.
+
+        Held under the offsets flock end-to-end (recover + scan +
+        collect): the read is metadata-sized, and without the lock a
+        concurrent compact/delete swap could delete part files between
+        listing and scan, failing the job mid-read."""
+        from .catalog import file_lock
+
+        with file_lock(self.store.warehouse / ".offsets.lock"):
+            self._recover()
+            if not os.path.isdir(self.path):
+                return {}
+            df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(self.path)
+            rows = (
+                df.where(F.col("group_id") == group_id)
+                .groupBy("topic", "partition")
+                .agg(
+                    F.max_by(
+                        "offset",
+                        F.struct(F.col("commit_ts"), F.coalesce(F.col("seq"), F.lit(-1))),
+                    ).alias("offset")
+                )
+                .collect()
             )
-            .collect()
-        )
         return {(r["topic"], int(r["partition"])): int(r["offset"]) for r in rows}
 
     # -- admin surface (Kafka AdminClient / kafka-consumer-groups parity) --
@@ -166,14 +178,17 @@ class OffsetStore:
         in-memory ``GroupCoordinator.list_groups`` covers live-membership
         groups; this covers the broker-durable view, like listing groups
         from ``__consumer_offsets``.)"""
-        self._recover()
-        if not os.path.isdir(self.path):
-            return []
-        df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(self.path)
-        return sorted(
-            r["group_id"]
-            for r in df.select("group_id").distinct().collect()
-        )
+        from .catalog import file_lock
+
+        with file_lock(self.store.warehouse / ".offsets.lock"):
+            self._recover()
+            if not os.path.isdir(self.path):
+                return []
+            df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(self.path)
+            return sorted(
+                r["group_id"]
+                for r in df.select("group_id").distinct().collect()
+            )
 
     def delete_group(self, group_id: str) -> int:
         """Kafka AdminClient.deleteConsumerGroups analog: drop every
@@ -185,10 +200,10 @@ class OffsetStore:
 
         from .catalog import atomic_dir_swap, file_lock
 
-        self._recover()
-        if not os.path.isdir(self.path):
-            return 0
         with self._seq_lock, file_lock(self.store.warehouse / ".offsets.lock"):
+            self._recover()
+            if not os.path.isdir(self.path):
+                return 0
             df = self.store.spark.read.schema(_OFFSETS_SCHEMA).parquet(self.path)
             total = df.count()
             keep = df.where(F.col("group_id") != group_id)
@@ -220,13 +235,16 @@ class OffsetStore:
         committed offset (log start when none) moves by N. Absolute and
         shifted targets are clamped into [log start, hwm] like the CLI.
         The computed targets are committed for the group and returned."""
-        begins = self.store.beginning_offsets(topic)
         hwm = self.store.high_water_marks(topic)
+        # beginning_offsets scans the log for per-partition minimums; only
+        # the earliest / absolute / shift paths need it
+        begins: dict[int, int] | None = None
 
         def clamp(p: int, o: int) -> int:
             return max(begins.get(p, 0), min(int(o), hwm[p]))
 
         if shift_by is not None:
+            begins = self.store.beginning_offsets(topic)
             cur = self.fetch(group_id)
             targets = {
                 p: clamp(p, cur.get((topic, p), begins.get(p, 0)) + shift_by)
@@ -234,12 +252,14 @@ class OffsetStore:
             }
             label = f"shift:{shift_by}"
         elif to == "earliest":
+            begins = self.store.beginning_offsets(topic)
             targets = begins
             label = "reset:earliest"
         elif to == "latest":
             targets = hwm
             label = "reset:latest"
         elif isinstance(to, int):
+            begins = self.store.beginning_offsets(topic)
             targets = {p: clamp(p, to) for p in hwm}
             label = f"reset:{to}"
         else:

@@ -1946,9 +1946,10 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed AS (
       SELECT d.lang, s.mean_cond_prob,
              NTILE(3) OVER (PARTITION BY d.lang
-                            ORDER BY s.mean_cond_prob DESC, s.doc_id ASC)
+                            ORDER BY s.mean_cond_prob DESC NULLS LAST,
+                                     d.doc_id ASC)
                AS bucket
-      FROM scores s JOIN documents d USING (doc_id))
+      FROM documents d LEFT JOIN scores s USING (doc_id))
     SELECT lang, CAST(bucket AS INTEGER) AS bucket,
            COUNT(*) AS n_docs,
            MIN(mean_cond_prob) AS min_score,

@@ -208,9 +208,13 @@ def perplexity_buckets(
     from pyspark.sql import Window
 
     scores = bigram_doc_score(df, model, text_col=text_col, id_col=id_col)
-    scored = df.select(id_col, lang_col).join(scores, id_col)
+    # LEFT join: a doc with < 2 tokens (or nothing the LM matched) has no
+    # score row, but it must still be bucketed — NULLS LAST puts exactly
+    # those degenerate docs in the tail, where a curation split wants
+    # them, instead of silently dropping them from the keep/drop decision
+    scored = df.select(id_col, lang_col).join(scores, id_col, "left")
     w = Window.partitionBy(lang_col).orderBy(
-        F.desc("mean_cond_prob"), F.asc(id_col)
+        F.col("mean_cond_prob").desc_nulls_last(), F.asc(id_col)
     )
     return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
 

@@ -112,10 +112,10 @@ class LogStore:
 
     def _recover_swap(self, topic: str) -> bool:
         """Restore a topic directory stranded by a rewrite (compact /
-        truncate) that crashed between its two renames — MUST run before
-        anything recreates the live path (the flock file in
-        :meth:`_write_lock` would otherwise resurrect the topic dir empty
-        and a later recovery would discard the backup as stale)."""
+        truncate) that crashed between its two renames. Writers run this
+        inside :meth:`_write_lock`; readers call it directly (guarded by
+        the warehouse swap flock only), which is safe because nothing on
+        the read path recreates the live directory."""
         from .catalog import recover_dir_swap
 
         return recover_dir_swap(
@@ -131,15 +131,23 @@ class LogStore:
         processes sharing the warehouse. Without the file lock, two
         processes could both read hwm=N and mint duplicate offsets
         (VERDICT r3 "What's missing" #2). flock auto-releases on process
-        death, so a crashed writer never wedges the topic."""
+        death, so a crashed writer never wedges the topic.
+
+        The lock file lives OUTSIDE the topic directory (``.locks/``):
+        when it lived inside, (a) acquiring it could recreate a topic dir
+        that a rewrite had just renamed away — the rewrite's second
+        rename then failed and a later recovery deleted the real data as
+        a "stale backup" — and (b) a successful swap renamed the lock
+        file away with the directory, so the holder kept flocking an
+        unlinked inode while new writers locked a fresh one, silently
+        breaking mutual exclusion. Crash recovery runs INSIDE the lock
+        (no writer can interleave with the check-and-restore)."""
         from .catalog import file_lock
 
-        # before the flock call below creates the topic dir (its lock file
-        # lives inside it), finish any crash-interrupted rewrite swap
-        self._recover_swap(topic)
         with self._ingest_lock(topic), file_lock(
-            self.warehouse / topic / ".ingest.lock"
+            self.warehouse / ".locks" / f"{topic}.lock"
         ):
+            self._recover_swap(topic)
             yield
 
     # -- write path (S1-S6, §3.1) --------------------------------------

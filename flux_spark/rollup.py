@@ -71,8 +71,13 @@ class ContinuousRollup:
         refresh. Single-maintainer is the normal deployment (Kafka
         Streams' one-task-per-store rule); the lock makes violations
         safe instead of silently corrupting."""
-        recover_dir_swap(self.path, self.store.warehouse / ".swap.lock")
         with file_lock(self.path.parent / f".{self.path.name}.lock"):
+            # recovery must run INSIDE the refresh lock: a refresher that
+            # merely checked before blocking could find the table missing
+            # (another refresher died mid-swap), take the never-refreshed
+            # branch, and silently replace the accumulated history with
+            # one poll window's partial sums
+            recover_dir_swap(self.path, self.store.warehouse / ".swap.lock")
             return self._refresh_locked()
 
     def _refresh_locked(self) -> int:

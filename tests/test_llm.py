@@ -608,6 +608,9 @@ def test_perplexity_buckets_per_language(spark):
         (3, "x y", "en"),        # rare bigram -> lowest en score
         # 'fr': single doc -> its own bucket 1 regardless of score
         (4, "x y", "fr"),
+        # one-token doc: no bigrams, no score row — must still be
+        # bucketed (tail, NULLS LAST), not silently dropped
+        (5, "z", "en"),
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = {
@@ -616,7 +619,10 @@ def test_perplexity_buckets_per_language(spark):
             d, text.bigram_counts(d), n_buckets=3
         ).collect()
     }
-    assert out[3].bucket == 3                      # en tail
     assert out[1].bucket == 1                      # en head
     assert out[4].bucket == 1                      # fr's only doc heads its own lang
     assert out[4].lang == "fr"
+    assert len(out) == 5                           # nothing dropped
+    assert out[5].bucket == 3                      # unscored -> tail
+    assert out[5].mean_cond_prob is None
+    assert out[3].bucket in (2, 3)                 # worst scored doc stays low
