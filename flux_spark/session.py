@@ -36,7 +36,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # In local[N] mode this one heap is driver AND all N executor
+        # threads: 32 concurrent tasks sharing 8g is ~250 MB of unified
+        # memory each, which big sorts/aggregations exhaust (the sf30
+        # ladder run died in a heap OOM there). Scale the default with
+        # the thread count — ~1g per task thread, floor 8g — instead of
+        # a flat 8g; explicit SPARK_GRAFT_DRIVER_MEM still overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM",
+                f"{max(8, int(cpus) if cpus.isdigit() else 8)}g",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
