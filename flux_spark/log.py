@@ -606,7 +606,12 @@ class LogStore:
 
         Returns {subject: action} for observability. Safe to run while
         producers are live — every rewrite takes the topic write lock and
-        swaps directories atomically.
+        swaps directories atomically. One caveat mirrors Kafka's cleaner:
+        a concurrent batch READ whose lazy scan lists files just before a
+        swap and executes just after may fail transiently with a missing-
+        file error; re-running the read succeeds (crash recovery is
+        lossless, see catalog.atomic_dir_swap). Offsets-log reads are not
+        affected — fetch()/groups() hold the offsets flock end-to-end.
         """
         actions: dict[str, str] = {}
         for topic in self.catalog.list_topics():
