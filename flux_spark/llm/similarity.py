@@ -525,11 +525,15 @@ def semantic_dedup(
         .withColumn("__ccos", cosine(F.col(vec_col), F.col("__cvec")))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("__cid"))
+    # persisted: the assignment subtree (corpus scan + K-centroid scoring +
+    # a corpus-wide exchange) feeds the pair join's a-side, b-side, AND the
+    # final left join — without this it runs 3x (the r4 weak plan), same
+    # discipline as lsh_near_dup_pairs' signature persist above
     assigned = (
         scored.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") == 1)
         .select(F.col(id_col), F.col(vec_col), F.col("__cid").alias("cluster_id"))
-    )
+    ).persist()
     a = assigned.select(
         "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )

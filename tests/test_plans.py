@@ -433,6 +433,14 @@ def test_semantic_dedup_broadcasts_centroids_no_cartesian_pairs(spark, sf):
     # the only Python in the plan is the Arrow-vectorized pair cosine
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+    # the assignment subtree is persisted and reused: the tower (corpus
+    # FileScan + centroid BNLJ) lives ONLY inside the InMemoryRelation —
+    # the top-level plan consumes it via InMemoryTableScan and never
+    # recomputes it (the r4 weak plan ran it 3x)
+    top = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in top
+    assert "BroadcastNestedLoopJoin" not in top
+    assert "FileScan" not in top
 
 
 def test_perplexity_buckets_broadcast_model_narrow_window(spark, sf):
