@@ -936,6 +936,103 @@ def emb_near_dup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# auto-scaled LSH: plane count derived from the corpus COUNT at run time
+# (auto_planes keeps expected bucket size ~constant as the corpus grows —
+# the 100 TB knob). The oracle reproduces the derivation in SQL: it
+# materializes sign bits for a 24-plane superset, derives np =
+# auto_planes(COUNT(*)) as a scalar, and sums bits[i]*2^i over i < np.
+_MAXP = 24
+_PLANES_SUPER = similarity.hyperplanes(_MAXP, _DIM)
+
+_AUTO_NP_SQL = """
+SELECT CASE WHEN cnt <= 16 THEN 4
+       ELSE GREATEST(4, CAST(CEIL(LOG2(cnt / 16.0)) AS INT)) END AS np
+FROM (SELECT COUNT(*) AS cnt FROM aug)
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "emb_near_dup_lsh_auto",
+    _EMB_AUG_CTE
+    + f"""
+, params AS ({_AUTO_NP_SQL})
+, bitsrc AS (
+  SELECT vec_id, v,
+         {similarity.sql_signature_bit_list("v", _PLANES_SUPER, _DIM)} AS bits
+  FROM aug)
+, sigs AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(
+           generate_series(0, (SELECT np FROM params) - 1),
+           i -> CASE WHEN bits[CAST(i + 1 AS INT)]
+                     THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+  FROM bitsrc)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {similarity.sql_cosine("a.v", "b.v", _DIM)} AS cos_sim
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+""",
+    "sign-LSH near-dup with the plane count DERIVED from the corpus size "
+    "(auto_planes: ceil(log2(n/16)), floored at 4) instead of pinned — "
+    "the knob that keeps candidate volume linear as the corpus scales "
+    "(sf0.01 -> 6 planes, sf10 -> 14). The oracle re-derives the same "
+    "plane count from COUNT(*) in SQL and masks a 24-plane bit superset",
+)
+def emb_near_dup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _aug_embeddings(spark, sf_dir)
+    n_planes = similarity.auto_planes(corpus.count())
+    return similarity.lsh_near_dup_pairs(
+        corpus, vec_col="v", n_planes=n_planes, threshold=0.98
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_semantic_dedup_auto",
+    _EMB_AUG_CTE
+    + f"""
+, params AS (
+  SELECT GREATEST(1, CAST(CEIL(cnt / 256.0) AS INT)) AS k
+  FROM (SELECT COUNT(*) AS cnt FROM aug)),
+cen AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < (SELECT k FROM params)),
+asg AS (
+  SELECT vec_id, v, cid AS cluster_id FROM (
+    SELECT a.vec_id, a.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {similarity.sql_cosine("a.v", "c.cv", _DIM)} DESC,
+                                       c.cid ASC) AS rn
+    FROM aug a CROSS JOIN cen c) WHERE rn = 1),
+dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+  GROUP BY b.vec_id)
+SELECT g.vec_id, g.cluster_id, d.dup_of, d.dup_of IS NULL AS is_kept
+FROM asg g LEFT JOIN dups d ON d.vec_id = g.vec_id
+""",
+    "SemDeDup with the centroid count DERIVED from the corpus size "
+    "(auto_centroids: ceil(n/256), floored at 1) instead of pinned at 8 "
+    "— K must track n to keep the sum(|cluster|^2) pair cost linear "
+    "(sf0.01 -> 3 centroids, sf10 -> 834). The oracle re-derives K from "
+    "COUNT(*) in SQL; same min-id survivor rule and 0.98 threshold",
+)
+def emb_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _aug_embeddings(spark, sf_dir)
+    k = similarity.auto_centroids(corpus.count(), target_cluster=256)
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    return similarity.semantic_dedup(
+        corpus, centroids, vec_col="v", id_col="vec_id", threshold=0.98
+    )
+
+
 def _lsh_topk_sql(n_planes: int = 8, k: int = 5) -> str:
     sig = similarity.sql_signature_bits("embedding", _PLANES, _DIM)
     masks = ", ".join(f"CAST({2**i} AS BIGINT)" for i in range(n_planes))

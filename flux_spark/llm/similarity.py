@@ -244,6 +244,20 @@ def sql_signature_bits(vec: str, planes: list[list[float]], dim: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def sql_signature_bit_list(vec: str, planes: list[list[float]], dim: int) -> str:
+    """SQL list of per-plane sign bits (booleans) — the building block for
+    data-derived plane counts: the oracle materializes bits for a plane
+    SUPERSET, then sums ``bits[i] * 2^i`` over only the first
+    ``auto_planes(COUNT(*))`` entries (see emb_near_dup_lsh_auto), so the
+    static SQL text reproduces a signature whose width is only known at
+    run time."""
+    terms = []
+    for p in planes:
+        lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"
+        terms.append(f"({sql_dot(vec, lit, dim)} > 0)")
+    return "[" + ", ".join(terms) + "]"
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -483,6 +497,44 @@ def auto_centroids(corpus_size: int, target_cluster: int = 1024) -> int:
     return max(1, math.ceil(corpus_size / target_cluster))
 
 
+def _centroid_assign_arrow(cents: list[tuple[int, list[float]]]):
+    """Arrow pandas UDF: max-cosine centroid id for each batch vector.
+
+    ``cents`` must be sorted by centroid id ascending — ties on equal
+    cosine then resolve to the LOWEST id via ``argmax``'s first-occurrence
+    rule, matching the ROW_NUMBER (cos DESC, cid ASC) oracle exactly.
+    Accumulation loops over dimensions so each (vector, centroid) pair
+    sees the identical left-to-right float64 multiply-add sequence as the
+    Catalyst fold in :func:`cosine` (see :func:`pair_cosine_arrow`).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cids = [c[0] for c in cents]
+    cmat = [c[1] for c in cents]
+
+    @pandas_udf("long")
+    def _assign(v):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.asarray(cids, dtype=np.int64)
+        C = np.asarray(cmat, dtype=np.float64)  # K x dim
+        A = np.array(v.tolist(), dtype=np.float64)  # B x dim
+        if A.ndim != 2 or len(A) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        acc = np.zeros((A.shape[0], C.shape[0]))
+        na = np.zeros(A.shape[0])
+        nc = np.zeros(C.shape[0])
+        for i in range(A.shape[1]):
+            acc += A[:, i, None] * C[None, :, i]
+            na += A[:, i] * A[:, i]
+            nc += C[:, i] * C[:, i]
+        cos = acc / (np.sqrt(na)[:, None] * np.sqrt(nc)[None, :])
+        return pd.Series(ids[np.argmax(cos, axis=1)])
+
+    return _assign
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -513,26 +565,29 @@ def semantic_dedup(
 
     The reference has no similarity surface (SURVEY.md §2.7); this is
     the BASELINE.json LLM-pipeline dedup family's embedding member.
-    """
-    from pyspark.sql import Window
 
-    cen = centroids.select(
-        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    Assignment kernel: centroids are a MODEL (like the PQ codebook) —
+    collected to the driver (K rows, driver-memory bounded exactly like a
+    k-means model) and closed over by an Arrow pandas UDF that scores a
+    whole batch against the K×dim matrix with the same left-to-right
+    float64 fold as :func:`cosine` / the DuckDB oracle (loop over
+    DIMENSIONS, numpy vectorizes over batch×K). One narrow corpus pass,
+    no join, no window exchange — the previous broadcast-NLJ + window
+    form evaluated K interpreted Catalyst folds per row and hit a wall at
+    auto_centroids scale (K=834 at a 213k corpus never finished; this
+    kernel does it in seconds).
+    """
+    cents = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id_col, vec_col).collect()
     )
-    scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cen))
-        .withColumn("__ccos", cosine(F.col(vec_col), F.col("__cvec")))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("__cid"))
-    # persisted: the assignment subtree (corpus scan + K-centroid scoring +
-    # a corpus-wide exchange) feeds the pair join's a-side, b-side, AND the
-    # final left join — without this it runs 3x (the r4 weak plan), same
-    # discipline as lsh_near_dup_pairs' signature persist above
-    assigned = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("__cid").alias("cluster_id"))
+    assign = _centroid_assign_arrow(cents)
+    # persisted: the assignment pass (corpus scan + K-centroid scoring)
+    # feeds the pair join's a-side, b-side, AND the final left join —
+    # without this it runs 3x (the r4 weak plan), same discipline as
+    # lsh_near_dup_pairs' signature persist above
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster_id")
     ).persist()
     a = assigned.select(
         "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")

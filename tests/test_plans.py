@@ -425,21 +425,22 @@ def test_semantic_dedup_broadcasts_centroids_no_cartesian_pairs(spark, sf):
     from flux_spark.llm.queries import LLM_QUERIES
 
     plan = executed_plan(LLM_QUERIES["emb_semantic_dedup"].fn(spark, sf))
-    # centroid assignment: broadcast nested-loop over the tiny centroid
-    # set (a deliberate K-row fan-out, not a data-scale cross product);
-    # the within-cluster pair join is hash-keyed on cluster_id
-    assert "BroadcastNestedLoopJoin" in plan
+    # centroid assignment is a single Arrow pass (centroids are a
+    # driver-held model closed over by the UDF): no join, no window
+    # exchange, no K-row fan-out anywhere in the assignment stage — the
+    # old broadcast-NLJ form evaluated K interpreted folds per row and
+    # stalled at auto_centroids scale
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the only Python in the plan is the Arrow-vectorized pair cosine
+    # all Python is Arrow-vectorized (assignment + pair-verify cosine)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
-    # the assignment subtree is persisted and reused: the tower (corpus
-    # FileScan + centroid BNLJ) lives ONLY inside the InMemoryRelation —
+    # the assignment pass is persisted and reused: the tower (corpus
+    # FileScan + Arrow scoring) lives ONLY inside the InMemoryRelation —
     # the top-level plan consumes it via InMemoryTableScan and never
     # recomputes it (the r4 weak plan ran it 3x)
     top = plan.split("InMemoryRelation")[0]
     assert "InMemoryTableScan" in top
-    assert "BroadcastNestedLoopJoin" not in top
     assert "FileScan" not in top
 
 
