@@ -1678,3 +1678,96 @@ def log_maintenance_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("rec_key"),
         F.col("value").alias("rec_value"),
     )
+
+
+@register(
+    LOG_QUERIES,
+    "log_rebalance_resume",
+    """
+    WITH routed AS (
+      SELECT CAST(event_id % 6 AS INTEGER) AS part_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id % 6
+                                ORDER BY event_id) - 1 AS record_offset
+      FROM events),
+    counts AS (SELECT part_id, CAST(COUNT(*) AS BIGINT) AS total
+               FROM routed GROUP BY part_id),
+    -- post-rebalance owners: sticky keeps m1 on {0,1} and m2 on {3,4},
+    -- then the min-heap splits the departed m3's {2,5} by (load, member)
+    owners(part_id, member) AS (
+      VALUES (0, 'm1'), (1, 'm1'), (2, 'm1'),
+             (3, 'm2'), (4, 'm2'), (5, 'm2'))
+    SELECT o.member, c.part_id,
+           CAST(LEAST(100, c.total) AS BIGINT) AS resumed_from,
+           CAST(c.total - LEAST(100, c.total) AS BIGINT) AS n_consumed,
+           CAST(c.total - 1 AS BIGINT) AS max_offset
+    FROM counts c JOIN owners o USING (part_id)
+    """,
+    "end-to-end consumer-group lifecycle (the reference's core consumer "
+    "story, FluxConsumer.java:52-133 + StickyAssignorTest.java): three "
+    "members join/sync on a 6-partition topic under the sticky protocol "
+    "(m1:[0,1] m2:[3,4] m3:[2,5]), each consumes 100 records/partition "
+    "and commits; m3 leaves; the survivors' sticky rebalance keeps their "
+    "own partitions and splits m3's; they resume FROM M3'S COMMITTED "
+    "OFFSETS and drain — output is each survivor's per-partition resume "
+    "point, consumed count, and final offset",
+)
+def log_rebalance_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import FluxConsumer
+    from ..coordinator import GroupCoordinator
+    from ..log import LogStore
+
+    store = LogStore(spark, tempfile.mkdtemp(prefix="flux-rebal-"))
+    store.catalog.create_topic("rb", 6)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(6)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("rb", e, ordering_col="seq")
+
+    coord = GroupCoordinator()
+    mk = lambda m: FluxConsumer(  # noqa: E731 - three identical members
+        store, group_id="rebal-gate", coordinator=coord,
+        protocols=("sticky",), member_id=m,
+    )
+    c1, c2, c3 = mk("m1"), mk("m2"), mk("m3")
+    # join storm: each join bumps the generation; everyone re-syncs on
+    # the final one (Kafka's rejoin-on-rebalance), landing the sticky
+    # plan m1:[0,1] m2:[3,4] m3:[2,5]
+    c1.subscribe(["rb"])
+    c2.subscribe(["rb"])
+    c3.subscribe(["rb"])
+    a1, a2 = c1.subscribe(["rb"]), c2.subscribe(["rb"])
+    assert a1 == {"rb": [0, 1]} and a2 == {"rb": [3, 4]}, (a1, a2)
+    assert c3.assignment() == {"rb": [2, 5]}, c3.assignment()
+
+    # phase 1: every member consumes up to 100/partition and commits
+    for c in (c1, c2, c3):
+        c.poll(max_records_per_partition=100)
+        c.commit_offsets()
+
+    # m3 leaves -> new generation; survivors rejoin: sticky keeps their
+    # partitions and splits m3's {2,5} across them
+    c3.unsubscribe()
+    a1, a2 = c1.subscribe(["rb"]), c2.subscribe(["rb"])
+    assert a1 == {"rb": [0, 1, 2]} and a2 == {"rb": [3, 4, 5]}, (a1, a2)
+
+    # resume: positions install from the group's committed offsets —
+    # including partition 2/5 commits written by the departed m3
+    out = []
+    for label, c in (("m1", c1), ("m2", c2)):
+        recs = c.poll().records
+        out.append(
+            recs.groupBy(F.col("partition").alias("part_id"))
+            .agg(
+                F.min("offset").alias("resumed_from"),
+                F.count("*").alias("n_consumed"),
+                F.max("offset").alias("max_offset"),
+            )
+            .withColumn("member", F.lit(label))
+        )
+    return out[0].unionByName(out[1]).select(
+        "member", "part_id", "resumed_from", "n_consumed", "max_offset"
+    )

@@ -226,11 +226,16 @@ def co_occurrence_pairs(
     Returns (item_a, item_b, n_keys).
     """
     # One shuffle to gather each key's distinct items (collect_set dedups,
-    # sort_array fixes pair orientation), pairs expanded by an array
-    # comprehension map-side, one partial-aggregated shuffle for the
-    # counts. The previous distinct + self-join form shuffled the
-    # (key, item) set three times and dominated the sf1 graph queries
-    # (10.7 s -> the joins were cheap, the edge build was not).
+    # sort_array fixes pair orientation), pairs expanded map-side by TWO
+    # chained generates, one partial-aggregated shuffle for the counts.
+    # The previous distinct + self-join form shuffled the (key, item) set
+    # three times and dominated the sf1 graph queries (10.7 s -> the
+    # joins were cheap, the edge build was not). The two-level explode
+    # (posexplode each anchor, then explode its tail slice) streams the
+    # k² pairs with O(k) peak memory per row — a single flatten/transform
+    # comprehension would materialize all k² structs in one task row,
+    # which is an OOM on an uncapped hot key (10⁵ items -> billions of
+    # structs) where the generate form just takes time.
     grouped = (
         df.select(F.col(key_col).alias("__k"), F.col(item_col).alias("__i"))
         .groupBy("__k")
@@ -238,19 +243,16 @@ def co_occurrence_pairs(
     )
     if max_items_per_key is not None:
         grouped = grouped.where(F.size("__items") <= int(max_items_per_key))
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(__items, (x, i) -> "
-                "transform(slice(__items, i + 2, size(__items) - i - 1), "
-                "y -> struct(x AS item_a, y AS item_b))))"
-            )
-        ).alias("__p")
+    anchors = grouped.select(
+        "__items", F.posexplode("__items").alias("__pos", "item_a")
     )
-    return pairs.groupBy(
-        F.col("__p.item_a").alias("item_a"),
-        F.col("__p.item_b").alias("item_b"),
-    ).agg(F.count("*").alias("n_keys"))
+    pairs = anchors.select(
+        "item_a",
+        F.explode(
+            F.expr("slice(__items, __pos + 2, size(__items) - __pos - 1)")
+        ).alias("item_b"),
+    )
+    return pairs.groupBy("item_a", "item_b").agg(F.count("*").alias("n_keys"))
 
 
 def salted_join(

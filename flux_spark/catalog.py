@@ -30,10 +30,25 @@ import time
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from .errors import InvalidTopicError, TopicExistsError, ValidationError
+from .errors import (
+    IncompatibleWarehouseError,
+    InvalidTopicError,
+    TopicExistsError,
+    ValidationError,
+)
 
 _CATALOG_FILE = "_catalog.json"
 _CATALOG_LOCK_FILE = ".catalog.lock"
+# Warehouse storage-format generation. Bumped to 2 when the per-topic
+# writer lock moved from <topic>/.ingest.lock to .locks/<topic>.lock (the
+# atomic-swap fix): a writer running the format-1 code locks the OLD path,
+# so format-1 and format-2 writers sharing a warehouse would not exclude
+# each other and could mint duplicate offsets during a rolling upgrade.
+# The marker makes that mix loud: format-2 code refuses any warehouse
+# whose catalog declares a different format. (Catalogs written before the
+# marker existed carry no "format" key; they are format-2 layouts — the
+# marker shipped in the same release — and get stamped on next save.)
+_WAREHOUSE_FORMAT = 2
 _TOPIC_NAME_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 # committed-batch ids retained per topic for idempotent-produce replay
 # detection; FIFO-pruned so the catalog file stays O(KB). 4096 in-flight
@@ -167,12 +182,22 @@ class Catalog:
 
     def _load(self) -> dict:
         if not self._path.exists():
-            return {"topics": {}}
+            return {"topics": {}, "format": _WAREHOUSE_FORMAT}
         with open(self._path) as f:
-            return json.load(f)
+            state = json.load(f)
+        fmt = state.get("format", _WAREHOUSE_FORMAT)
+        if fmt != _WAREHOUSE_FORMAT:
+            raise IncompatibleWarehouseError(
+                f"warehouse {self.warehouse} declares storage format {fmt}; "
+                f"this engine writes format {_WAREHOUSE_FORMAT} (writer-lock "
+                f"layout changed — mixed-version writers cannot safely share "
+                f"a warehouse; migrate or upgrade all writers)"
+            )
+        return state
 
     def _save(self, state: dict) -> None:
         # Atomic replace so readers never see a torn file.
+        state["format"] = _WAREHOUSE_FORMAT
         fd, tmp = tempfile.mkstemp(dir=self.warehouse, prefix=".catalog-")
         try:
             with os.fdopen(fd, "w") as f:

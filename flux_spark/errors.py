@@ -36,3 +36,9 @@ class RebalanceInProgressError(FluxError):
 
 class UnknownMemberError(FluxError):
     """Member id not registered with the group coordinator."""
+
+
+class IncompatibleWarehouseError(FluxError):
+    """The warehouse on disk was written under a different storage format
+    (e.g. a different writer-lock layout) — mixed-version writers cannot
+    safely share it."""

@@ -12,6 +12,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem(cpus: str) -> str:
+    """~1g per local task thread, floor 8g, ceiling 80% of physical RAM."""
+    want = max(8, int(cpus)) if cpus.isdigit() else 8
+    try:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+        )
+        want = max(2, min(want, int(total_gb * 0.8)))
+    except (OSError, ValueError, AttributeError):
+        pass  # non-POSIX introspection failure: keep the thread-scaled ask
+    return f"{want}g"
+
+
 def get_spark(
     app_name: str = "flux-spark",
     master: str | None = None,
@@ -40,14 +53,13 @@ def get_spark(
         # threads: 32 concurrent tasks sharing 8g is ~250 MB of unified
         # memory each, which big sorts/aggregations exhaust (the sf30
         # ladder run died in a heap OOM there). Scale the default with
-        # the thread count — ~1g per task thread, floor 8g — instead of
-        # a flat 8g; explicit SPARK_GRAFT_DRIVER_MEM still overrides.
+        # the thread count — ~1g per task thread, floor 8g — but capped
+        # at 80% of physical RAM (a 64-core/32 GB box must not ask for a
+        # 64g heap the OS will refuse or OOM-kill); explicit
+        # SPARK_GRAFT_DRIVER_MEM still overrides.
         .config(
             "spark.driver.memory",
-            os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM",
-                f"{max(8, int(cpus) if cpus.isdigit() else 8)}g",
-            ),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem(cpus)),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -70,6 +70,14 @@ def generate(src: str, dst: str, factor: int) -> None:
     card["__events_users"] = con.execute(
         f"SELECT max(user_id) + 1 FROM read_parquet('{src}/events.parquet')"
     ).fetchone()[0]
+    # events.ts must advance per replica, not repeat: event_id offsets grow
+    # with r, so a repeated ts range breaks the timestamp-monotone-in-offset
+    # property that offsets_for_times-style oracles (log_admin_reset_offsets)
+    # rely on. Shift each replica by the source span + 1h of headroom.
+    ts_span_s = con.execute(
+        f"SELECT date_diff('second', min(ts), max(ts)) + 3600 "
+        f"FROM read_parquet('{src}/events.parquet')"
+    ).fetchone()[0]
 
     for t in COPY_THROUGH:
         con.execute(
@@ -88,6 +96,11 @@ def generate(src: str, dst: str, factor: int) -> None:
                 exprs.append(
                     f"CAST({name} + r.r * {card[offsets[name]]} AS {typ})"
                     f" AS {name}"
+                )
+            elif t == "events" and name == "ts":
+                exprs.append(
+                    f"CAST(ts + (r.r * {ts_span_s}) * INTERVAL 1 SECOND "
+                    f"AS {typ}) AS ts"
                 )
             elif t == "documents" and name == "text":
                 # length-preserving, replica-distinct text: swap 'e' for a

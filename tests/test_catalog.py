@@ -199,3 +199,24 @@ def test_delete_topic_drops_orphaned_swap_backup(tmp_path):
     cat.delete_topic("gone", drop_data=True)
     assert not backup.exists()
     assert not (tmp_path / "wh" / "gone").exists()
+
+
+def test_warehouse_format_marker_rejects_foreign_format(tmp_path):
+    """The writer-lock layout changed at format 2 (flock moved out of the
+    topic dir); a warehouse declaring another format must be refused so
+    mixed-version writers can't silently share it and mint duplicate
+    offsets."""
+    import json
+
+    from flux_spark.catalog import Catalog
+    from flux_spark.errors import IncompatibleWarehouseError
+
+    cat = Catalog(tmp_path)
+    cat.create_topic("t", 1)
+    state = json.loads((tmp_path / "_catalog.json").read_text())
+    assert state["format"] == 2
+
+    state["format"] = 1
+    (tmp_path / "_catalog.json").write_text(json.dumps(state))
+    with pytest.raises(IncompatibleWarehouseError):
+        Catalog(tmp_path).get_topic("t")

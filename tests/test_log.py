@@ -844,3 +844,54 @@ def test_swap_backup_topic_name_reserved(store):
 
     with pytest.raises(ValidationError):
         store.catalog.create_topic("t.swap-backup", 1)
+
+
+def test_multiprocess_ingest_hammer(spark, store):
+    """Four REAL producer processes (separate JVMs, separate catalogs —
+    nothing shared but the warehouse directory) hammer one topic
+    concurrently. The per-topic flock (C6, log.py) is the only writer
+    coordination; under contention every batch must land exactly once
+    and per-partition offsets must stay gap-free. This is the strongest
+    durability claim short of a multi-driver commit-log coordinator
+    (SCALE.md "Known trade-offs")."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    n_children, n_batches, rows = 4, 6, 120
+    store.catalog.create_topic("hammer", 3)
+    child = os.path.join(os.path.dirname(__file__), "ingest_hammer_child.py")
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, child, store.warehouse, str(i), str(n_batches), str(rows)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for i in range(n_children)
+    ]
+    fails = []
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=540)
+        if p.returncode != 0:
+            fails.append((i, p.returncode, err.decode()[-2000:]))
+    assert not fails, fails
+
+    got = store.read("hammer").select("partition", "offset", "value").collect()
+    expected = n_children * n_batches * rows
+    assert len(got) == expected, (len(got), expected)
+    # exactly-once: every (producer, batch, row) value appears once
+    values = [r["value"] for r in got]
+    assert len(set(values)) == expected
+    # per-partition offsets contiguous from 0 with no duplicates
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for p_, offs in sorted(by_part.items()):
+        assert sorted(offs) == list(range(len(offs))), f"partition {p_} dup/gap"
+    # every batch's rows stayed contiguous in one partition run (arrival
+    # order within a producer's batch is preserved by the ingest shuffle)
+    rows_by_val = {r["value"]: (r["partition"], r["offset"]) for r in got}
+    for c in range(n_children):
+        for b in range(n_batches):
+            parts = {rows_by_val[f"p{c}-b{b}-r{r}"][0] for r in range(rows)}
+            assert len(parts) <= 3

@@ -252,7 +252,8 @@ def test_market_basket_no_join_two_shuffles(spark, sf):
     from flux_spark.analytics.queries import ANALYTICS_QUERIES
 
     plan = executed_plan(ANALYTICS_QUERIES["orders_market_basket"].fn(spark, sf))
-    # pair expansion is an array comprehension over per-order item sets:
+    # pair expansion is two chained generates over per-order item sets
+    # (posexplode anchor -> explode tail slice, O(k) peak memory/row):
     # no join of any kind, one gather shuffle + one partial-aggregated
     # count shuffle (the old distinct + self-join form shuffled 3x and
     # dominated the sf1 graph queries)
