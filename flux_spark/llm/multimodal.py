@@ -3,14 +3,18 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct (modality, width/height or sample-rate, n_bytes). The
 Spark-side plumbing — schema, Arrow-batched mapInPandas decode, partition
-sizing — is real and tested; the actual codec calls are STUBBED because
-image/audio libraries are not in this container:
+sizing — is real and tested, and since round 5 so are two codecs:
 
-* :func:`decode_image` / :func:`decode_audio` / :func:`sample_frames`
-  raise ``NotImplementedError`` with the exact integration point named.
-* :func:`byte_features` is the deterministic fake decoder used by tests
-  and the oracle gate: per-payload byte statistics computed vectorized in
-  pandas — the same batch shape a real decoder would use.
+* :func:`decode_image` / :func:`resize_images` — REAL PNG (stdlib
+  zlib/struct codec in ``codecs.py``: CRC-validated chunk walk, DEFLATE,
+  all five scanline filters).
+* :func:`decode_audio` — REAL RIFF/WAVE PCM16 (stdlib ``wave`` parser).
+* :func:`sample_frames` raises ``NotImplementedError`` — MP4/H.264
+  genuinely needs external codec libraries (PIL/soundfile/cv2 absent in
+  this container, probed r4+r5).
+* :func:`byte_features` is the deterministic fake decoder kept for the
+  format-agnostic plumbing gate: per-payload byte statistics computed
+  vectorized in pandas — the same batch shape any decoder uses.
 
 Scale notes: payload columns dominate row width, so feature extraction
 selects only (id, media, meta) — column pruning keeps the scan narrow; and
@@ -125,42 +129,151 @@ def chunk_payloads(
 
 
 # ---------------------------------------------------------------------------
-# real-codec integration points (stubbed: no image/audio libs in container)
+# real codecs (stdlib-backed: PNG on zlib/struct, WAV on `wave` — see
+# codecs.py; PIL/soundfile/cv2 remain absent in this container, probed r4+r5)
 # ---------------------------------------------------------------------------
+
+IMAGE_SCHEMA = "doc_id LONG, width INT, height INT, channels INT, pixel_sum LONG"
+AUDIO_SCHEMA = (
+    "doc_id LONG, sample_rate INT, n_channels INT, n_frames INT, "
+    "duration_ms INT, abs_sum LONG"
+)
+
+
+def with_png_media(
+    df: DataFrame, id_col: str = "doc_id", seed_col: str | None = None
+) -> DataFrame:
+    """Attach a REAL PNG payload per row (signature, CRC'd chunks,
+    DEFLATE — any viewer opens it), synthesized deterministically from the
+    id so the decode oracle is symbolic. Arrow-batched like every payload
+    producer here."""
+    from .codecs import synth_png_bytes
+
+    seed_col = seed_col or id_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [synth_png_bytes(int(s)) for s in pdf[seed_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=f"{id_col} LONG, media BINARY")
+
+
+def with_wav_media(
+    df: DataFrame, id_col: str = "doc_id", seed_col: str | None = None
+) -> DataFrame:
+    """Attach a REAL mono PCM16 RIFF/WAVE payload per row (stdlib `wave`
+    writer), synthesized deterministically from the id."""
+    from .codecs import synth_wav_bytes
+
+    seed_col = seed_col or id_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [synth_wav_bytes(int(s)) for s in pdf[seed_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=f"{id_col} LONG, media BINARY")
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """STUB — real implementation plugs PIL/cv2 into the mapInPandas loop
-    of :func:`byte_features` and returns (id, height, width, channels,
-    pixel_mean). The Spark plumbing is identical; only the per-payload
-    function changes."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "use byte_features() for the plumbing-equivalent deterministic path"
-    )
+    """REAL PNG decode over the Arrow mapInPandas plumbing: signature +
+    chunk walk with CRC validation, IDAT inflate, all five scanline
+    filters (codecs.py). Returns (id, width, height, channels,
+    pixel_sum). Non-PNG/unsupported payloads should be routed away first
+    by :func:`sniff_media_type` — the 100 TB dispatch pattern."""
+    from .codecs import decode_png_bytes
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [decode_png_bytes(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": [s["width"] for s in stats],
+                    "height": [s["height"] for s in stats],
+                    "channels": [s["channels"] for s in stats],
+                    "pixel_sum": [s["pixel_sum"] for s in stats],
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(dec, schema=IMAGE_SCHEMA)
 
 
 def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """STUB — soundfile/librosa decode into (id, duration_s, rms)."""
-    raise NotImplementedError(
-        "audio codecs not available in this environment; "
-        "use byte_features() for the plumbing-equivalent deterministic path"
+    """REAL RIFF/WAVE decode (stdlib `wave` chunk parser + PCM16 frame
+    unpack): (id, sample_rate, n_channels, n_frames, duration_ms,
+    abs_sum)."""
+    from .codecs import decode_wav_bytes
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [decode_wav_bytes(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "sample_rate": [s["sample_rate"] for s in stats],
+                    "n_channels": [s["n_channels"] for s in stats],
+                    "n_frames": [s["n_frames"] for s in stats],
+                    "duration_ms": [s["duration_ms"] for s in stats],
+                    "abs_sum": [s["abs_sum"] for s in stats],
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(dec, schema=AUDIO_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
+    """REAL resize: PNG decode -> nearest-neighbor resample -> PNG
+    re-encode, batched in the same mapInPandas shape. Returns
+    (id, media) with the resized PNG payload."""
+    from .codecs import _CHANNELS, _PNG_SIG, _chunk, png_pixels, resize_nearest
+    import struct as _struct
+    import zlib as _zlib
+
+    def rez(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["media"]:
+                w, h, ch, pixels = png_pixels(bytes(b))
+                resized = resize_nearest(pixels, w, h, ch, width, height)
+                color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+                ihdr = _struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+                stride = width * ch
+                rows = b"".join(
+                    b"\x00" + resized[y * stride : (y + 1) * stride]
+                    for y in range(height)
+                )
+                out.append(
+                    _PNG_SIG
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", _zlib.compress(rows))
+                    + _chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, "media": out})
+
+    return df.select(id_col, "media").mapInPandas(
+        rez, schema=f"{id_col} LONG, media BINARY"
     )
 
 
 def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """STUB — video frame sampling (ffmpeg/pyav) producing one row per
     sampled frame: (id, frame_idx, frame_bytes). posexplode over the
-    decoded frame list keeps it one narrow mapInPandas + explode."""
+    decoded frame list keeps it one narrow mapInPandas + explode.
+    MP4/H.264 genuinely needs an external codec library (absent here,
+    probed r4+r5); :func:`chunk_payloads` exercises the identical
+    fan-out plumbing."""
     raise NotImplementedError(
         "video codecs not available in this environment"
-    )
-
-
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — batched resize; same mapInPandas shape as byte_features."""
-    raise NotImplementedError(
-        "image codecs not available in this environment"
     )
 
 

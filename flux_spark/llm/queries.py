@@ -1486,6 +1486,58 @@ def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sniff_media_type(multimodal.with_signed_media(d))
 
 
+@register(
+    LLM_QUERIES,
+    "media_decode_image",
+    """
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + doc_id % 4 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(list_sum(list_transform(
+             generate_series(0, (4 + doc_id % 5) * (3 + doc_id % 4) * 3 - 1),
+             i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    "REAL PNG decode (stdlib zlib/struct codec, codecs.py): per document "
+    "a genuine PNG file is synthesized (signature, CRC'd IHDR/IDAT/IEND, "
+    "DEFLATE scanlines) and decoded back through full chunk-walk + "
+    "un-filtering; the oracle recomputes width/height/pixel_sum "
+    "symbolically from the synthesis formula, so a single corrupted byte "
+    "in either codec direction fails the gate. Container has no "
+    "PIL/cv2/soundfile (probed r4+r5) — this is the no-external-deps "
+    "real-codec path; JPEG/MP4 remain documented stubs",
+)
+def media_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_image(multimodal.with_png_media(d))
+
+
+@register(
+    LLM_QUERIES,
+    "media_decode_audio",
+    """
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(64 + doc_id % 64 AS INTEGER) AS n_frames,
+           CAST((64 + doc_id % 64) * 1000 // 8000 AS INTEGER) AS duration_ms,
+           CAST(list_sum(list_transform(
+             generate_series(0, 64 + doc_id % 64 - 1),
+             k -> abs((doc_id * 31 + k * 17) % 65536 - 32768))) AS BIGINT)
+             AS abs_sum
+    FROM documents
+    """,
+    "REAL RIFF/WAVE decode (stdlib `wave` chunk parser + PCM16 frame "
+    "unpack): per document a genuine playable WAV is synthesized and "
+    "decoded back; sample-rate/frames/duration/abs-amplitude-sum are "
+    "recomputed symbolically by the oracle from the synthesis formula",
+)
+def media_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_audio(multimodal.with_wav_media(d))
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution
 # ---------------------------------------------------------------------------

@@ -230,15 +230,101 @@ def test_media_chunking(spark, docs):
     ]
 
 
-def test_codec_stubs_marked(spark, docs):
+def test_video_codec_stub_marked(spark, docs):
+    # MP4/H.264 genuinely needs external codec libs (absent, probed r4+r5)
     m = multimodal.with_fake_media(docs)
-    for fn in (multimodal.decode_image, multimodal.decode_audio):
-        with pytest.raises(NotImplementedError):
-            fn(m)
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(m)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(m, 32, 32)
+
+
+def test_png_codec_round_trip_and_foreign_filters():
+    """codecs.py is a REAL PNG codec: synth -> decode is exact, and a
+    PNG built the way a real encoder would (Sub/Up/Average/Paeth
+    filtered scanlines) reconstructs the same pixels."""
+    import struct
+    import zlib
+
+    from flux_spark.llm import codecs as C
+
+    for seed in (0, 3, 42, 999):
+        d = C.decode_png_bytes(C.synth_png_bytes(seed))
+        w, h = C.synth_png_dims(seed)
+        assert d == {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "pixel_sum": sum(C.synth_png_pixel(seed, i) for i in range(w * h * 3)),
+        }
+
+    w, h, ch = 5, 4, 3
+    pixels = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+
+    def filt(ft, line, prev):
+        out = bytearray([ft])
+        for i, x in enumerate(line):
+            a = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            delta = {
+                1: a,
+                2: up,
+                3: (a + up) // 2,
+                4: C._paeth(a, up, c),
+            }[ft]
+            out.append((x - delta) & 255)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y, ft in zip(range(h), (1, 2, 3, 4)):
+        line = pixels[y * w * ch : (y + 1) * w * ch]
+        raw += filt(ft, line, prev)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        C._PNG_SIG
+        + C._chunk(b"IHDR", ihdr)
+        + C._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + C._chunk(b"IEND", b"")
+    )
+    assert C.png_pixels(png) == (w, h, ch, pixels)
+
+    # corruption is loud: flip one IDAT byte -> CRC mismatch
+    bad = bytearray(png)
+    bad[len(png) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        C.png_pixels(bytes(bad))
+
+
+def test_wav_codec_round_trip():
+    from flux_spark.llm import codecs as C
+
+    for seed in (0, 1, 7, 123456):
+        d = C.decode_wav_bytes(C.synth_wav_bytes(seed))
+        n = C.synth_wav_frames(seed)
+        assert d == {
+            "sample_rate": 8000,
+            "n_channels": 1,
+            "n_frames": n,
+            "duration_ms": n * 1000 // 8000,
+            "abs_sum": sum(abs(C.synth_wav_sample(seed, k)) for k in range(n)),
+        }
+
+
+def test_resize_images_real_png_output(spark, docs):
+    """resize_images emits valid PNGs at the target geometry whose
+    pixels are a nearest-neighbor subsample of the source."""
+    from flux_spark.llm import codecs as C
+
+    src = multimodal.with_png_media(docs.select("doc_id"))
+    out = {r["doc_id"]: bytes(r["media"])
+           for r in multimodal.resize_images(src, 2, 2).collect()}
+    for r in src.collect():
+        seed = r["doc_id"]
+        w, h, ch, pixels = C.png_pixels(bytes(r["media"]))
+        rw, rh, rch, rp = C.png_pixels(out[seed])
+        assert (rw, rh, rch) == (2, 2, 3)
+        assert rp == C.resize_nearest(pixels, w, h, ch, 2, 2)
 
 
 # -- text -------------------------------------------------------------------
