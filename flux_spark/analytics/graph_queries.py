@@ -1,0 +1,214 @@
+"""Graph analytics over part co-purchase edges: PageRank, triangle counting, bounded reachability -- iterative plans that cache the edge set once.
+
+Float determinism, registry plumbing, and the shared ``_DEC``/``_dec_sum``
+helpers live in ``registry.py``; every entry here follows the same
+contract (see ``queries.py`` module docstring for the 100 TB themes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import ANALYTICS_QUERIES, _DEC, _dec_sum, load_table, register
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+               + CAST(0.85 AS DOUBLE)
+                 * (CAST(CAST(SUM(CAST(floor(r.rank / d.deg * 1e18) AS BIGINT))
+                          AS BIGINT) AS DOUBLE) / 1e18)
+               AS rank
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst)"""
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "parts_pagerank",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS rank
+           FROM deg),
+    """
+    + _pagerank_iter_sql("r0", "r1")
+    + ","
+    + _pagerank_iter_sql("r1", "r2")
+    + ","
+    + _pagerank_iter_sql("r2", "r3")
+    + """
+    SELECT node AS part, rank FROM r3
+    """,
+    "iterative graph algorithm with a BIT-EXACT oracle: 3 PageRank "
+    "iterations (damping 0.85) over the part co-occurrence graph. Per-edge "
+    "contributions are computed in double, quantized to 1e-18 integer "
+    "units (floor -> int64), and SUMMED as exact integers, making the "
+    "reduction order-independent — the trick that lets a shuffled "
+    "distributed fold match single-threaded DuckDB to the last bit "
+    "(a DECIMAL(38,20) sum is also order-free but its ->double cast "
+    "rounds differently across engines). Edges cache once; each "
+    "iteration is the canonical two-shuffle join-contrib-reduce",
+)
+def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("__w"))
+        .where(F.col("__w") >= 2)
+        .select("src", "dst")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    n_nodes = deg.count()  # one tiny action over the cached edge set
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    )
+    base = 0.15 / n_nodes
+    for _ in range(3):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.floor(F.col("rank") / F.col("deg") * F.lit(1e18))
+            .cast("long")
+            .alias("__c"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit(base)
+                + F.lit(0.85) * (F.sum("__c").cast("double") / F.lit(1e18))
+            ).alias("rank")
+        )
+    out = ranks.select(F.col("node").alias("part"), "rank")
+    return out
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "parts_triangles",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.dst = e2.src
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+    "triangle counting on the part co-purchase graph (edges: part pairs "
+    "sharing >= 2 orders): canonical low->high edges + the ordering trick "
+    "find each triangle exactly once with two co-partitioned equi-joins — "
+    "the second graph algorithm next to parts_pagerank",
+)
+def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import co_occurrence_pairs, triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # cap=None (TPC-H k <= 7); a pathological hot order would be dropped
+    # by max_items_per_key before the k² self-join (skew guard)
+    edges = (
+        co_occurrence_pairs(li, "l_orderkey", "l_partkey")
+        .where(F.col("n_keys") >= 2)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+_REACH_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (
+  SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+seed AS (SELECT MIN(src) AS s FROM edges),
+reach(part, depth) AS (
+  SELECT s AS part, 0 AS depth FROM seed
+  UNION ALL
+  SELECT e.dst AS part, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.part
+  WHERE r.depth < 3)
+SELECT part, CAST(MIN(depth) AS BIGINT) AS min_depth
+FROM reach GROUP BY part
+"""
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "parts_reachability",
+    _REACH_SQL,
+    "recursive CTE (WITH RECURSIVE, new in Spark 4): 3-hop BFS over the "
+    "undirected co-purchase graph from the smallest part, min depth per "
+    "reached node — the iterative frontier expansion runs as one SQL "
+    "statement in both engines",
+)
+def parts_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build + cache the edge list OUTSIDE the recursion: the recursive
+    # step re-reads its non-recursive inputs every iteration, so without
+    # this the O(fact-join) edge derivation runs once per BFS hop.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    edges.createOrReplaceTempView("reach_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE seed AS (SELECT MIN(src) AS s FROM reach_edges),
+        reach(part, depth) AS (
+          SELECT s AS part, 0 AS depth FROM seed
+          UNION ALL
+          SELECT e.dst AS part, r.depth + 1 AS depth
+          FROM reach r JOIN reach_edges e ON e.src = r.part
+          WHERE r.depth < 3)
+        SELECT part, CAST(MIN(depth) AS BIGINT) AS min_depth
+        FROM reach GROUP BY part
+        """
+    )

@@ -20,6 +20,18 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+_DEC = "decimal(25,6)"
+
+
+def _dec_sum(col, alias):
+    """Exact, order-independent sum of a double expression: per-row CAST to
+    DECIMAL so the distributed SUM is exact, final CAST back to DOUBLE
+    (the float-determinism contract in the module docstring)."""
+    from pyspark.sql import functions as F
+
+    return F.sum(col.cast(_DEC)).cast("double").alias(alias)
+
+
 TABLES = (
     "region",
     "nation",

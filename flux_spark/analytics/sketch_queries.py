@@ -1,0 +1,539 @@
+"""Mergeable-sketch analytics (HLL / Count-Min / KMV / histogram registers): built as registers so shards partial-aggregate map-side and merge across topics/days.
+
+Float determinism, registry plumbing, and the shared ``_DEC``/``_dec_sum``
+helpers live in ``registry.py``; every entry here follows the same
+contract (see ``queries.py`` module docstring for the 100 TB themes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import ANALYTICS_QUERIES, _DEC, _dec_sum, load_table, register
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_distinct_users_sketch",
+    None,  # HLL/KLL sketches are engine-specific; exactness asserted in-query
+    "approximate sketches at scale: approx_count_distinct (HLL) and "
+    "approx_percentile (KLL-style) vs their exact counterparts, with "
+    "relative-error columns the rows-only gate pins down",
+)
+def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch operators are THE tool for distinct/quantile at 100 TB (fixed
+    memory, one pass, mergeable partials) but their estimates are
+    engine-implementation-specific, so instead of a DuckDB twin the query
+    emits both the sketch and the exact value plus the observed relative
+    error — downstream assertions (and readers) can see the sketch is
+    within its documented accuracy (HLL rsd default 5%)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
+        F.expr("percentile(value, 0.5)").alias("exact_median_value"),
+    )
+    return agg.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ).alias("users_rel_err"),
+        "approx_median_value",
+        "exact_median_value",
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_hll_registers",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type,
+             hv >> 52 AS bucket,
+             strpos(lpad(bin(hv & 4503599627370495), 52, '0'), '1') AS pos
+      FROM h
+    )
+    SELECT event_type,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX(CASE WHEN pos = 0 THEN 53 ELSE pos END) AS BIGINT) AS max_rho
+    FROM reg
+    GROUP BY event_type, bucket
+    """,
+    "deterministic HyperLogLog register construction per event_type: md5 -> "
+    "60-bit hash, top 8 bits pick one of 256 registers, max leading-zero "
+    "rank over the low 52 bits. Registers merge with MAX (commutative / "
+    "associative), so shards combine map-side and sketches union across "
+    "topics at 100 TB without re-reading data; the estimate is a driver-"
+    "side formula over these 256 rows. Exact-oracle twin of the "
+    "approx_count_distinct gate query",
+)
+def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    reg = e.select(
+        "event_type",
+        F.shiftright(hv, 52).cast("bigint").alias("bucket"),
+        F.instr(
+            F.lpad(F.bin(hv.bitwiseAND(F.lit(4503599627370495))), 52, "0"), "1"
+        ).alias("pos"),
+    )
+    rho = F.when(F.col("pos") == 0, 53).otherwise(F.col("pos"))
+    return reg.groupBy("event_type", "bucket").agg(
+        F.max(rho).cast("bigint").alias("max_rho")
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_cms_registers",
+    """
+    WITH rows_ AS (
+      SELECT user_id, r FROM events
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS r FROM range(0, 4))
+    )
+    SELECT r AS sketch_row,
+           CAST(CAST(('0x' || substring(
+                  md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 64 AS BIGINT) AS sketch_col,
+           COUNT(*) AS n
+    FROM rows_
+    GROUP BY 1, 2
+    """,
+    "deterministic Count-Min sketch registers (depth 4 x width 64, salted "
+    "md5 rows): the SUM-mergeable frequency twin of the MAX-mergeable HLL "
+    "registers — shards partial-aggregate map-side, sketches union by "
+    "adding registers, and a key's frequency estimate is the MIN over its "
+    "4 cells, all reproducible bit-for-bit in the oracle",
+)
+def events_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    rows = e.crossJoin(
+        spark.range(4).select(F.col("id").cast("int").alias("sketch_row"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("sketch_row").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        rows.select("sketch_row", F.pmod(h, F.lit(64)).alias("sketch_col"))
+        .groupBy("sketch_row", "sketch_col")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_kmv_sketch",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           COUNT(*) AS sketch_size,
+           MAX(hv) AS kth_min_hash,
+           CASE WHEN COUNT(*) >= 32
+                THEN CAST(31 AS DOUBLE) * 1152921504606846976.0
+                     / CAST(MAX(hv) AS DOUBLE)
+                ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
+    FROM ranked WHERE rn <= 32
+    GROUP BY event_type
+    """,
+    "KMV (bottom-k minimum values) distinct sketch per event_type: the 32 "
+    "smallest 60-bit md5 hashes of user_id. MIN-mergeable (union the hash "
+    "sets, keep the 32 smallest), the third mergeable-sketch family next "
+    "to MAX-merge HLL and SUM-merge CMS; estimate (k-1)*2^60/kth is one "
+    "division of two correctly-rounded doubles, bit-identical cross-engine",
+)
+def events_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = 32
+    e = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # distinct first so the window ranks unique hashes; both steps hash-
+    # partition on event_type, so AQE coalesces them into one exchange
+    dist = e.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("hv"))
+    bottom = dist.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    return bottom.groupBy("event_type").agg(
+        F.count("*").alias("sketch_size"),
+        F.max("hv").alias("kth_min_hash"),
+        F.when(
+            F.count("*") >= k,
+            F.lit(float(k - 1))
+            * F.lit(float(2**60))
+            / F.max("hv").cast("double"),
+        )
+        .otherwise(F.count("*").cast("double"))
+        .alias("est_distinct"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_value_histogram",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin_id,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bin_id, n,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+           bin_id * 50.0 AS bin_lo,
+           (bin_id + 1) * 50.0 AS bin_hi
+    FROM b
+    """,
+    "mergeable equi-width histogram sketch of event values (10 bins of "
+    "width 50, top bin open): bin counts SUM-merge across shards/topics, "
+    "and the running cum_n gives rank/quantile estimates without a global "
+    "sort. floor() and the integer-valued bin edges are exact in both "
+    "engines, so even this approximate structure oracle-checks bit-for-bit",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bin_id = F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9)).cast(
+        "bigint"
+    )
+    b = e.groupBy("event_type", bin_id.alias("bin_id")).agg(
+        F.count("*").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bin_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.select(
+        "event_type",
+        "bin_id",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        (F.col("bin_id") * F.lit(50.0)).alias("bin_lo"),
+        ((F.col("bin_id") + 1) * F.lit(50.0)).alias("bin_hi"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_cms_heavy_hitters",
+    """
+    WITH regs AS (
+      SELECT r AS sketch_row,
+             CAST(CAST(('0x' || substring(
+                    md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 64 AS BIGINT) AS sketch_col,
+             COUNT(*) AS n
+      FROM events
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS r FROM range(0, 4))
+      GROUP BY 1, 2
+    ), cells AS (
+      SELECT u.user_id, r AS sketch_row,
+             CAST(CAST(('0x' || substring(
+                    md5(CAST(r AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 64 AS BIGINT) AS sketch_col
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS r FROM range(0, 4))
+    ), est AS (
+      SELECT c.user_id, MIN(g.n) AS est_count
+      FROM cells c JOIN regs g
+        ON c.sketch_row = g.sketch_row AND c.sketch_col = g.sketch_col
+      GROUP BY c.user_id
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, CAST(e.est_count AS BIGINT) AS est_count,
+           x.exact_count
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY e.est_count DESC, e.user_id
+    LIMIT 20
+    """,
+    "heavy hitters from the Count-Min sketch: per-key estimate = MIN over "
+    "the key's 4 register cells (the classic CMS point query, always >= "
+    "exact), top-20 by estimate with deterministic ties — estimates come "
+    "from the registers alone, the exact count rides along to expose the "
+    "overestimate; registers and probes are salted-md5, so the oracle "
+    "recomputes the identical sketch",
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id")
+
+    def cell(row_col, user_col):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(row_col).cast("string"),
+                        F.col(user_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.pmod(h, F.lit(64))
+
+    r4 = spark.range(4).select(F.col("id").cast("int").alias("sketch_row"))
+    regs = (
+        e.crossJoin(r4)
+        .select("sketch_row", cell("sketch_row", "user_id").alias("sketch_col"))
+        .groupBy("sketch_row", "sketch_col")
+        .agg(F.count("*").alias("n"))
+    )
+    cells = (
+        e.distinct()
+        .crossJoin(r4)
+        .select(
+            "user_id", "sketch_row", cell("sketch_row", "user_id").alias("sketch_col")
+        )
+    )
+    est = (
+        cells.join(regs, ["sketch_row", "sketch_col"])
+        .groupBy("user_id")
+        .agg(F.min("n").cast("bigint").alias("est_count"))
+    )
+    exact = e.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est_count").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_kmv_set_ops",
+    """
+    WITH elems AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS elem
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), hashed AS (
+      SELECT event_type, elem,
+             CAST(('0x' || substring(md5(elem), 1, 15)) AS BIGINT) AS h
+      FROM elems
+    ), kmv AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed
+      QUALIFY rk <= 32
+    ), union_sketch AS (
+      SELECT * FROM (
+        SELECT h, COUNT(DISTINCT event_type) AS sides,
+               ROW_NUMBER() OVER (ORDER BY h) AS rk
+        FROM kmv GROUP BY h
+      ) WHERE rk <= 32
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE (COUNT(*) - 1) / (MAX(h) / 1152921504606846976.0)
+                END AS DOUBLE) AS union_est,
+           CAST(CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS jaccard_est,
+           CAST((CAST(CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                * (CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE (COUNT(*) - 1) / (MAX(h) / 1152921504606846976.0) END)
+                AS DOUBLE) AS intersection_est
+    FROM union_sketch
+    """,
+    "KMV sketch set operations (Theta-sketch style): click user-days vs "
+    "purchase user-days each keep their bottom-32 md5 hashes; the union "
+    "sketch is the bottom-32 of the merged sketches, distinct-union is "
+    "the (k-1)/h_k KMV estimator, and the intersection/Jaccard estimates "
+    "come from how many union-sketch entries appear in BOTH input "
+    "sketches — the mergeable set-algebra pattern sketch warehouses use; "
+    "every step is deterministic md5, so the oracle is exact",
+)
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("elem"),
+        )
+        .distinct()
+    )
+    hashed = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5("elem"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wk = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        hashed.withColumn("rk", F.row_number().over(wk)).where(F.col("rk") <= 32)
+    )
+    wu = Window.orderBy("h")
+    union_sketch = (
+        kmv.groupBy("h")
+        # DISTINCT bounds sides by the number of input sketches even under
+        # a (negligible, ~2^-60) cross-type 60-bit hash collision
+        .agg(F.count_distinct("event_type").alias("sides"))
+        .withColumn("rk", F.row_number().over(wu))
+        .where(F.col("rk") <= 32)
+    )
+    both = F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).cast("bigint")
+    # m = actual union-sketch size: when the merged sketch holds fewer
+    # than k=32 hashes every element was seen, so the count is exact and
+    # the (k-1)/h_k estimator would overestimate — fall back to m itself.
+    m = F.count("*")
+    union_est = F.when(m < 32, m.cast("double")).otherwise(
+        (m - F.lit(1)) / (F.max("h") / F.lit(1152921504606846976.0))
+    )
+    return union_sketch.agg(
+        m.cast("bigint").alias("k_used"),
+        union_est.cast("double").alias("union_est"),
+        (both.cast("double") / m.cast("double")).alias("jaccard_est"),
+        ((both.cast("double") / m.cast("double")) * union_est)
+        .cast("double")
+        .alias("intersection_est"),
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_histogram_quantiles",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin_id,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bin_id, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_n,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM b
+    ), qs AS (
+      SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                     CAST(0.99 AS DOUBLE)]) AS q
+    ), hit AS (
+      SELECT c.event_type, qs.q, c.bin_id, c.n, c.cum_n, c.total,
+             ROW_NUMBER() OVER (PARTITION BY c.event_type, qs.q
+                                ORDER BY c.bin_id ASC) AS rn
+      FROM c CROSS JOIN qs
+      WHERE CAST(c.cum_n AS DOUBLE) >= qs.q * CAST(c.total AS DOUBLE)
+    )
+    SELECT event_type, q,
+           CAST(bin_id AS DOUBLE) * 50.0
+             + (q * CAST(total AS DOUBLE) - CAST(cum_n - n AS DOUBLE))
+               / CAST(n AS DOUBLE) * 50.0 AS est_value
+    FROM hit WHERE rn = 1
+    """,
+    "quantile estimation (p50/p90/p99) from the mergeable equi-width "
+    "histogram registers — the sketch-family member that answers "
+    "percentile queries without a global sort: registers SUM-merge "
+    "across shards, the quantile is located by cumulative rank and "
+    "linearly interpolated inside its bin; every arithmetic step is the "
+    "same IEEE double expression in both engines, so the approximate "
+    "estimator still oracle-checks bit-for-bit (exact counterpart: "
+    "events_value_percentiles)",
+)
+def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bin_id = F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9)).cast(
+        "bigint"
+    )
+    b = e.groupBy("event_type", bin_id.alias("bin_id")).agg(
+        F.count("*").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bin_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bin_id",
+        "n",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    hit = (
+        c.crossJoin(
+            F.broadcast(
+                c.sparkSession.range(1).select(
+                    F.explode(
+                        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+                    ).alias("q")
+                )
+            )
+        )
+        .where(
+            F.col("cum_n").cast("double")
+            >= F.col("q") * F.col("total").cast("double")
+        )
+    )
+    w_first = Window.partitionBy("event_type", "q").orderBy(F.asc("bin_id"))
+    return (
+        hit.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "q",
+            (
+                F.col("bin_id").cast("double") * F.lit(50.0)
+                + (
+                    F.col("q") * F.col("total").cast("double")
+                    - (F.col("cum_n") - F.col("n")).cast("double")
+                )
+                / F.col("n").cast("double")
+                * F.lit(50.0)
+            ).alias("est_value"),
+        )
+    )
