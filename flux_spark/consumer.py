@@ -36,6 +36,7 @@ from pyspark.sql.types import (
 )
 
 from .coordinator import GroupCoordinator
+from .errors import RebalanceInProgressError, UnknownMemberError
 from .log import LogStore
 
 _OFFSETS_SCHEMA = StructType(
@@ -296,6 +297,7 @@ class FluxConsumer:
         protocols: tuple[str, ...] = ("range", "roundrobin"),
         member_id: str | None = None,
         auto_offset_reset: str = "earliest",
+        session_timeout_s: float | None = None,
     ):
         if auto_offset_reset not in ("earliest", "latest"):
             raise ValueError(
@@ -308,7 +310,16 @@ class FluxConsumer:
         self.protocols = list(protocols)
         self.member_id = member_id
         self.auto_offset_reset = auto_offset_reset
+        # per-member session timeout carried in the join request (Kafka's
+        # JoinGroup session_timeout_ms); None -> coordinator default. For
+        # poll-loop consumers this is effectively max.poll.interval.ms:
+        # poll()/commit_offsets() heartbeat, so the timeout only bites a
+        # member that stalls BETWEEN polls longer than this.
+        self.session_timeout_s = session_timeout_s
         self.offset_store = OffsetStore(store)
+        # generation this member last synced on; None until subscribe()
+        # (manual assign() keeps it None -> no group liveness protocol)
+        self._generation: int | None = None
         # (topic, partition) -> next offset to read
         self._positions: dict[tuple[str, int], int] = {}
         self._assignment: dict[str, list[int]] = {}
@@ -320,9 +331,14 @@ class FluxConsumer:
     def subscribe(self, topics: list[str]) -> dict[str, list[int]]:
         self._topics = list(topics)
         join = self.coordinator.join_group(
-            self.group_id, self.member_id, self.protocols, self._topics
+            self.group_id,
+            self.member_id,
+            self.protocols,
+            self._topics,
+            session_timeout_s=self.session_timeout_s,
         )
         self.member_id = join.member_id
+        self._generation = join.generation
         tps = {
             t: self.store.catalog.get_topic(t).num_partitions for t in self._topics
         }
@@ -350,7 +366,38 @@ class FluxConsumer:
         """Manual assignment (bypasses the coordinator)."""
         self._assignment = {t: sorted(ps) for t, ps in assignment.items()}
         self._topics = sorted(assignment)
+        self._generation = None  # no group protocol for manual assignment
         self._install_positions()
+
+    def _ensure_live(self) -> None:
+        """Poll-driven liveness (Kafka ties consumer liveness to poll
+        activity — ``max.poll.interval.ms``; the reference polls in a loop,
+        FluxConsumer.java:136-179): every ``poll()``/``commit_offsets()``
+        heartbeats this member, so an actively consuming member is never
+        evicted however long its Spark jobs run. If the member HAS been
+        evicted (it stalled between polls past the session timeout), or the
+        group generation moved beyond the one it synced on (another member
+        joined/left), raise :class:`RebalanceInProgressError` rather than
+        serve data from a stale assignment — partitions this member thinks
+        it owns may already belong to someone else (the reference's
+        REBALANCING status, GroupCoordinatorServiceImpl.java:46-148)."""
+        if self._generation is None or self.member_id is None:
+            return  # manual assign() or never subscribed
+        try:
+            self.coordinator.heartbeat(self.group_id, self.member_id)
+        except UnknownMemberError as e:
+            raise RebalanceInProgressError(
+                f"member {self.member_id!r} was evicted from group "
+                f"{self.group_id!r} (session timed out between polls); "
+                f"call subscribe() to rejoin"
+            ) from e
+        g = self.coordinator.describe(self.group_id)
+        if g.generation != self._generation:
+            raise RebalanceInProgressError(
+                f"group {self.group_id!r} rebalanced to generation "
+                f"{g.generation} (member {self.member_id!r} synced on "
+                f"{self._generation}); call subscribe() to re-sync"
+            )
 
     def _install_positions(self) -> None:
         committed = self.offset_store.fetch(self.group_id)
@@ -379,6 +426,7 @@ class FluxConsumer:
     def poll(self, max_records_per_partition: int | None = None) -> PollResult:
         """Fetch all records in ``[position, hwm)`` for every assigned
         partition; advance positions; signal end-of-log when nothing new."""
+        self._ensure_live()
         frames: list[DataFrame] = []
         new_positions = dict(self._positions)
         total_new = 0
@@ -471,6 +519,7 @@ class FluxConsumer:
                 self._positions[(t, p)] = int(o) if o is not None else hwm.get(p, 0)
 
     def commit_offsets(self, metadata: str | None = None) -> None:
+        self._ensure_live()
         if self._positions:
             self.offset_store.commit(self.group_id, self._positions, metadata)
 
@@ -485,6 +534,7 @@ class FluxConsumer:
             self.coordinator.leave_group(self.group_id, self.member_id)
         self._assignment = {}
         self._positions = {}
+        self._generation = None
 
 
 # -- Kafka-style properties factory (Properties.java:6-44 parity) ------------
@@ -499,6 +549,11 @@ _CONSUMER_PROPERTY_MAP = {
     # partition slice; it is subsumed/ignored below instead.)
     "group.instance.id": ("member_id", str),
     "auto.offset.reset": ("auto_offset_reset", str),
+    # liveness here is poll-driven (poll()/commit_offsets() heartbeat), so
+    # Kafka's max.poll.interval.ms IS the session timeout: the longest a
+    # member may stall between polls before eviction. session.timeout.ms
+    # stays subsumed — there is no background heartbeat thread to time out.
+    "max.poll.interval.ms": ("session_timeout_s", lambda v: float(v) / 1000.0),
 }
 # reference/Kafka knobs Spark's runtime subsumes (accepted, validated,
 # ignored — fetch sizing and heartbeat cadence are the scheduler's and the
@@ -511,7 +566,6 @@ _SUBSUMED_CONSUMER_PROPERTIES = {
     "fetch.min.bytes",
     "fetch.max.bytes",
     "max.poll.records",
-    "max.poll.interval.ms",
     "session.timeout.ms",
     "heartbeat.interval.ms",
 }

