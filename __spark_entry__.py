@@ -82,29 +82,47 @@ def _registry():
 
 
 def _rotate_unsampled_first(merged: dict) -> dict:
-    """Order queries that have never received a driver correctness row
-    (no entry in any ``CORRECTNESS_r*.json``) ahead of already-graded
-    ones, so a prefix-biased sampler reaches them first. Every query
-    keeps its full local-sweep evidence either way (ORACLE_SWEEPS.log);
-    this only steers which get independent driver-grade rows next.
-    Self-maintaining: as rounds add CORRECTNESS files, freshly graded
-    queries rotate back and the remaining unsampled ones move up."""
+    """Order the registry for a prefix-biased sampler: (1) queries that
+    have never received a driver correctness row (no entry in any
+    ``CORRECTNESS_r*.json``), then (2) queries whose LATEST driver grade
+    failed (err, or any of rows/schema/hash false) — a failed query must
+    be re-graded, not rotated to the back as "sampled" (VERDICT r5 #3) —
+    then (3) everything already green. Every query keeps its full
+    local-sweep evidence either way (ORACLE_SWEEPS.log); this only
+    steers which get independent driver-grade rows next."""
     import glob
     import json
+    import re
 
-    sampled: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    # latest grade wins: walk rounds in ascending order, overwrite
+    latest: dict[str, dict] = {}
+    paths = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    for path in paths:
         try:
             with open(path) as f:
-                sampled.update(json.load(f))
+                latest.update(json.load(f))
         except (OSError, ValueError):
             continue
-    if not sampled:
+    if not latest:
         return merged
-    return dict(
-        sorted(merged.items(), key=lambda kv: (kv[0] in sampled,))
-    )
+
+    def bucket(name: str) -> int:
+        row = latest.get(name)
+        if row is None:
+            return 0  # never sampled
+        if not isinstance(row, dict):
+            return 2
+        failed = row.get("err") is not None or any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+        return 1 if failed else 2
+
+    return dict(sorted(merged.items(), key=lambda kv: bucket(kv[0])))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1130,14 +1130,17 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "product quantization: 8 subspaces x 16 seed codes, per-vector code "
     "assignment (nearest L2, ties -> lowest code) + reconstruction error "
     "— the 256B->8B compression billion-vector search runs on; codebook "
-    "broadcasts as one row, encoding is zero-shuffle",
+    "broadcasts as one row, encoding is zero-shuffle. Output is one row "
+    "per (vector, subspace): driver-sortable, no top-level arrays",
 )
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     codebook = e.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("code_id"), "embedding"
     )
-    return similarity.pq_encode(e, codebook)
+    return similarity.pq_encode(e, codebook).select(
+        "vec_id", "recon_err", F.posexplode("codes").alias("sub_idx", "code")
+    )
 
 
 @register(
@@ -1371,18 +1374,23 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT bucket, dim_idx,
              CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
       FROM ex GROUP BY bucket, dim_idx)
-    SELECT bucket AS centroid_id, array_agg(m ORDER BY dim_idx) AS centroid
-    FROM per_dim GROUP BY bucket
+    SELECT bucket AS centroid_id, CAST(dim_idx AS INT) AS dim_idx,
+           m AS dim_value
+    FROM per_dim
     """,
     "one Lloyd iteration of IVF centroid training: max-cosine assignment + "
-    "exact per-dimension decimal means (iterate driver-side for full k-means)",
+    "exact per-dimension decimal means (iterate driver-side for full "
+    "k-means). Output is one row per (centroid, dimension): "
+    "driver-sortable, no top-level arrays",
 )
 def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     centroids = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    return similarity.kmeans_refine(e, centroids, dim=_DIM)
+    return similarity.kmeans_refine(e, centroids, dim=_DIM).select(
+        "centroid_id", F.posexplode("centroid").alias("dim_idx", "dim_value")
+    )
 
 
 # ---------------------------------------------------------------------------

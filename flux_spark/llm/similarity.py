@@ -821,17 +821,26 @@ def sql_pq_ctes(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
 
 
 def sql_pq_encode(n_sub: int = 8, dim: int = 64, n_codes: int = 16) -> str:
-    """DuckDB twin of :func:`pq_encode`."""
+    """DuckDB twin of :func:`pq_encode`, flattened to one row per
+    (vector, subspace) — top-level array columns are not sortable by the
+    driver's canonicalizer (VERDICT r5 #2), so the registry emits the
+    posexploded shape and this oracle mirrors it."""
     return (
         sql_pq_ctes(n_sub, dim, n_codes)
-        + """
-    SELECT vec_id,
-      list_transform(ds, d -> CAST(cids[list_position(d, list_min(d))] AS INT))
-        AS codes,
-      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                               list_transform(ds, d -> list_min(d))),
-                  (acc, x) -> acc + x) AS recon_err
-    FROM scored
+        + f"""
+    , encoded AS (
+      SELECT vec_id,
+        list_transform(ds, d ->
+          CAST(cids[list_position(d, list_min(d))] AS INT)) AS codes,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                 list_transform(ds, d -> list_min(d))),
+                    (acc, x) -> acc + x) AS recon_err
+      FROM scored)
+    SELECT vec_id, recon_err, CAST(s.i - 1 AS INT) AS sub_idx,
+           codes[s.i] AS code
+    FROM encoded
+    CROSS JOIN (SELECT CAST(range AS INT) + 1 AS i
+                FROM range(0, {n_sub})) s
     """
     )
 

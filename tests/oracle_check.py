@@ -88,7 +88,24 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            out = fn(spark, sf_dir)
+            # driver-canonicalizer contract (VERDICT r5 #2): the driver
+            # sorts result rows by ALL columns via pandas, which dies on
+            # list/dict cells — a top-level array/map column makes the
+            # query permanently ungradeable regardless of correctness
+            bad_cols = [
+                f.name
+                for f in out.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if bad_cols:
+                results[name] = (
+                    f"DRIVER-UNSORTABLE OUTPUT: columns {bad_cols} are "
+                    f"array/map/struct — flatten (posexplode / to_json)"
+                )
+                print(f"[{name}] {results[name]}")
+                continue
+            sdf = out.toPandas()
         except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK ERROR: {type(e).__name__}: {e}"
             print(f"[{name}] SPARK ERROR: {e}")
