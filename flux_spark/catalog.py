@@ -45,9 +45,13 @@ _CATALOG_LOCK_FILE = ".catalog.lock"
 # so format-1 and format-2 writers sharing a warehouse would not exclude
 # each other and could mint duplicate offsets during a rolling upgrade.
 # The marker makes that mix loud: format-2 code refuses any warehouse
-# whose catalog declares a different format. (Catalogs written before the
-# marker existed carry no "format" key; they are format-2 layouts — the
-# marker shipped in the same release — and get stamped on next save.)
+# whose catalog declares a different format. Catalogs written before the
+# marker existed carry no "format" key and are AMBIGUOUS — the marker
+# shipped at least one release after the lock move, so a keyless
+# warehouse may be either layout. _load backfills heuristically: a
+# format-1 writer leaves its lock at <topic>/.ingest.lock, so any such
+# file marks the warehouse format 1 (refused); otherwise it is accepted
+# as format 2 and stamped on next save.
 _WAREHOUSE_FORMAT = 2
 _TOPIC_NAME_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 # committed-batch ids retained per topic for idempotent-produce replay
@@ -185,7 +189,18 @@ class Catalog:
             return {"topics": {}, "format": _WAREHOUSE_FORMAT}
         with open(self._path) as f:
             state = json.load(f)
-        fmt = state.get("format", _WAREHOUSE_FORMAT)
+        fmt = state.get("format")
+        if fmt is None:
+            # keyless = pre-marker catalog: format 1 or 2 (see module
+            # comment). A format-1 writer's per-topic lock lives at
+            # <topic>/.ingest.lock; its presence means old-layout writers
+            # have used this warehouse -> refuse rather than risk the
+            # duplicate-offset hazard the marker exists to close.
+            old_locks = any(
+                (self.warehouse / t / ".ingest.lock").exists()
+                for t in state.get("topics", {})
+            )
+            fmt = 1 if old_locks else _WAREHOUSE_FORMAT
         if fmt != _WAREHOUSE_FORMAT:
             raise IncompatibleWarehouseError(
                 f"warehouse {self.warehouse} declares storage format {fmt}; "

@@ -582,10 +582,14 @@ def semantic_dedup(
         for r in centroids.select(centroid_id_col, vec_col).collect()
     )
     assign = _centroid_assign_arrow(cents)
-    # persisted: the assignment pass (corpus scan + K-centroid scoring)
-    # feeds the pair join's a-side, b-side, AND the final left join —
-    # without this it runs 3x (the r4 weak plan), same discipline as
-    # lsh_near_dup_pairs' signature persist above
+    # persisted (MEMORY_AND_DISK): the assignment pass (corpus scan +
+    # K-centroid scoring) feeds the pair join's a-side, b-side, AND the
+    # final left join — without this it runs 3x (the r4 weak plan), same
+    # discipline as lsh_near_dup_pairs' signature persist above. The
+    # relation stays cached after the caller's action (it is part of the
+    # returned lazy plan, so this function cannot unpersist it);
+    # long-lived sessions rely on LRU eviction, and batch drivers that
+    # run many such queries (bench.py) clearCache() between them.
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster_id")
     ).persist()

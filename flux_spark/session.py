@@ -13,7 +13,8 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_mem(cpus: str) -> str:
-    """~1g per local task thread, floor 8g, ceiling 80% of physical RAM."""
+    """~1g per local task thread, floor 8g — unless 80% of physical RAM
+    is lower, which wins (hard floor 2g on tiny boxes)."""
     want = max(8, int(cpus)) if cpus.isdigit() else 8
     try:
         total_gb = (

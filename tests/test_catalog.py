@@ -220,3 +220,36 @@ def test_warehouse_format_marker_rejects_foreign_format(tmp_path):
     (tmp_path / "_catalog.json").write_text(json.dumps(state))
     with pytest.raises(IncompatibleWarehouseError):
         Catalog(tmp_path).get_topic("t")
+
+
+def test_keyless_catalog_backfills_format_from_lock_layout(tmp_path):
+    """Pre-marker catalogs carry no 'format' key and are ambiguous
+    (the marker shipped after the writer-lock move): a keyless warehouse
+    whose topics show the OLD lock path (<topic>/.ingest.lock) must be
+    refused as format 1; one without old locks is accepted as format 2
+    and stamped on the next save (ADVICE r5)."""
+    import json
+
+    from flux_spark.catalog import Catalog
+    from flux_spark.errors import IncompatibleWarehouseError
+
+    cat = Catalog(tmp_path)
+    cat.create_topic("t", 1)
+    state = json.loads((tmp_path / "_catalog.json").read_text())
+    del state["format"]
+    (tmp_path / "_catalog.json").write_text(json.dumps(state))
+
+    # no old-layout locks -> accepted, format re-stamped on save
+    c2 = Catalog(tmp_path)
+    assert c2.get_topic("t").num_partitions == 1
+    c2.create_topic("t2", 1)
+    assert json.loads((tmp_path / "_catalog.json").read_text())["format"] == 2
+
+    # a format-1 writer's lock file marks the warehouse as old-layout
+    state = json.loads((tmp_path / "_catalog.json").read_text())
+    del state["format"]
+    (tmp_path / "_catalog.json").write_text(json.dumps(state))
+    (tmp_path / "t").mkdir(exist_ok=True)
+    (tmp_path / "t" / ".ingest.lock").touch()
+    with pytest.raises(IncompatibleWarehouseError):
+        Catalog(tmp_path).get_topic("t")
