@@ -16,18 +16,31 @@ from .registry import ANALYTICS_QUERIES, _DEC, _dec_sum, load_table, register
 @register(
     ANALYTICS_QUERIES,
     "events_distinct_users_sketch",
-    None,  # HLL/KLL sketches are engine-specific; exactness asserted in-query
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_within_rsd,
+           TRUE AS median_within_tol
+    FROM events GROUP BY event_type
+    """,
     "approximate sketches at scale: approx_count_distinct (HLL) and "
-    "approx_percentile (KLL-style) vs their exact counterparts, with "
-    "relative-error columns the rows-only gate pins down",
+    "approx_percentile (KLL-style) checked against their exact "
+    "counterparts — the sketch estimates are engine-specific, so the "
+    "gradeable output is the exact side plus within-documented-accuracy "
+    "booleans the oracle expects TRUE (a sketch drifting past its bound "
+    "fails the value hash)",
 )
 def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch operators are THE tool for distinct/quantile at 100 TB (fixed
-    memory, one pass, mergeable partials) but their estimates are
-    engine-implementation-specific, so instead of a DuckDB twin the query
-    emits both the sketch and the exact value plus the observed relative
-    error — downstream assertions (and readers) can see the sketch is
-    within its documented accuracy (HLL rsd default 5%)."""
+    """Sketch operators are THE tool for distinct/quantile at 100 TB
+    (fixed memory, one pass, mergeable partials), but their estimates are
+    engine-implementation-specific — a DuckDB twin cannot reproduce
+    Spark's HLL++ registers. To make the gate exact anyway (VERDICT r5
+    #5), the output carries the EXACT values plus booleans asserting the
+    sketch landed inside its documented accuracy: approx_count_distinct
+    within 3x its default 5% rsd, percentile_approx(accuracy=10k) within
+    1% of the exact median. DuckDB recomputes the exact side and expects
+    TRUE — so both a broken exact path and an out-of-spec sketch fail
+    the hash."""
     e = load_table(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -37,15 +50,18 @@ def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "event_type",
-        "approx_users",
         "exact_users",
-        F.round(
+        (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users"),
-            4,
-        ).alias("users_rel_err"),
-        "approx_median_value",
-        "exact_median_value",
+            / F.col("exact_users")
+            <= 0.15  # 3x the documented default rsd (0.05)
+        ).alias("users_within_rsd"),
+        (
+            F.abs(
+                F.col("approx_median_value") - F.col("exact_median_value")
+            )
+            <= 0.01 * F.abs(F.col("exact_median_value"))
+        ).alias("median_within_tol"),
     )
 
 

@@ -35,12 +35,10 @@ def test_registry_query_executes(spark, sf_dir, name):
 
 # Non-SQL-expressible ops may omit an oracle (the driver then records a
 # weaker rows-only check), but each omission must be deliberate — keep this
-# list in sync when adding one.
-NO_ORACLE_BY_DESIGN = {
-    # HLL/KLL estimates are engine-implementation-specific; the query emits
-    # sketch + exact + relative error instead of a DuckDB twin.
-    "events_distinct_users_sketch",
-}
+# list in sync when adding one. Empty since r6: the sketch gate now emits
+# exact values + within-accuracy booleans the oracle recomputes, so every
+# registry entry is exact-gated (185/185).
+NO_ORACLE_BY_DESIGN: set[str] = set()
 
 
 def test_every_query_has_oracle_or_documented_exception():
