@@ -1,0 +1,562 @@
+"""Dedup-family queries: exact, MinHash-LSH, SimHash, n-gram Jaccard, duplicate clusters, contamination, span removal, LSH tuning.
+
+Split from ``llm/queries.py`` (registry hygiene, VERDICT r5 #6): shared
+corpus augmentation (``dup_corpus`` / ``_CORPUS_CTE``) and ``_hexval``
+stay in ``queries.py``; every entry here registers into the same
+``LLM_QUERIES`` dict on import. See ``queries.py`` for the oracle-parity
+contract all entries follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analytics.registry import load_table, register
+from . import dedup
+from .queries import LLM_QUERIES, _CORPUS_CTE, _hexval, dup_corpus
+
+# distinct word-3-gram shingles, SQL twin of dedup.word_shingles(k=3)
+_SHINGLE_CTES = """
+, __toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus)
+, __sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      ELSE list_transform(range(1, len(tk) - 1),
+                          i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+  FROM __toks)
+, __sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM __sh)
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    # same two-hash construction as dedup.minhash_signature: one md5 per
+    # shingle, hash_i = (h1 + i*h2) mod 2^32 with h1/h2 = md5 words 1 and 3
+    mins = ", ".join(
+        f"list_min(list_transform(hs, m -> "
+        f"(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substring(m, 17, 8)) AS BIGINT)) % 4294967296))"
+        for i in range(num_hashes)
+    )
+    return (
+        _CORPUS_CTE
+        + _SHINGLE_CTES
+        + f"""
+, __hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM __sized)
+, __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __hashed)
+, __bh AS (
+  SELECT s.doc_id, r.band,
+         md5(array_to_string(list_transform(
+           s.sig[r.band*{rows}+1 : r.band*{rows}+{rows}],
+           v -> CAST(v AS VARCHAR)), '|')) AS bhash
+  FROM __sigs s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r)
+, __cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __bh a JOIN __bh b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+, __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __common AS (
+  SELECT c.id_a, c.id_b, ea.n_sh AS na, eb.n_sh AS nb, COUNT(*) AS cc
+  FROM __cand c
+  JOIN __ex ea ON ea.doc_id = c.id_a
+  JOIN __ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(cc AS DOUBLE) / (na + nb - cc) AS jaccard
+FROM __common
+WHERE CAST(cc AS DOUBLE) / (na + nb - cc) >= {threshold}
+"""
+    )
+
+
+def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return (
+        _CORPUS_CTE
+        + _SHINGLE_CTES
+        + f"""
+, __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS cc
+  FROM __ex a JOIN __ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(cc AS DOUBLE) / (na + nb - cc) AS jaccard
+FROM __common
+WHERE CAST(cc AS DOUBLE) / (na + nb - cc) >= {threshold}
+"""
+    )
+
+
+def _simhash_cte(n_bits: int = 32) -> str:
+    """CTEs computing __sims(doc_id, simhash) — twin of dedup.simhash."""
+    n_digits = n_bits // 4
+    digit_cols = ", ".join(
+        f"{_hexval(f'substr(h, {d + 1}, 1)')} AS v{d}" for d in range(n_digits)
+    )
+    sum_cols = ", ".join(
+        f"SUM(((v{j // 4} // {2 ** (j % 4)}) % 2) * 2 - 1) AS s{j}"
+        for j in range(n_bits)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(n_bits)
+    )
+    return (
+        _SHINGLE_CTES
+        + f"""
+, __feat AS (SELECT doc_id, md5(unnest(sh)) AS h FROM __sized)
+, __digits AS (SELECT doc_id, {digit_cols} FROM __feat)
+, __sums AS (SELECT doc_id, {sum_cols} FROM __digits GROUP BY doc_id)
+, __sims AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM __sums)
+"""
+    )
+
+
+def _simhash_sql(n_bits: int = 32) -> str:
+    return _CORPUS_CTE + _simhash_cte(n_bits) + "SELECT doc_id, simhash FROM __sims"
+
+
+def _simhash_pairs_sql(n_bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    width = n_bits // bands
+    ham = " + ".join(
+        f"(CASE WHEN (ha // {2 ** j}) % 2 <> (hb // {2 ** j}) % 2 THEN 1 ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return (
+        _CORPUS_CTE
+        + _simhash_cte(n_bits)
+        + f"""
+, __banded AS (
+  SELECT s.doc_id, s.simhash, r.band,
+         (s.simhash // CAST(power(2, r.band * {width}) AS BIGINT)) % {2 ** width} AS sl
+  FROM __sims s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r)
+, __cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS ha, b.simhash AS hb
+  FROM __banded a JOIN __banded b
+    ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+FROM __cand
+WHERE {ham} <= {max_hamming}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_exact",
+    _CORPUS_CTE
+    + "SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies FROM corpus GROUP BY text",
+    "exact dedup: hash-groupBy on content digest, canonical id = min per group",
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(dup_corpus(spark, sf_dir))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_minhash_lsh",
+    _minhash_lsh_sql(),
+    "MinHash(16) + LSH(4x4 bands) near-dup pairs, Jaccard>=0.5 verified",
+)
+def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(dup_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _minhash_est_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(hs, m -> "
+        f"(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substring(m, 17, 8)) AS BIGINT)) % 4294967296))"
+        for i in range(num_hashes)
+    )
+    return (
+        _CORPUS_CTE
+        + _SHINGLE_CTES
+        + f"""
+, __hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM __sized)
+, __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __hashed)
+, __bh AS (
+  SELECT s.doc_id, r.band,
+         md5(array_to_string(list_transform(
+           s.sig[r.band*{rows}+1 : r.band*{rows}+{rows}],
+           v -> CAST(v AS VARCHAR)), '|')) AS bhash
+  FROM __sigs s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r)
+, __cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __bh a JOIN __bh b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+, __est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(range(1, {num_hashes + 1}),
+                              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+           / {float(num_hashes)} AS est_jaccard
+  FROM __cand c
+  JOIN __sigs sa ON sa.doc_id = c.id_a
+  JOIN __sigs sb ON sb.doc_id = c.id_b)
+, __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __common AS (
+  SELECT c.id_a, c.id_b, ea.n_sh AS na, eb.n_sh AS nb, COUNT(*) AS cc
+  FROM __cand c
+  JOIN __ex ea ON ea.doc_id = c.id_a
+  JOIN __ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+  GROUP BY 1, 2, 3, 4)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       COALESCE(CAST(cc AS DOUBLE) / (na + nb - cc), 0.0) AS jaccard
+FROM __est e
+LEFT JOIN __common x ON x.id_a = e.id_a AND x.id_b = e.id_b
+"""
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_minhash_jaccard_est",
+    _minhash_est_sql(),
+    "MinHash sketch calibration: estimated (agreeing signature positions / "
+    "16) vs exact Jaccard for every LSH candidate pair — measures sketch "
+    "error before trusting estimate-only dedup at scale",
+)
+def doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_jaccard_estimate(dup_corpus(spark, sf_dir))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_ngram_jaccard",
+    _ngram_jaccard_sql(),
+    "exact n-gram Jaccard pairs via inverted shingle index, >=0.5",
+)
+def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(dup_corpus(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_simhash",
+    _simhash_sql(),
+    "32-bit SimHash signature per document over shingle features",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(dup_corpus(spark, sf_dir))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_simhash",
+    _simhash_pairs_sql(),
+    "SimHash banded near-dup pairs, Hamming<=3 verified",
+)
+def doc_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(dup_corpus(spark, sf_dir))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_summary",
+    f"""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         {_CORPUS_CTE} SELECT 1 FROM corpus GROUP BY text HAVING COUNT(*) >= 2
+       ) tx) AS n_exact_groups,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_minhash_lsh_sql()}) tm)
+        AS n_minhash_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_simhash_pairs_sql()}) ts)
+        AS n_simhash_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_ngram_jaccard_sql()}) tn)
+        AS n_ngram_pairs
+    """,
+    "dedup dashboard: the yield of every method over the same corpus in "
+    "one row — exact duplicate groups, MinHash-LSH pairs, SimHash pairs, "
+    "exact n-gram Jaccard pairs. The side-by-side a curation team reads "
+    "to pick (and sanity-check) its dedup strategy: LSH missing pairs "
+    "the exact inverted index finds means the banding is too strict",
+)
+def doc_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir)
+    exact = (
+        dedup.exact_dedup_groups(corpus)
+        .where(F.col("n_copies") >= 2)
+        .agg(F.count("*").cast("bigint").alias("n_exact_groups"))
+    )
+    mh = dedup.minhash_lsh_pairs(corpus, threshold=0.5).agg(
+        F.count("*").cast("bigint").alias("n_minhash_pairs")
+    )
+    sh = dedup.simhash_pairs(corpus).agg(
+        F.count("*").cast("bigint").alias("n_simhash_pairs")
+    )
+    ng = dedup.ngram_jaccard_pairs(corpus, threshold=0.5).agg(
+        F.count("*").cast("bigint").alias("n_ngram_pairs")
+    )
+    return exact.crossJoin(mh).crossJoin(sh).crossJoin(ng)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def _dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """Recursive-CTE twin of minhash pairs -> connected components: walk
+    enumerates every (vertex, reachable-vertex) over the symmetric edge
+    set; MIN over reachables = the component's canonical id."""
+    body = _minhash_lsh_sql(threshold=threshold)
+    # reuse the minhash CTE chain up to __common, then cluster recursively
+    prefix = body[: body.index("SELECT id_a, id_b,")]
+    return (
+        prefix.replace("WITH corpus AS", "WITH RECURSIVE corpus AS")
+        + f"""
+, __pairs AS (
+  SELECT id_a, id_b FROM __common
+  WHERE CAST(cc AS DOUBLE) / (na + nb - cc) >= {threshold})
+, __edges AS (
+  SELECT id_a AS src, id_b AS dst FROM __pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM __pairs)
+, walk(id, comp) AS (
+  SELECT DISTINCT src, src FROM __edges
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN __edges e ON e.dst = w.id)
+, comps AS (SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id)
+SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS cluster_id
+FROM corpus c LEFT JOIN comps k ON k.id = c.doc_id
+"""
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_clusters",
+    _dedup_clusters_sql(),
+    "transitive duplicate clusters: MinHash-LSH pairs -> iterative "
+    "min-label-propagation connected components (singletons keep own id)",
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+    return dedup.connected_components(pairs, vertices=corpus.select("doc_id"))
+
+
+# 5-gram shingles over corpus/benchmark halves; benchmark = every 97th doc
+_CONTAM_SQL = """
+WITH bt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            WHERE doc_id % 97 = 0),
+bsh AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - 3),
+                             i -> array_to_string(tk[i:i+4], ' ')) END) AS sh
+  FROM bt),
+ct AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       WHERE doc_id % 97 <> 0),
+csh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+           ELSE list_transform(range(1, len(tk) - 3),
+                               i -> array_to_string(tk[i:i+4], ' ')) END) AS shs
+  FROM ct),
+cex AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles, unnest(shs) AS sh
+        FROM csh)
+SELECT c.doc_id, c.n_shingles,
+       COUNT(*) AS n_contaminated,
+       CAST(COUNT(*) AS DOUBLE) / c.n_shingles AS contamination_rate
+FROM cex c JOIN bsh b ON b.sh = c.sh
+GROUP BY c.doc_id, c.n_shingles
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "doc_contamination",
+    _CONTAM_SQL,
+    "benchmark decontamination: corpus docs sharing word-5-grams with the "
+    "benchmark subset (broadcast benchmark shingle set; corpus never shuffles)",
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return dedup.contamination(corpus, bench, k=5)
+
+
+@register(
+    LLM_QUERIES,
+    "lsh_tuning_curve",
+    """
+    WITH cfg AS (
+      SELECT unnest([struct_pack(bands := 4, rows_per_band := 4),
+                     struct_pack(bands := 8, rows_per_band := 2),
+                     struct_pack(bands := 2, rows_per_band := 8),
+                     struct_pack(bands := 8, rows_per_band := 4),
+                     struct_pack(bands := 16, rows_per_band := 2)], recursive := true)),
+    grid AS (SELECT CAST(i AS DOUBLE) / 20 AS jaccard
+             FROM unnest(range(1, 20)) AS t(i)),
+    curve AS (
+      SELECT bands, rows_per_band, jaccard,
+        list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          list_transform(range(1, rows_per_band + 1), x -> jaccard)),
+          (acc, v) -> acc * v) AS p_band
+      FROM cfg CROSS JOIN grid)
+    SELECT bands, rows_per_band, jaccard, p_band,
+      1 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(range(1, bands + 1), x -> 1 - p_band)),
+            (acc, v) -> acc * v) AS p_detect
+    FROM curve
+    """,
+    "LSH design table: detection probability 1-(1-s^r)^b over a Jaccard "
+    "grid for candidate (bands, rows) configs — how a pipeline picks its "
+    "banding before a 100 TB dedup run. Powers are computed as ordered "
+    "repeated multiplication (not pow()), so both engines agree "
+    "bit-for-bit",
+)
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfgs = [(4, 4), (8, 2), (2, 8), (8, 4), (16, 2)]
+    cfg = spark.createDataFrame(cfgs, "bands int, rows_per_band int")
+    grid = spark.range(1, 20).select(
+        (F.col("id").cast("double") / 20).alias("jaccard")
+    )
+
+    def pown(base: F.Column, n: F.Column) -> F.Column:
+        # ordered repeated multiplication: fold over [1..n]
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(1), n), lambda _: base),
+            F.lit(1.0),
+            lambda acc, v: acc * v,
+        )
+
+    curve = cfg.crossJoin(grid).withColumn(
+        "p_band", pown(F.col("jaccard"), F.col("rows_per_band"))
+    )
+    return curve.select(
+        "bands",
+        "rows_per_band",
+        "jaccard",
+        "p_band",
+        (1 - pown(1 - F.col("p_band"), F.col("bands"))).alias("p_detect"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dup_span_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS gp, array_to_string(l[i:i+7], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(l) - 7)) AS t(i)
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), covered AS (
+      SELECT DISTINCT doc_id, gp + off AS pos
+      FROM grams, unnest(generate_series(0, 7)) AS o(off)
+      WHERE gram IN (SELECT gram FROM dup)
+    ), tok_rows AS (
+      SELECT doc_id, i - 1 AS pos, l[i] AS tok
+      FROM toks, unnest(generate_series(1, len(l))) AS t(i)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM tok_rows t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+      )
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(m.l) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_tokens
+    FROM toks m LEFT JOIN agg a USING (doc_id)
+    """,
+    "exact duplicate-span removal (Lee et al. 2022 substring dedup, "
+    "k-gram form): every token inside a token 8-gram occurring in >= 2 "
+    "distinct documents is dropped, and the surviving tokens are "
+    "reassembled in order — the oracle recomputes the identical span "
+    "cover in SQL, so the cleaned text matches byte-for-byte",
+)
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.dup_span_dedup(d, k=8, min_docs=2)
+
+
+def _dedup_keep_best_sql(threshold: float = 0.5) -> str:
+    """Clusters + quality-aware retention: keep the LONGEST member of
+    each duplicate cluster (tie-break min id) instead of the min-id one."""
+    base = _dedup_clusters_sql(threshold)
+    final = (
+        "SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS cluster_id\n"
+        "FROM corpus c LEFT JOIN comps k ON k.id = c.doc_id"
+    )
+    assert final in base
+    return base.replace(
+        final,
+        """
+, clusters AS (
+  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS cluster_id,
+         CAST(length(c.text) AS BIGINT) AS doc_len
+  FROM corpus c LEFT JOIN comps k ON k.id = c.doc_id)
+SELECT doc_id, cluster_id, doc_len,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY doc_len DESC, doc_id ASC) = 1 AS is_kept
+FROM clusters
+""",
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_keep_best",
+    _dedup_keep_best_sql(),
+    "quality-aware dedup retention: transitive MinHash-LSH duplicate "
+    "clusters, but each cluster keeps its LONGEST member (tie-break min "
+    "id) instead of the min-id one — the curation policy that preserves "
+    "the most complete copy of near-duplicated content; one extra narrow "
+    "window over (cluster_id, len, id) rows on top of the cluster plan",
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    corpus = dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+    comps = dedup.connected_components(pairs, vertices=corpus.select("doc_id"))
+    scored = comps.join(
+        corpus.select(
+            "doc_id", F.length("text").cast("bigint").alias("doc_len")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("doc_len"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "doc_len",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_minhash_scaled",
+    _minhash_lsh_sql(num_hashes=32, bands=4),
+    "MinHash(32) + LSH(4x8 bands) near-dup pairs — the text-dedup "
+    "corpus-growth knob in action (twin of emb_near_dup_lsh_scaled): "
+    "doubling rows-per-band from 4 to 8 squares down each band's "
+    "collision probability, so candidate volume stays tractable as the "
+    "corpus grows while the exact-Jaccard verify keeps precision; "
+    "recall at the 0.5 threshold trades against it (s^8 band-match "
+    "curve vs s^4). Same oracle machinery, 32-hash signatures "
+    "(h1 + 31*h2 < 2^37, still exact int64)",
+)
+def doc_dedup_minhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        dup_corpus(spark, sf_dir), num_hashes=32, bands=4, threshold=0.5
+    )

@@ -1,0 +1,662 @@
+"""Embedding-similarity queries: ANN (brute/LSH/IVF/PQ/MIPS), near-dup LSH, semantic dedup, k-means refine, hybrid text+embedding dedup.
+
+Split from ``llm/queries.py`` (registry hygiene, VERDICT r5 #6): shared
+corpus augmentation (``dup_corpus`` / ``_CORPUS_CTE``) and ``_hexval``
+stay in ``queries.py``; every entry here registers into the same
+``LLM_QUERIES`` dict on import. See ``queries.py`` for the oracle-parity
+contract all entries follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analytics.registry import load_table, register
+from . import dedup, similarity
+from .dedup_queries import _minhash_lsh_sql
+from .queries import LLM_QUERIES, _CORPUS_CTE, dup_corpus
+
+# ---------------------------------------------------------------------------
+# similarity-search queries
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _brute_topk_sql(k: int = 5) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {similarity.sql_cosine("qv", "cv", _DIM)} AS cos_sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "ann_cosine_topk",
+    _brute_topk_sql(),
+    "brute-force exact cosine top-5 for 5 query vectors (broadcast queries)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+_PLANES = similarity.hyperplanes(8, _DIM)
+
+_EMB_AUG_CTE = f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % 29 = 0
+  UNION ALL
+  SELECT vec_id + 2000000000,
+    list_prepend(CAST(embedding[1] AS DOUBLE) * CAST(1.5 AS DOUBLE),
+                 list_transform(embedding[2:{_DIM}], x -> CAST(x AS DOUBLE)))
+  FROM embeddings WHERE vec_id % 31 = 0
+)
+"""
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select(F.col("vec_id"), as_double.alias("v"))
+    copies = e.where(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 1000000000).alias("vec_id"), as_double.alias("v")
+    )
+    perturbed = e.where(F.col("vec_id") % 31 == 0).select(
+        (F.col("vec_id") + 2000000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") * F.lit(1.5)),
+            F.transform(
+                F.slice("embedding", 2, _DIM - 1), lambda x: x.cast("double")
+            ),
+        ).alias("v"),
+    )
+    return base.unionByName(copies).unionByName(perturbed)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_near_dup_lsh",
+    _EMB_AUG_CTE
+    + f"""
+, sigs AS (SELECT vec_id, v, {similarity.sql_signature_bits("v", _PLANES, _DIM)} AS sig FROM aug)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {similarity.sql_cosine("a.v", "b.v", _DIM)} AS cos_sim
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+""",
+    "sign-LSH bucketed embedding near-dup pairs, cosine>=0.98 verified",
+)
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_near_dup_pairs(
+        _aug_embeddings(spark, sf_dir), vec_col="v", threshold=0.98
+    )
+
+
+_PLANES12 = similarity.hyperplanes(12, _DIM)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_near_dup_lsh_scaled",
+    _EMB_AUG_CTE
+    + f"""
+, sigs AS (SELECT vec_id, v, {similarity.sql_signature_bits("v", _PLANES12, _DIM)} AS sig FROM aug)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {similarity.sql_cosine("a.v", "b.v", _DIM)} AS cos_sim
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+""",
+    "sign-LSH near-dup at 12 planes — the corpus-growth knob in action: "
+    "candidate volume is ~n²/2^planes, so planes must track log2(n) as "
+    "the corpus scales (8 planes for the sf0.1 gate, 12 here => 16× "
+    "fewer pairs at the same corpus; recall trades against it). Same "
+    "verify path, same exact-cosine oracle",
+)
+def emb_near_dup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_near_dup_pairs(
+        _aug_embeddings(spark, sf_dir),
+        vec_col="v",
+        n_planes=12,
+        threshold=0.98,
+    )
+
+
+# auto-scaled LSH: plane count derived from the corpus COUNT at run time
+# (auto_planes keeps expected bucket size ~constant as the corpus grows —
+# the 100 TB knob). The oracle reproduces the derivation in SQL: it
+# materializes sign bits for a 24-plane superset, derives np =
+# auto_planes(COUNT(*)) as a scalar, and sums bits[i]*2^i over i < np.
+_MAXP = 24
+_PLANES_SUPER = similarity.hyperplanes(_MAXP, _DIM)
+
+_AUTO_NP_SQL = """
+SELECT CASE WHEN cnt <= 16 THEN 4
+       ELSE GREATEST(4, CAST(CEIL(LOG2(cnt / 16.0)) AS INT)) END AS np
+FROM (SELECT COUNT(*) AS cnt FROM aug)
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "emb_near_dup_lsh_auto",
+    _EMB_AUG_CTE
+    + f"""
+, params AS ({_AUTO_NP_SQL})
+, bitsrc AS (
+  SELECT vec_id, v,
+         {similarity.sql_signature_bit_list("v", _PLANES_SUPER, _DIM)} AS bits
+  FROM aug)
+, sigs AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(
+           generate_series(0, (SELECT np FROM params) - 1),
+           i -> CASE WHEN bits[CAST(i + 1 AS INT)]
+                     THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+  FROM bitsrc)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {similarity.sql_cosine("a.v", "b.v", _DIM)} AS cos_sim
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+""",
+    "sign-LSH near-dup with the plane count DERIVED from the corpus size "
+    "(auto_planes: ceil(log2(n/16)), floored at 4) instead of pinned — "
+    "the knob that keeps candidate volume linear as the corpus scales "
+    "(sf0.01 -> 6 planes, sf10 -> 14). The oracle re-derives the same "
+    "plane count from COUNT(*) in SQL and masks a 24-plane bit superset",
+)
+def emb_near_dup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _aug_embeddings(spark, sf_dir)
+    n_planes = similarity.auto_planes(corpus.count())
+    return similarity.lsh_near_dup_pairs(
+        corpus, vec_col="v", n_planes=n_planes, threshold=0.98
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_semantic_dedup_auto",
+    _EMB_AUG_CTE
+    + f"""
+, params AS (
+  SELECT GREATEST(1, CAST(CEIL(cnt / 256.0) AS INT)) AS k
+  FROM (SELECT COUNT(*) AS cnt FROM aug)),
+cen AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < (SELECT k FROM params)),
+asg AS (
+  SELECT vec_id, v, cid AS cluster_id FROM (
+    SELECT a.vec_id, a.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {similarity.sql_cosine("a.v", "c.cv", _DIM)} DESC,
+                                       c.cid ASC) AS rn
+    FROM aug a CROSS JOIN cen c) WHERE rn = 1),
+dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+  GROUP BY b.vec_id)
+SELECT g.vec_id, g.cluster_id, d.dup_of, d.dup_of IS NULL AS is_kept
+FROM asg g LEFT JOIN dups d ON d.vec_id = g.vec_id
+""",
+    "SemDeDup with the centroid count DERIVED from the corpus size "
+    "(auto_centroids: ceil(n/256), floored at 1) instead of pinned at 8 "
+    "— K must track n to keep the sum(|cluster|^2) pair cost linear "
+    "(sf0.01 -> 3 centroids, sf10 -> 834). The oracle re-derives K from "
+    "COUNT(*) in SQL; same min-id survivor rule and 0.98 threshold",
+)
+def emb_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _aug_embeddings(spark, sf_dir)
+    k = similarity.auto_centroids(corpus.count(), target_cluster=256)
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    return similarity.semantic_dedup(
+        corpus, centroids, vec_col="v", id_col="vec_id", threshold=0.98
+    )
+
+
+def _lsh_topk_sql(n_planes: int = 8, k: int = 5) -> str:
+    sig = similarity.sql_signature_bits("embedding", _PLANES, _DIM)
+    masks = ", ".join(f"CAST({2**i} AS BIGINT)" for i in range(n_planes))
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             CAST({sig} AS BIGINT) AS sig
+      FROM embeddings),
+    qs AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             CAST({sig} AS BIGINT) AS qsig
+      FROM embeddings WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, qsig AS sig FROM qs
+      UNION ALL
+      SELECT query_id, qv, xor(qsig, m.m) AS sig
+      FROM qs CROSS JOIN (SELECT unnest([{masks}]) AS m) m),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             {similarity.sql_cosine("p.qv", "c.cv", _DIM)} AS cos_sim
+      FROM probes p JOIN c USING (sig)
+      WHERE c.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "ann_cosine_lsh",
+    _lsh_topk_sql(),
+    "LSH-bucketed ANN: sign-signature bucket join with Hamming-1 "
+    "multiprobe, exact-cosine top-5 rerank",
+)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    cos_vc = similarity.sql_cosine("vv", "cv", _DIM)
+    return f"""
+    WITH cen AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_centroids}),
+    corpus AS (SELECT vec_id, embedding AS vv FROM embeddings),
+    assign_scored AS (
+      SELECT c.vec_id, c.vv, n.cid, {cos_vc} AS ccos,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY {cos_vc} DESC, n.cid ASC) AS r
+      FROM corpus c CROSS JOIN cen n),
+    assigned AS (SELECT vec_id AS neighbor_id, vv AS cv2, cid AS bucket FROM assign_scored WHERE r = 1),
+    queries AS (SELECT vec_id, vv FROM corpus WHERE vec_id < 5),
+    probe_scored AS (
+      SELECT q.vec_id, q.vv, n.cid, {similarity.sql_cosine("q.vv", "cv", _DIM)} AS ccos,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {similarity.sql_cosine("q.vv", "cv", _DIM)} DESC, n.cid ASC) AS r
+      FROM queries q CROSS JOIN cen n),
+    probes AS (SELECT vec_id AS query_id, vv AS qv, cid AS bucket FROM probe_scored WHERE r <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {similarity.sql_cosine("p.qv", "a.cv2", _DIM)} AS cos_sim
+      FROM probes p JOIN assigned a USING (bucket)
+      WHERE a.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "ann_cosine_ivf",
+    _ivf_sql(),
+    "IVF ANN: 8 seed centroids, nprobe=2 bucket-pruned cosine top-5",
+)
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 5), centroids, k=5, nprobe=2
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_pq_codes",
+    similarity.sql_pq_encode(),
+    "product quantization: 8 subspaces x 16 seed codes, per-vector code "
+    "assignment (nearest L2, ties -> lowest code) + reconstruction error "
+    "— the 256B->8B compression billion-vector search runs on; codebook "
+    "broadcasts as one row, encoding is zero-shuffle. Output is one row "
+    "per (vector, subspace): driver-sortable, no top-level arrays",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    return similarity.pq_encode(e, codebook).select(
+        "vec_id", "recon_err", F.posexplode("codes").alias("sub_idx", "code")
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_pq_adc_topk",
+    similarity.sql_pq_adc_topk(),
+    "PQ asymmetric-distance top-5: per-query distance lookup tables "
+    "(broadcast) summed over each candidate's 8 codes — n_sub lookups "
+    "replace the 64-wide dot product, the query path that makes "
+    "billion-vector search bandwidth-feasible",
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    return similarity.pq_adc_topk(
+        e, e.where(F.col("vec_id") < 5), codebook, k=5
+    )
+
+
+def _ivf_probe_sweep_sql(max_probe: int = 4, k: int = 5, n_q: int = 5) -> str:
+    total = k * n_q
+    probe_selects = "\n      UNION ALL\n".join(
+        f"      SELECT {np} AS nprobe, query_id, neighbor_id "
+        f"FROM ({_ivf_sql(nprobe=np)}) t{np}"
+        for np in range(1, max_probe + 1)
+    )
+    return f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_brute_topk_sql()}) tx),
+    probes AS (
+{probe_selects}
+    ),
+    counts AS (
+      SELECT pr.nprobe, COUNT(*) AS n_hit
+      FROM probes pr JOIN exact e
+        ON e.query_id = pr.query_id AND e.neighbor_id = pr.neighbor_id
+      GROUP BY pr.nprobe)
+    SELECT n.nprobe,
+           CAST(COALESCE(c.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(c.n_hit, 0) AS DOUBLE) / {total} AS recall_at_{k}
+    FROM (SELECT CAST(unnest(range(1, {max_probe + 1})) AS INTEGER) AS nprobe) n
+    LEFT JOIN counts c ON c.nprobe = n.nprobe
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "emb_ivf_probe_sweep",
+    _ivf_probe_sweep_sql(),
+    "ANN tuning sweep: overall recall@5 vs nprobe (1..4 of 8 centroid "
+    "buckets) — the cost/recall frontier an index owner walks before "
+    "fixing nprobe for production; raising nprobe to K recovers exact "
+    "search. (The sweep re-assigns per nprobe here for oracle clarity; "
+    "a production sweep assigns once and varies only the probe list)",
+)
+def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    probes = None
+    for np_ in range(1, 5):
+        p = similarity.ivf_topk(e, q, centroids, k=5, nprobe=np_).select(
+            F.lit(np_).cast("int").alias("nprobe"), "query_id", "neighbor_id"
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    counts = probes.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count("*").alias("n_hit"))
+    grid = spark.range(1, 5).select(F.col("id").cast("int").alias("nprobe"))
+    return grid.join(counts, "nprobe", "left").select(
+        "nprobe",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(25)
+        ).alias("recall_at_5"),
+    )
+
+
+def _hybrid_emb_aug_sql() -> str:
+    """Embedding twin of _CORPUS_CTE's augmentation: same +1e9 exact /
+    +2e9 perturbed id scheme, so text pairs and embedding pairs talk
+    about the same documents."""
+    return f"""
+    eaug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 17 = 0
+      UNION ALL
+      SELECT vec_id + 2000000000,
+        list_prepend(CAST(embedding[1] AS DOUBLE) * CAST(1.5 AS DOUBLE),
+                     list_transform(embedding[2:{_DIM}], x -> CAST(x AS DOUBLE)))
+      FROM embeddings WHERE vec_id % 23 = 0
+    )"""
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_hybrid",
+    f"""
+    WITH {_hybrid_emb_aug_sql().lstrip()},
+    esigs AS (SELECT vec_id, v,
+              {similarity.sql_signature_bits("v", _PLANES, _DIM)} AS sig
+              FROM eaug),
+    epairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {similarity.sql_cosine("a.v", "b.v", _DIM)} AS cos_sim
+      FROM esigs a JOIN esigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98),
+    tpairs AS (SELECT * FROM ({_minhash_lsh_sql()}) tsub)
+    SELECT COALESCE(t.id_a, e.id_a) AS id_a,
+           COALESCE(t.id_b, e.id_b) AS id_b,
+           t.jaccard IS NOT NULL AS text_candidate,
+           e.cos_sim IS NOT NULL AS emb_candidate,
+           t.jaccard, e.cos_sim
+    FROM tpairs t
+    FULL JOIN epairs e ON e.id_a = t.id_a AND e.id_b = t.id_b
+    """,
+    "multi-signal near-dup ensemble: MinHash-LSH text pairs FULL OUTER "
+    "JOINed with sign-LSH embedding pairs over the SAME augmented ids — "
+    "per pair, which signal(s) fired plus both scores. The production "
+    "curation pattern: text dedup misses paraphrases, embedding dedup "
+    "misses short-text collisions; the union with per-signal evidence "
+    "lets the pipeline set per-signal thresholds and audit disagreements",
+)
+def doc_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select(F.col("vec_id"), as_double.alias("v"))
+    copies = e.where(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 1000000000).alias("vec_id"), as_double.alias("v")
+    )
+    perturbed = e.where(F.col("vec_id") % 23 == 0).select(
+        (F.col("vec_id") + 2000000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") * F.lit(1.5)),
+            F.transform(
+                F.slice("embedding", 2, _DIM - 1), lambda x: x.cast("double")
+            ),
+        ).alias("v"),
+    )
+    eaug = base.unionByName(copies).unionByName(perturbed)
+    epairs = similarity.lsh_near_dup_pairs(eaug, vec_col="v", threshold=0.98)
+    tpairs = dedup.minhash_lsh_pairs(dup_corpus(spark, sf_dir), threshold=0.5)
+    return (
+        tpairs.join(epairs, ["id_a", "id_b"], "full")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("jaccard").isNotNull().alias("text_candidate"),
+            F.col("cos_sim").isNotNull().alias("emb_candidate"),
+            "jaccard",
+            "cos_sim",
+        )
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_ivf_recall",
+    f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_brute_topk_sql()}) t),
+    ivf AS (SELECT query_id, neighbor_id, 1 AS hit FROM ({_ivf_sql()}) t)
+    SELECT e.query_id,
+           CAST(COUNT(i.hit) AS BIGINT) AS n_hit,
+           CAST(COUNT(i.hit) AS DOUBLE) / 5 AS recall_at_5
+    FROM exact e LEFT JOIN ivf i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    "ANN calibration: recall@5 of the IVF index vs exact brute force per "
+    "query — the measurement a pipeline runs on its own corpus before "
+    "trusting approximate retrieval at scales where exact search is "
+    "unaffordable (the companion of the MinHash est-vs-exact view)",
+)
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    ivf = (
+        similarity.ivf_topk(e, q, centroids, k=5, nprobe=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            (F.count("__hit").cast("double") / F.lit(5)).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_kmeans_refine",
+    f"""
+    WITH cen AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    corp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    scored AS (
+      SELECT c.vec_id, cen.cid, {similarity.sql_cosine("v", "cv", _DIM)} AS cc
+      FROM corp c CROSS JOIN cen),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    ex AS (
+      SELECT b.cid AS bucket, i.i - 1 AS dim_idx, c.v[i.i] AS val
+      FROM best b
+      JOIN corp c USING (vec_id)
+      CROSS JOIN (SELECT CAST(range AS INT) + 1 AS i FROM range(0, {_DIM})) i),
+    per_dim AS (
+      SELECT bucket, dim_idx,
+             CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM ex GROUP BY bucket, dim_idx)
+    SELECT bucket AS centroid_id, CAST(dim_idx AS INT) AS dim_idx,
+           m AS dim_value
+    FROM per_dim
+    """,
+    "one Lloyd iteration of IVF centroid training: max-cosine assignment + "
+    "exact per-dimension decimal means (iterate driver-side for full "
+    "k-means). Output is one row per (centroid, dimension): "
+    "driver-sortable, no top-level arrays",
+)
+def emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.kmeans_refine(e, centroids, dim=_DIM).select(
+        "centroid_id", F.posexplode("centroid").alias("dim_idx", "dim_value")
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_semantic_dedup",
+    _EMB_AUG_CTE
+    + f"""
+, cen AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, v, cid AS cluster_id FROM (
+    SELECT a.vec_id, a.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {similarity.sql_cosine("a.v", "c.cv", _DIM)} DESC,
+                                       c.cid ASC) AS rn
+    FROM aug a CROSS JOIN cen c) WHERE rn = 1),
+dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {similarity.sql_cosine("a.v", "b.v", _DIM)} >= 0.98
+  GROUP BY b.vec_id)
+SELECT g.vec_id, g.cluster_id, d.dup_of, d.dup_of IS NULL AS is_kept
+FROM asg g LEFT JOIN dups d ON d.vec_id = g.vec_id
+""",
+    "SemDeDup (Abbas et al. 2023) semantic dedup: max-cosine centroid "
+    "assignment (8 broadcast centroids), within-cluster-only pairwise "
+    "cosine, min-id survivor per >=0.98 group — pair cost is "
+    "sum(|cluster|^2), kept linear at scale by growing K with the corpus "
+    "(auto_centroids), never the n^2 all-pairs matrix",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    return similarity.semantic_dedup(
+        _aug_embeddings(spark, sf_dir),
+        centroids,
+        vec_col="v",
+        id_col="vec_id",
+        threshold=0.98,
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_mips_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {similarity.sql_dot("qv", "cv", _DIM)} AS ip
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ip DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, ip, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= 5
+    """,
+    "exact maximum-inner-product top-5 (MIPS, the ANN objective when "
+    "magnitudes carry signal — recommendation retrieval, unnormalized "
+    "two-tower embeddings): broadcast queries, one corpus pass, raw "
+    "float64-fold dot product scores bit-matched by the oracle",
+)
+def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.mips_topk(e, e.where(F.col("vec_id") < 5), k=5)

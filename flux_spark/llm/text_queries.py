@@ -1,0 +1,926 @@
+"""Text-analysis queries: quality, PII, language-id, n-gram LMs, BPE stats, TF-IDF, token accounting, splits/sampling/packing, curation.
+
+Split from ``llm/queries.py`` (registry hygiene, VERDICT r5 #6): shared
+corpus augmentation (``dup_corpus`` / ``_CORPUS_CTE``) and ``_hexval``
+stay in ``queries.py``; every entry here registers into the same
+``LLM_QUERIES`` dict on import. See ``queries.py`` for the oracle-parity
+contract all entries follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analytics.registry import load_table, register
+from . import dedup, text
+from .dedup_queries import _minhash_lsh_sql
+from .queries import LLM_QUERIES, _CORPUS_CTE, dup_corpus
+
+# ---------------------------------------------------------------------------
+# text-analysis queries
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = "['" + "', '".join(text.STOPWORDS) + "']"
+
+
+@register(
+    LLM_QUERIES,
+    "doc_quality_scores",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOP_LIST}, x))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS uniq_token_ratio
+      FROM documents)
+    SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, uniq_token_ratio,
+      round(
+        least(CAST(n_tokens AS DOUBLE) / CAST(200 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+        + uniq_token_ratio * CAST(0.4 AS DOUBLE)
+        + (1 - least(stopword_ratio * 4, CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+      6) AS quality_score
+    FROM feat
+    """,
+    "quality features + composite score (length/stopword/uniqueness ratios)",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_score(d).select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "uniq_token_ratio",
+        "quality_score",
+    )
+
+
+# word-soup documents carry no natural PII, so the gate query appends
+# deterministic synthetic PII (email/phone/ip derived from doc_id) in BOTH
+# engines before scrubbing — the same augmentation trick as _EMB_AUG_CTE
+_PII_AUG_CTE = """
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' today'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+    AS text
+  FROM documents)
+"""
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit(" today"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" from 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat("text", email, phone, ip).alias("text")
+    )
+
+
+def _pii_sql() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}s"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, rep in text.PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{rep}', 'g')"
+    return (
+        _PII_AUG_CTE
+        + f"SELECT doc_id, {counts}, {clean} AS clean_text FROM aug"
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_pii_scrub",
+    _pii_sql(),
+    "PII detection + redaction: email/phone/IPv4 match counts and typed-"
+    "placeholder scrubbing over PII-augmented documents, pure codegen "
+    "regexps on the Java-regex/RE2 common subset",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.with_pii_scrub(_pii_augmented(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        "clean_text",
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_hash_sample",
+    """
+    SELECT * FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS sample_bucket
+      FROM documents)
+    WHERE sample_bucket < 10
+    """,
+    "deterministic ~10% Bernoulli sample via salted md5 buckets — stable "
+    "under repartitioning/retries unlike rand()-based sampling",
+)
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return text.hash_sample(d, 10).select("doc_id", "sample_bucket")
+
+
+def _curation_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+                  max_bucket_size: int = 500) -> str:
+    """Oracle for the full curation pipeline, near-dup stage included.
+
+    The LSH CTEs mirror _minhash_lsh_sql but run over the quality+exact-dedup
+    survivors AND apply the production bucket cap (QUALIFY count per
+    (band, bhash) <= max_bucket_size) — the skew guard a 100 TB corpus needs
+    against boilerplate mega-buckets. Deterministic on both engines, so the
+    gate stays exact.
+    """
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(hs, m -> "
+        f"(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substring(m, 17, 8)) AS BIGINT)) % 4294967296))"
+        for i in range(num_hashes)
+    )
+    return (
+        _CORPUS_CTE
+        + f"""
+    , feat AS (
+      SELECT doc_id, text,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOP_LIST}, x))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS uniq_token_ratio
+      FROM corpus),
+    scored AS (
+      SELECT doc_id, text, n_tokens,
+        round(
+          least(CAST(n_tokens AS DOUBLE) / CAST(200 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+          + uniq_token_ratio * CAST(0.4 AS DOUBLE)
+          + (1 - least(stopword_ratio * 4, CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+        6) AS quality_score
+      FROM feat),
+    keep AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+    canon AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS m FROM keep),
+    surv AS (
+      SELECT doc_id, text, n_tokens, quality_score FROM canon WHERE doc_id = m),
+    __toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM surv),
+    __sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1),
+                              i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+      FROM __toks),
+    __sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM __sh),
+    __hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM __sized),
+    __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __hashed),
+    __bh AS (
+      SELECT s.doc_id, r.band,
+             md5(array_to_string(list_transform(
+               s.sig[r.band*{rows}+1 : r.band*{rows}+{rows}],
+               v -> CAST(v AS VARCHAR)), '|')) AS bhash
+      FROM __sigs s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r
+      QUALIFY COUNT(*) OVER (PARTITION BY r.band, bhash) <= {max_bucket_size}),
+    __cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM __bh a JOIN __bh b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized),
+    __common AS (
+      SELECT c.id_a, c.id_b, ea.n_sh AS na, eb.n_sh AS nb, COUNT(*) AS cc
+      FROM __cand c
+      JOIN __ex ea ON ea.doc_id = c.id_a
+      JOIN __ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+      GROUP BY 1, 2, 3, 4),
+    __dups AS (
+      SELECT DISTINCT id_b FROM __common
+      WHERE CAST(cc AS DOUBLE) / (na + nb - cc) >= {threshold})
+    SELECT doc_id, n_tokens, quality_score,
+      CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'validation'
+           ELSE 'test' END AS split
+    FROM surv WHERE doc_id NOT IN (SELECT id_b FROM __dups)
+    """
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_curation_pipeline",
+    _curation_sql(),
+    "end-to-end curation pipeline composition: quality filter -> exact "
+    "dedup (canonical survivor per content) -> MinHash-LSH near-dup "
+    "removal with the production bucket-size skew guard (500) -> "
+    "deterministic split assignment, all pure DataFrame transforms over "
+    "the duplicated corpus",
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = dup_corpus(spark, sf_dir)
+    q = text.quality_score(d).where(F.col("quality_score") >= 0.5)
+    w = Window.partitionBy("text")
+    surv = (
+        q.withColumn("__m", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__m"))
+        .select("doc_id", "text", "n_tokens", "quality_score")
+    )
+    # Near-dup removal with the skew guard ON — the production default:
+    # a boilerplate (band, hash) bucket of k docs costs k^2 candidate
+    # rows, quadratic at corpus scale; capping at 500 bounds any bucket's
+    # contribution while leaving genuine near-dup buckets (tiny) intact.
+    # Greedy survivor rule: drop every doc appearing as the larger id of
+    # a verified pair (deterministic, engine-independent).
+    pairs = dedup.minhash_lsh_pairs(surv, threshold=0.5, max_bucket_size=500)
+    dup_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = surv.join(dup_ids, "doc_id", "left_anti")
+    return text.with_split(kept).select(
+        "doc_id", "n_tokens", "quality_score", "split"
+    )
+
+
+# shared bigram CTEs over the documents table (SQL twin of text.bigram_*)
+_BIGRAM_CTES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ex AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks CROSS JOIN UNNEST(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2),
+counts AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM ex GROUP BY 1, 2),
+marg AS (SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_w1 FROM counts GROUP BY 1),
+model AS (
+  SELECT c.w1, c.w2, c.n_bigram, m.n_w1,
+         CAST(c.n_bigram AS DOUBLE) / CAST(m.n_w1 AS DOUBLE) AS cond_prob
+  FROM counts c JOIN marg m USING (w1))
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "doc_bigram_lm",
+    _BIGRAM_CTES + "SELECT w1, w2, n_bigram, n_w1, cond_prob FROM model",
+    "corpus bigram language model: (w1,w2) counts, w1 marginals, and "
+    "conditional probabilities — the vocabulary^2-bounded broadcastable "
+    "model table per-document scoring joins against",
+)
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bigram_counts(d)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_bigram_score",
+    _BIGRAM_CTES
+    + """
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(CAST(SUM(CAST(floor(cond_prob * 1e15) AS BIGINT)) AS BIGINT)
+                AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1e15 AS mean_cond_prob
+    FROM ex JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+    "LM-based fluency scoring: per-document mean conditional bigram "
+    "probability under the corpus bigram model (perplexity proxy; ln() "
+    "is not bit-portable, the mean probability is — per-row IEEE "
+    "divisions quantized to int64 and summed order-free)",
+)
+def doc_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bigram_doc_score(d, text.bigram_counts(d))
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang, markers in text.LANG_MARKERS.items():
+        lst = "['" + "', '".join(markers) + "']"
+        scores.append(
+            f"len(list_filter(string_split(text, ' '), x -> list_contains({lst}, x))) AS score_{lang}"
+        )
+    return f"""
+    WITH scored AS (SELECT doc_id, {", ".join(scores)} FROM documents)
+    SELECT doc_id, score_en, score_fr, score_de,
+      CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+           WHEN score_fr >= score_de THEN 'fr'
+           ELSE 'de' END AS pred_lang
+    FROM scored
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "doc_language_id",
+    _lang_sql(),
+    "marker-frequency language id heuristic (argmax with deterministic ties)",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_language_id(d).select(
+        "doc_id", "score_en", "score_fr", "score_de", "pred_lang"
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_token_frequencies",
+    """
+    SELECT tok AS token, COUNT(*) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    """,
+    "corpus token frequency (explode + partial-agg groupBy)",
+)
+def doc_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % {text.FINGERPRINT_MOD}) AS fingerprint
+    FROM documents
+    """,
+    "rolling polynomial content fingerprint (char fold mod 1e9+7)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+@register(
+    LLM_QUERIES,
+    "doc_token_counts",
+    r"""
+    WITH pieces AS (
+      SELECT doc_id,
+        list_filter(
+          string_split_regex(regexp_replace(text, '([0-9]+|[^\w\s]+)', ' \1 ', 'g'), '\s+'),
+          x -> x <> '') AS pc
+      FROM documents)
+    SELECT doc_id,
+      len(pc) AS n_ws_tokens,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(pc, w -> CAST(ceil(len(w) / CAST(6 AS DOUBLE)) AS BIGINT))),
+        (acc, x) -> acc + x) AS n_subword_tokens
+    FROM pieces
+    """,
+    "whitespace + BPE-ish subword token counting",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.token_count_bpe_ish(d).select(
+        "doc_id", "n_ws_tokens", "n_subword_tokens"
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_filter_report",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sig AS (
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(tk, w -> CAST(len(w) AS BIGINT))),
+               (acc, x) -> acc + x) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+        CAST(len(list_filter(tk, x -> list_contains({{stop}}, x))) AS BIGINT)
+          AS stopword_count,
+        CAST(len(list_distinct(tk)) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS uniq_ratio,
+        CAST(list_max(list_transform(list_distinct(tk),
+               t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE)
+          / CAST(len(tk) AS DOUBLE) AS top_token_frac
+      FROM toks)
+    SELECT doc_id, n_tokens, mean_word_len, stopword_count, uniq_ratio,
+           top_token_frac,
+      (n_tokens < 50 OR n_tokens > 100000) AS r_length,
+      (mean_word_len < 3.0 OR mean_word_len > 10.0) AS r_word_len,
+      (stopword_count < 2) AS r_stopword,
+      (uniq_ratio < 0.2) AS r_uniq,
+      (top_token_frac > 0.1) AS r_repetition,
+      NOT ((n_tokens < 50 OR n_tokens > 100000)
+           OR (mean_word_len < 3.0 OR mean_word_len > 10.0)
+           OR (stopword_count < 2)
+           OR (uniq_ratio < 0.2)
+           OR (top_token_frac > 0.1)) AS keep
+    FROM sig
+    """.replace("{stop}", _STOP_LIST),
+    "Gopher/C4-style rule-based filter audit: per-doc token/word-length/"
+    "stopword/uniqueness/repetition signals, one boolean per rule, final "
+    "keep flag — all per-row array expressions, zero shuffle",
+)
+def doc_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.filter_report(d)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_unigram_oov",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    ex AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+    cnt AS (SELECT w, COUNT(*) AS c FROM ex GROUP BY w),
+    vocab AS (SELECT w, 1 AS in_vocab FROM cnt ORDER BY c DESC, w LIMIT 20)
+    SELECT ex.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      CAST(CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM ex LEFT JOIN vocab v ON v.w = ex.w
+    GROUP BY ex.doc_id
+    """,
+    "tokenizer-coverage signal: per-doc OOV rate against the corpus's "
+    "top-20 unigram vocabulary (count desc, token asc ties); the "
+    "vocabulary is bounded and broadcasts, the corpus shuffles once",
+)
+def doc_unigram_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.unigram_oov(d)
+
+
+# ---------------------------------------------------------------------------
+# round-2 pipeline queries: repetition, deterministic split, contamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    LLM_QUERIES,
+    "doc_ngram_repetition",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(range(1, len(tk) - 1),
+                                 i -> array_to_string(tk[i:i+2], ' ')) END AS gs
+      FROM toks),
+    ex AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS gram FROM g),
+    cnt AS (SELECT doc_id, n_grams, gram, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3)
+    SELECT doc_id, n_grams,
+           COUNT(*) AS n_distinct,
+           MAX(c) AS top_count,
+           CAST(n_grams - COUNT(*) AS DOUBLE) / n_grams AS dup_fraction
+    FROM cnt GROUP BY doc_id, n_grams
+    """,
+    "Gopher-style repetition filter signals: per-doc word-3-gram totals, "
+    "distincts, top-gram count, duplicate-gram fraction",
+)
+def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.ngram_repetition(d)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_train_split",
+    """
+    WITH s AS (
+      SELECT n_chars,
+        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          % 100 AS b
+      FROM documents)
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY 1
+    """,
+    "deterministic md5-bucket train/validation/test split (80/10/10): "
+    "reproducible under re-partitioning and re-ingestion, unlike rand()",
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        text.with_split(d)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_bpe_pair_stats",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 1) AS c1,
+             substr(w, CAST(i AS INTEGER) + 1, 1) AS c2, n
+      FROM wc CROSS JOIN UNNEST(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2),
+    agg AS (
+      SELECT c1, c2, CAST(SUM(n) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, c1, c2)
+               AS merge_rank
+      FROM agg)
+    SELECT c1, c2, pair_count, CAST(merge_rank AS INT) AS merge_rank
+    FROM ranked WHERE merge_rank <= 20
+    """,
+    "BPE tokenizer-training inner loop: adjacent-symbol pair frequencies "
+    "weighted by word frequency, top-20 merge candidates. The pair count "
+    "runs over the word-frequency DICT (vocabulary-bounded), not the raw "
+    "corpus — the aggregation that makes BPE training feasible at 100 TB: "
+    "one corpus pass builds the dict, every merge iteration after that "
+    "touches only vocabulary-sized data",
+)
+def doc_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.substr("w", i, F.lit(1)).alias("c1"),
+                    F.substr("w", i + F.lit(1), F.lit(1)).alias("c2"),
+                ),
+            )
+        ).alias("p"),
+        "n",
+    )
+    agg = pairs.groupBy(F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2")).agg(
+        F.sum("n").cast("bigint").alias("pair_count")
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), "c1", "c2")
+    return (
+        agg.withColumn("merge_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("merge_rank") <= 20)
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(t.tf AS DOUBLE) / d.df AS score,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC,
+                                         t.term ASC) AS rnk
+      FROM tf t JOIN df d ON d.term = t.term
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+    "TF-IDF-style salient terms: per-doc term frequency joined against the "
+    "(vocabulary-sized, broadcast) document-frequency table, top-3 per doc "
+    "by tf/df with deterministic term tie-break — keyword extraction for "
+    "corpus exploration; the tf table partial-aggregates and the rank "
+    "window reuses the tf shuffle partitioning on doc_id",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_tab), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_sampling_weights",
+    """
+    WITH shares AS (
+      SELECT source, lang, COUNT(*) AS n_docs
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM shares)
+    SELECT s.source, s.lang, s.n_docs,
+           CAST(s.n_docs AS DOUBLE) / t.total AS actual_share,
+           CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM shares) AS target_share,
+           (CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM shares))
+             / (CAST(s.n_docs AS DOUBLE) / t.total) AS sample_weight
+    FROM shares s CROSS JOIN tot t
+    """,
+    "domain-mixing sampling weights: per (source, lang) actual corpus share "
+    "vs a uniform target; weight = target/actual is the per-doc sampling "
+    "multiplier a mixture-balanced training pipeline applies. One partial-"
+    "aggregated pass; the domain table is tiny and stays on the driver "
+    "side of any subsequent broadcast",
+)
+def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shares = d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    tot = shares.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_domains")
+    )
+    j = shares.crossJoin(F.broadcast(tot))
+    actual = F.col("n_docs").cast("double") / F.col("total")
+    target = F.lit(1.0) / F.col("n_domains")
+    return j.select(
+        "source",
+        "lang",
+        "n_docs",
+        actual.alias("actual_share"),
+        target.alias("target_share"),
+        (target / actual).alias("sample_weight"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_pack_sequences",
+    """
+    WITH sized AS (
+      SELECT doc_id, n_chars,
+             COALESCE(CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS start_pos
+      FROM documents
+    )
+    SELECT doc_id, n_chars, start_pos,
+           start_pos // 8192 AS bin_id,
+           start_pos % 8192 AS offset_in_bin
+    FROM sized
+    """,
+    "sequence packing for training batches: docs laid out contiguously in "
+    "doc_id order, each assigned the 8192-char bin its start position "
+    "lands in (exclusive running sum -> floor-div). The window is a "
+    "single global ordering — at 100 TB replace with per-shard packing "
+    "(partitionBy(shard) and the same expressions) to avoid the "
+    "single-partition sort; the per-row math is unchanged",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("bigint")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        start.alias("start_pos"),
+        (start / 8192).cast("bigint").alias("bin_id"),
+        F.pmod(start, F.lit(8192)).cast("bigint").alias("offset_in_bin"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_pack_sequences_sharded",
+    """
+    WITH sharded AS (
+      SELECT doc_id, n_chars, CAST(doc_id % 8 AS BIGINT) AS shard
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, n_chars, shard,
+             COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY shard
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS start_pos
+      FROM sharded
+    )
+    SELECT doc_id, shard, n_chars, start_pos,
+           shard * 1000000 + start_pos // 8192 AS bin_id,
+           start_pos % 8192 AS offset_in_bin
+    FROM sized
+    """,
+    "sequence packing, production form: docs hash into 8 shards, each "
+    "shard packs independently (window partitioned by shard — the sort "
+    "parallelizes across shards instead of one global ordering), bin ids "
+    "namespaced per shard. This is the shape that scales: at 100 TB the "
+    "shard count rises with the cluster and no single-partition sort "
+    "exists; the per-row packing math is identical to doc_pack_sequences",
+)
+def doc_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sh = d.withColumn("shard", (F.col("doc_id") % 8).cast("bigint"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("bigint")
+    return sh.select(
+        "doc_id",
+        "shard",
+        "n_chars",
+        start.alias("start_pos"),
+        (F.col("shard") * 1000000 + (start / 8192).cast("bigint")).alias(
+            "bin_id"
+        ),
+        F.pmod(start, F.lit(8192)).cast("bigint").alias("offset_in_bin"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_perplexity_buckets",
+    _BIGRAM_CTES
+    + """
+    , scores AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(CAST(SUM(CAST(floor(cond_prob * 1e15) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e15 AS mean_cond_prob
+      FROM ex JOIN model USING (w1, w2)
+      GROUP BY doc_id),
+    bucketed AS (
+      SELECT d.lang, s.mean_cond_prob,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.mean_cond_prob DESC NULLS LAST,
+                                     d.doc_id ASC)
+               AS bucket
+      FROM documents d LEFT JOIN scores s USING (doc_id))
+    SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(mean_cond_prob) AS min_score,
+           MAX(mean_cond_prob) AS max_score
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    "CCNet-style (Wenzek et al. 2020) per-language LM quality buckets: "
+    "documents scored under the corpus bigram LM, NTILE(3)-split within "
+    "each language into head/middle/tail — the standard keep-head/"
+    "middle, drop-tail curation split; only (id, lang, score) rows reach "
+    "the window shuffle, never the text",
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    buckets = text.perplexity_buckets(d, text.bigram_counts(d), n_buckets=3)
+    return buckets.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("mean_cond_prob").alias("min_score"),
+        F.max("mean_cond_prob").alias("max_score"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_tokenizer_fertility",
+    r"""
+    WITH pieces AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(
+              list_filter(
+                string_split_regex(
+                  regexp_replace(text, '([0-9]+|[^\w\s]+)', ' \1 ', 'g'),
+                  '\s+'),
+                x -> x <> ''),
+              w -> CAST(ceil(len(w) / CAST(6 AS DOUBLE)) AS BIGINT))),
+          (acc, x) -> acc + x) AS n_subword
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_subword) AS BIGINT) AS n_subword_tokens,
+           CAST(CAST(SUM(n_subword) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE) AS fertility
+    FROM pieces GROUP BY lang
+    """,
+    "tokenizer fertility by language (subword tokens per whitespace "
+    "word) — the standard metric for how well a tokenizer fits each "
+    "language's data; integer sums then ONE exact double division per "
+    "group keeps it bit-portable",
+)
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    counted = text.token_count_bpe_ish(d)
+    return (
+        counted.withColumn(
+            "n_words", F.size(F.split("text", " ")).cast("long")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_subword_tokens").alias("n_subword_tokens"),
+            (
+                F.sum("n_subword_tokens").cast("double")
+                / F.sum("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rnk
+      FROM documents)
+    SELECT doc_id, lang, CAST(rnk AS INTEGER) AS sample_rank
+    FROM ranked WHERE rnk <= 10
+    """,
+    "deterministic stratified sampling: exactly 10 docs per language, "
+    "chosen by ranking on a salted md5 of the id — the balanced-eval-set "
+    "construction pattern; stable under repartitioning/retries unlike "
+    "rand()-ordered sampling, and a different salt gives an independent "
+    "draw; only (id, lang, hash) rows reach the per-stratum window",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.asc("doc_id"))
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= 10)
+    )
