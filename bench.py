@@ -151,9 +151,20 @@ def main() -> None:
     rates["consume_events"] = round(n_events / best)
 
     # -- 3. analytics + LLM headline --------------------------------------
+    # SPARK_GRAFT_BENCH_SKIP: comma list of headline queries to skip —
+    # never silent (skips are recorded in the detail line). Used by the
+    # scale-ladder runs: the gate-pinned fixed-K/fixed-band configurations
+    # (emb_semantic_dedup at K=8) are quadratic in cluster size BY
+    # CONSTRUCTION, so at sf10+ the ladder skips them and times the
+    # auto-scaled variants instead (see SCALE.md "fixed-config law").
+    skip = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
+        if s
+    }
     registry = entry_mod.queries()
     for name in ANALYTICS_HEADLINE:
-        if name not in registry:
+        if name not in registry or name in skip:
             continue
         runs[name] = []
         for _ in range(rounds):
@@ -172,7 +183,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     # per-run detail first, on its own line (not part of the summary)
-    print(json.dumps({"runs": runs, "n_events": n_events}))
+    print(json.dumps({"runs": runs, "n_events": n_events, "skipped": sorted(skip)}))
     sys.stdout.flush()
     # compact summary LAST: this is the line the driver parses
     print(

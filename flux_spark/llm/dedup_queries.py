@@ -29,7 +29,12 @@ _SHINGLE_CTES = """
 """
 
 
-def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_lsh_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    corpus_cte: str | None = None,
+) -> str:
     rows = num_hashes // bands
     # same two-hash construction as dedup.minhash_signature: one md5 per
     # shingle, hash_i = (h1 + i*h2) mod 2^32 with h1/h2 = md5 words 1 and 3
@@ -40,7 +45,7 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.
         for i in range(num_hashes)
     )
     return (
-        _CORPUS_CTE
+        (corpus_cte if corpus_cte is not None else _CORPUS_CTE)
         + _SHINGLE_CTES
         + f"""
 , __hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM __sized)
@@ -559,4 +564,93 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dedup_minhash_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         dup_corpus(spark, sf_dir), num_hashes=32, bands=4, threshold=0.5
+    )
+
+
+# cross-source leakage corpus: originals keep their real source; the
+# replicated copies (same offsets as _CORPUS_CTE) are stamped 'replica',
+# so every detected near-dup pair spanning two sources is "leakage"
+_LEAK_CORPUS_BODY = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text, 'replica' AS source
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id, text || ' near dup suffix' AS text,
+         'replica' AS source
+  FROM documents WHERE doc_id % 23 = 0
+"""
+
+
+def _cross_source_leakage_sql() -> str:
+    inner = _minhash_lsh_sql(
+        corpus_cte=f"WITH corpus AS ({_LEAK_CORPUS_BODY})\n"
+    )
+    return f"""
+    WITH pairs AS ({inner}),
+    c2 AS ({_LEAK_CORPUS_BODY}),
+    x AS (
+      SELECT LEAST(ca.source, cb.source) AS source_a,
+             GREATEST(ca.source, cb.source) AS source_b
+      FROM pairs p
+      JOIN c2 ca ON ca.doc_id = p.id_a
+      JOIN c2 cb ON cb.doc_id = p.id_b
+      WHERE ca.source <> cb.source)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM x GROUP BY source_a, source_b
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "doc_cross_source_leakage",
+    _cross_source_leakage_sql(),
+    "cross-source contamination audit: near-dup pairs (MinHash-LSH, "
+    "Jaccard>=0.5) whose two members come from DIFFERENT sources, "
+    "aggregated per unordered source pair — the 'is corpus A leaked "
+    "into corpus B' question every multi-source training set must "
+    "answer before mixing; pair volume is bucket-bounded, the source "
+    "lookup is two narrow (id, source) joins on the pair list",
+)
+def doc_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    rep_exact = d.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
+        "text",
+        F.lit("replica").alias("source"),
+    )
+    rep_near = d.where(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 2000000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup suffix")).alias("text"),
+        F.lit("replica").alias("source"),
+    )
+    corpus = d.unionByName(rep_exact).unionByName(rep_near)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus.select("doc_id", "text"), threshold=0.5
+    )
+    src = corpus.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+            ).hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+            ).hint("shuffle_hash"),
+            "id_b",
+        )
+        .where(F.col("__sa") != F.col("__sb"))
+    )
+    return (
+        joined.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )

@@ -156,6 +156,60 @@ def brute_force_topk(
     )
 
 
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classification by majority vote over exact cosine top-k — the
+    label-propagation / auto-labeling primitive of embedding-based data
+    curation (predict a quality/domain label for every unlabeled vector
+    from its nearest labeled neighbors).
+
+    Plan shape: one corpus pass scores neighbors
+    (:func:`brute_force_topk`, queries broadcast); the k x |queries| result
+    is broadcast back onto a second narrow corpus scan of (id, label) to
+    fetch neighbor labels, so label lookup never shuffles the corpus. Vote
+    resolution is a window over O(k x queries) rows. Ties break on the
+    smallest label (then the vote count), so the prediction is
+    total-ordered and engine-independent.
+
+    Returns (query_id, predicted_label, n_votes, true_label, correct).
+    """
+    from pyspark.sql import Window
+
+    nn = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        lab.join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("__nl")
+    )
+    pred = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .drop("__r")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        F.col("__nl").alias("predicted_label"),
+        "n_votes",
+        "true_label",
+        (F.col("__nl") == F.col("true_label")).alias("correct"),
+    )
+
+
 def mips_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -660,3 +660,41 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.mips_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_knn_label_vote",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, nl,
+             {similarity.sql_cosine("qv", "cv", _DIM)} AS cos_sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored),
+    votes AS (
+      SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rnk <= 5 GROUP BY query_id, nl),
+    win AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nl ASC) AS vr
+      FROM votes)
+    SELECT w.query_id, w.nl AS predicted_label, w.n_votes, q.true_label,
+           w.nl = q.true_label AS correct
+    FROM win w JOIN q USING (query_id) WHERE vr = 1
+    """,
+    "kNN label vote: majority label among the exact cosine top-5 "
+    "neighbors of 20 query vectors (ties -> smallest label) vs the true "
+    "label — the embedding-space auto-labeling / label-propagation "
+    "primitive of model-based data curation; queries broadcast, one "
+    "corpus scoring pass + one narrow (id, label) lookup pass",
+)
+def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote(e, e.where(F.col("vec_id") < 20), k=5)

@@ -924,3 +924,65 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .where(F.col("sample_rank") <= 10)
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_source_mixture",
+    """
+    WITH per_doc AS (
+      SELECT source, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    grp AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY source, lang),
+    tot AS (
+      SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_groups
+      FROM grp)
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+             AS token_share,
+           CAST(total_tokens AS DOUBLE) / CAST(n_groups AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) AS upsample_to_uniform
+    FROM tot
+    """,
+    "data-mixture report per (source, lang): document and token counts, "
+    "the stratum's share of corpus tokens, and the replication factor "
+    "that would equalize every stratum — the sampling-weight table a "
+    "Pile/Dolma-style mixture step consumes. One scan, map-side partial "
+    "agg to O(strata) rows, window over the tiny aggregate only",
+)
+def doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(text.tokens("text")).alias("n_tok")
+    )
+    grp = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    tot = grp.select(
+        "*",
+        F.sum("n_tokens").over(w).cast("bigint").alias("total_tokens"),
+        F.count("*").over(w).cast("bigint").alias("n_groups"),
+    )
+    return tot.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("token_share"),
+        (
+            F.col("total_tokens").cast("double")
+            / F.col("n_groups").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("upsample_to_uniform"),
+    )
