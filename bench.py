@@ -75,6 +75,9 @@ ANALYTICS_HEADLINE = [
     "emb_semantic_dedup",
     "doc_perplexity_buckets",
     "events_grouping_sets",
+    # round-6 additions
+    "emb_knn_label_vote",
+    "doc_source_mixture",
 ]
 
 

@@ -536,6 +536,13 @@ class FluxConsumer:
         self._positions = {}
         self._generation = None
 
+    def close(self) -> None:
+        """Kafka ``Consumer.close()`` parity: leave the group cleanly so
+        the coordinator rebalances immediately instead of waiting out the
+        session timeout. Safe to call twice; does NOT auto-commit (commit
+        explicitly before closing, as with enable.auto.commit=false)."""
+        self.unsubscribe()
+
 
 # -- Kafka-style properties factory (Properties.java:6-44 parity) ------------
 

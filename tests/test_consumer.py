@@ -734,3 +734,16 @@ def test_max_poll_interval_property_maps_to_session_timeout(topic_store):
         {"group.id": "g", "max.poll.interval.ms": "45000"},
     )
     assert c.session_timeout_s == 45.0
+
+
+def test_close_leaves_group_and_is_idempotent(topic_store):
+    coord = GroupCoordinator()
+    c1 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m1")
+    c2 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m2")
+    c1.subscribe(["t"])
+    c2.subscribe(["t"])
+    c2.close()
+    c2.close()  # idempotent
+    assert sorted(coord.describe("g").members) == ["m1"]
+    a1 = c1.subscribe(["t"])  # rebalance hands m1 everything
+    assert a1 == {"t": [0, 1, 2]}
