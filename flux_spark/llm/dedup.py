@@ -129,6 +129,55 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def minhash_signature_arrow(shingles: Column, num_hashes: int = 16) -> Column:
+    """Arrow-vectorized twin of :func:`minhash_signature` — bit-identical
+    output (same md5 words, same int64 arithmetic, same mins), without the
+    interpreter cost: Catalyst higher-order array functions are
+    CodegenFallback, and the Catalyst form evaluates 2 + num_hashes
+    interpreted transform passes per row (~18 us/shingle measured — 5+ s
+    for a 287k-shingle corpus at sf0.1). Here one hashlib.md5 per shingle
+    feeds a numpy min over the two-hash family, so signature cost drops to
+    the hashing itself and parallelizes with the scan.
+
+    The Catalyst form remains the reference implementation (and the shape
+    the DuckDB oracle mirrors); tests pin this UDF against it on every
+    shingle-set shape. Same rule as :func:`similarity.pair_cosine_arrow`:
+    whenever a per-element expression family is CodegenFallback, Arrow
+    wins even at O(corpus) volume once there are O(10+) passes.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sig(col):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for lst in col:
+            n = len(lst)
+            if n == 0:
+                # array_min over empty -> NULL elements, matching Catalyst
+                out.append([None] * num_hashes)
+                continue
+            h1 = np.empty(n, dtype=np.int64)
+            h2 = np.empty(n, dtype=np.int64)
+            for j, s in enumerate(lst):
+                d = hashlib.md5(s.encode("utf-8")).digest()
+                # md5 hex chars 1-8 = bytes 0-4 (h1), chars 17-24 = bytes
+                # 8-12 (h2) — the same two 32-bit words as the Catalyst form
+                h1[j] = int.from_bytes(d[0:4], "big")
+                h2[j] = int.from_bytes(d[8:12], "big")
+            # h1 + 15*h2 < 2^36: exact in int64, same modulus arithmetic
+            out.append(
+                [int(((h1 + i * h2) % _MOD32).min()) for i in range(num_hashes)]
+            )
+        return pd.Series(out)
+
+    return _sig(shingles)
+
+
 def lsh_band_hashes(signature: Column, bands: int, rows: int) -> Column:
     """Band the signature: band b's bucket key is md5 over its `rows`
     consecutive minhashes (stringified). Docs agreeing on any band become
@@ -193,7 +242,9 @@ def minhash_lsh_pairs(
         .withColumn("__n_sh", F.size("__shingles"))
         .persist()
     )
-    sig = sh.withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+    sig = sh.withColumn(
+        "__sig", minhash_signature_arrow(F.col("__shingles"), num_hashes)
+    )
     banded = sig.select(
         id_col,
         F.posexplode(lsh_band_hashes(F.col("__sig"), bands, rows)).alias(
@@ -282,7 +333,7 @@ def minhash_jaccard_estimate(
         .persist()
     )
     sig = sh.withColumn(
-        "__sig", minhash_signature(F.col("__shingles"), num_hashes)
+        "__sig", minhash_signature_arrow(F.col("__shingles"), num_hashes)
     ).persist()
     banded = sig.select(
         id_col,

@@ -712,3 +712,31 @@ def test_perplexity_buckets_per_language(spark):
     assert out[5].bucket == 3                      # unscored -> tail
     assert out[5].mean_cond_prob is None
     assert out[3].bucket in (2, 3)                 # worst scored doc stays low
+
+
+def test_minhash_signature_arrow_matches_catalyst(spark):
+    """The Arrow-vectorized signature must be BIT-IDENTICAL to the
+    Catalyst reference on every shingle-set shape: normal docs, single
+    shingle, unicode, duplicates-after-distinct, and the <k-token
+    whole-text fallback."""
+    from flux_spark.llm import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"),                          # <k tokens -> whole text
+        (3, "a b"),                            # <k tokens, two words
+        (4, "x y z"),                          # exactly k tokens
+        (5, "naive cafe über tokens with unicode ☃ everywhere here"),
+        (6, " ".join(f"w{i % 7}" for i in range(40))),  # repeats collapse
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(
+        "doc_id", dedup.word_shingles("text", 3).alias("s")
+    )
+    both = sh.select(
+        "doc_id",
+        dedup.minhash_signature(F.col("s"), 16).alias("ref"),
+        dedup.minhash_signature_arrow(F.col("s"), 16).alias("arrow"),
+    ).collect()
+    for r in both:
+        assert list(r.ref) == list(r.arrow), (r.doc_id, r.ref, r.arrow)
