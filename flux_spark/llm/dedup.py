@@ -479,6 +479,25 @@ def simhash(
     of that integer (digit 0 is most significant).
     """
     assert n_bits % 4 == 0 and n_bits <= 32
+    sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
+    return sh.select(
+        F.col(id_col), simhash_bits_arrow(F.col("__sh"), n_bits).alias("simhash")
+    )
+
+
+def simhash_catalyst(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Pure-Catalyst reference form of :func:`simhash` (the shape the
+    DuckDB oracle mirrors; tests pin the Arrow kernel against it).
+    ``aggregate``/``zip_with`` here are CodegenFallback, which is why the
+    production path is the Arrow kernel — n_bits interpreted lambda evals
+    per shingle add up at scan volume."""
+    assert n_bits % 4 == 0 and n_bits <= 32
     d = n_bits // 4  # hex digits used; conv(8 hex) fits signed 64-bit
     sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
     xs = F.expr(
@@ -497,6 +516,46 @@ def simhash(
         bit = (F.element_at("__c", j + 1) * 2 > F.col("__n")).cast("long") * F.lit(2**j)
         sim = bit if sim is None else sim + bit
     return withc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_bits_arrow(shingles: Column, n_bits: int = 32) -> Column:
+    """Arrow-vectorized SimHash kernel, bit-identical to the
+    :func:`simhash_catalyst` expression form: same md5 hex-digit bit
+    layout (bit j = bit ``4*(d-1) - j + 2*(j%4)`` of the first ``d`` hex
+    digits as an integer), same majority rule (2*ones > n, ties -> 0).
+    Bit counting is an integer sum — order-independent — so exactness is
+    structural, not fold-order-dependent. One hashlib.md5 per shingle
+    plus numpy bit math replaces n_bits interpreted zip_with passes
+    (the same CodegenFallback tax as the MinHash signature)."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = n_bits // 4
+
+    @pandas_udf("long")
+    def _sim(col):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.array(
+            [4 * (d - 1) - j + 2 * (j % 4) for j in range(n_bits)],
+            dtype=np.int64,
+        )
+        weights = np.array([1 << j for j in range(n_bits)], dtype=np.int64)
+        out = np.empty(len(col), dtype=np.int64)
+        for r, lst in enumerate(col):
+            n = len(lst)
+            xs = np.empty(n, dtype=np.int64)
+            for i, s in enumerate(lst):
+                xs[i] = int(
+                    hashlib.md5(s.encode("utf-8")).hexdigest()[:d], 16
+                )
+            ones = ((xs[:, None] >> shifts[None, :]) & 1).sum(axis=0)
+            out[r] = int((((ones * 2) > n) * weights).sum())
+        return pd.Series(out)
+
+    return _sim(shingles)
 
 
 def simhash_pairs(

@@ -733,9 +733,72 @@ def _pq_scored(
     n_sub: int,
     dim: int,
 ) -> DataFrame:
-    """(id, __ds) where __ds[s][c] = squared L2 distance from the row's
-    subvector s to codebook entry c — the shared kernel of encoding
-    (argmin per subspace) and ADC search (the query's lookup table)."""
+    """(id, __ds, __cids) where __ds[s][c] = squared L2 distance from the
+    row's subvector s to codebook entry c — the shared kernel of encoding
+    (argmin per subspace) and ADC search (the query's lookup table).
+
+    Production path: the n_sub x n_codes x sub squared-diff fold is
+    ~n_codes*dim interpreted ops per row under Catalyst (all HOFs are
+    CodegenFallback — 1024 ops/row at the 8x16x64 gate shape), so the
+    distances come from an Arrow kernel closing over the driver-collected
+    codebook (model-sized, n_codes rows — same discipline as
+    semantic_dedup's centroids). Left-to-right float64 accumulation per
+    subdimension matches the Catalyst fold and the DuckDB list_reduce
+    bit-for-bit; :func:`_pq_scored_catalyst` stays as the pinned
+    reference implementation."""
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in codebook.select(code_id_col, vec_col).collect()
+    )
+    cids = [c for c, _ in cents]
+    sub = dim // n_sub
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<double>>")
+    def _dists(col):
+        import numpy as np
+        import pandas as pd
+
+        CB = np.array([v for _, v in cents], dtype=np.float64)
+        V = np.array(col.tolist(), dtype=np.float64)
+        n_codes = CB.shape[0]
+        # acc[s][c] per batch: left-to-right over the sub dimensions
+        per_sc = []
+        for s in range(n_sub):
+            row = []
+            for c in range(n_codes):
+                acc = np.zeros(len(V))
+                for j in range(sub):
+                    diff = V[:, s * sub + j] - CB[c, s * sub + j]
+                    acc = acc + diff * diff
+                row.append(acc)
+            per_sc.append(row)
+        out = [
+            [[per_sc[s][c][r] for c in range(n_codes)] for s in range(n_sub)]
+            for r in range(len(V))
+        ]
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        _dists(F.col(vec_col)).alias("__ds"),
+        F.array(*[F.lit(c) for c in cids]).alias("__cids"),
+    )
+
+
+def _pq_scored_catalyst(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str,
+    id_col: str,
+    code_id_col: str,
+    n_sub: int,
+    dim: int,
+) -> DataFrame:
+    """Pure-Catalyst reference form of :func:`_pq_scored` (one-row
+    broadcast codebook, per-row HOF folds); tests pin the Arrow kernel
+    against it bit-for-bit."""
     sub = dim // n_sub
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cb = codebook.select(

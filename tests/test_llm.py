@@ -740,3 +740,55 @@ def test_minhash_signature_arrow_matches_catalyst(spark):
     ).collect()
     for r in both:
         assert list(r.ref) == list(r.arrow), (r.doc_id, r.ref, r.arrow)
+
+
+def test_simhash_arrow_matches_catalyst(spark):
+    """The Arrow SimHash kernel must be BIT-IDENTICAL to the Catalyst
+    reference on every shingle shape (incl. the <k-token fallback and
+    exact 50/50 vote ties resolving to bit 0)."""
+    from flux_spark.llm import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"),
+        (3, "a b"),
+        (4, "x y z"),
+        (5, "naive cafe über tokens with unicode ☃ everywhere here"),
+        (6, " ".join(f"w{i % 7}" for i in range(40))),
+        (7, "p q r s"),  # 2 shingles -> even vote counts exercise ties
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = {r.doc_id: r.simhash for r in dedup.simhash_catalyst(df).collect()}
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert got == ref
+
+
+def test_pq_scored_arrow_matches_catalyst(spark):
+    """The Arrow PQ distance kernel must be BIT-IDENTICAL to the Catalyst
+    reference (__ds and __cids) — same f32->f64 widening, same
+    left-to-right accumulation per subdimension."""
+    import random
+
+    from flux_spark.llm.similarity import _pq_scored, _pq_scored_catalyst
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    ref = {
+        r['vec_id']: (list(map(list, r['__ds'])), list(r['__cids']))
+        for r in _pq_scored_catalyst(
+            df, cb, "embedding", "vec_id", "code_id", 4, 16
+        ).collect()
+    }
+    got = {
+        r['vec_id']: (list(map(list, r['__ds'])), list(r['__cids']))
+        for r in _pq_scored(
+            df, cb, "embedding", "vec_id", "code_id", 4, 16
+        ).collect()
+    }
+    assert got == ref

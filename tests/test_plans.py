@@ -393,11 +393,13 @@ def test_pq_encode_broadcast_codebook_no_corpus_shuffle(spark, sf):
     from flux_spark.llm.queries import LLM_QUERIES
 
     plan = executed_plan(LLM_QUERIES["emb_pq_codes"].fn(spark, sf))
-    # the one-row codebook broadcasts; the corpus side never exchanges
-    # (the only Exchange allowed is the codebook's 1-row aggregation)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    corpus_side = plan.split("BroadcastExchange")[0]
-    assert "Exchange" not in corpus_side.replace("BroadcastExchange", "")
+    # the codebook is model-sized and closed over by the Arrow distance
+    # kernel (no join at all since the _pq_scored Arrow rewrite); the
+    # corpus side must stay exchange-free: one Arrow projection, zero
+    # shuffles, no join of any kind
+    assert "ArrowEvalPython" in plan
+    for node in ("Exchange", "Join", "CartesianProduct"):
+        assert node not in plan, plan
 
 
 def test_contamination_broadcasts_bench_never_shuffles_corpus(spark, sf):
