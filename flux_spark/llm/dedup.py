@@ -39,8 +39,47 @@ from pyspark.sql import functions as F
 
 
 def word_shingles(text_col: str = "text", k: int = 3) -> Column:
-    """Distinct word k-gram shingles; short docs (<k tokens) contribute the
-    whole text as one shingle. Pure array expressions — codegen'd."""
+    """Distinct word k-gram shingles; short docs (<k tokens) contribute
+    the whole text as one shingle — Arrow-vectorized production form
+    (the Catalyst expression form, :func:`word_shingles_catalyst`, stays
+    as the pinned reference the DuckDB oracle mirrors).
+
+    The transform/concat_ws gram builder is CodegenFallback like the
+    other shingle-family expressions, and shingle construction runs at
+    full corpus volume, so it set the scan-cost floor of every dedup
+    operator (~2.8 s of the sf0.1 LSH pipeline) — plain Python string
+    slicing over Arrow batches is ~10x cheaper. Split semantics match
+    Spark's ``split(text, " ")`` exactly: single-space separator, empty
+    strings preserved (Python ``str.split(" ")``, not ``str.split()``);
+    distinct preserves first-occurrence order like ``array_distinct``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _sh(col):
+        import pandas as pd
+
+        out = []
+        for text in col:
+            toks = text.split(" ")
+            if len(toks) < k:
+                out.append([text])
+            else:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + k])
+                            for i in range(len(toks) - k + 1)
+                        )
+                    )
+                )
+        return pd.Series(out)
+
+    return _sh(F.col(text_col))
+
+
+def word_shingles_catalyst(text_col: str = "text", k: int = 3) -> Column:
+    """Pure-Catalyst reference form of :func:`word_shingles`; tests pin
+    the Arrow kernel against it on every text shape."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     grams = F.transform(

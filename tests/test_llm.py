@@ -792,3 +792,30 @@ def test_pq_scored_arrow_matches_catalyst(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_word_shingles_arrow_matches_catalyst(spark):
+    """Arrow shingling must be IDENTICAL (values AND order) to the
+    Catalyst form: empty-string tokens from double spaces, <k-token
+    whole-text fallback, duplicate collapse order, unicode."""
+    from flux_spark.llm import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"),
+        (3, "a b"),
+        (4, "x y z"),
+        (5, "double  space   runs here now ok"),
+        (6, " leading and trailing "),
+        (7, ""),
+        (8, "naive ☃ cafe über tokens with unicode everywhere"),
+        (9, " ".join(f"w{i % 3}" for i in range(20))),  # heavy dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    both = df.select(
+        "doc_id",
+        dedup.word_shingles("text", 3).alias("arrow"),
+        dedup.word_shingles_catalyst("text", 3).alias("ref"),
+    ).collect()
+    for r in both:
+        assert list(r.arrow) == list(r.ref), (r.doc_id, r.arrow, r.ref)
