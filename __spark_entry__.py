@@ -97,8 +97,14 @@ def _rotate_unsampled_first(merged: dict) -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     # latest grade wins: walk rounds in ascending order, overwrite
     latest: dict[str, dict] = {}
+    # skip stray files matching the glob but lacking a numeric round
+    # (e.g. CORRECTNESS_rX.json), mirroring the OSError/ValueError tolerance
+    numbered = [
+        (p, re.search(r"_r(\d+)", p))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    ]
     paths = sorted(
-        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        (p for p, m in numbered if m is not None),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
     for path in paths:

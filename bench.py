@@ -16,8 +16,10 @@ parses the LAST line): the FINAL stdout line is the compact summary JSON
 "records_per_s"}; the per-run detail {"runs": name -> [per-run sec]} is
 printed on its own EARLIER line so a verdict can attribute deltas to code
 vs the box's ~1.6x single-run jitter without pushing the summary line's
-head out of the capture window (min-of-N is the headline;
-SPARK_GRAFT_BENCH_ROUNDS or --repeat N set N, default 2).
+head out of the capture window (min-of-N is the headline; the summary
+also carries per-query MEDIANS — first-vs-second-run spreads reach 6.6x
+at sf0.1, so min-of-2 could not attribute ±50% deltas, VERDICT r6 #2;
+SPARK_GRAFT_BENCH_ROUNDS or --repeat N set N, default 3).
 
 Each query is forced with a noop-sink WRITE, not count(): under count()
 Catalyst prunes every column and can eliminate entire subtrees whose
@@ -71,8 +73,10 @@ ANALYTICS_HEADLINE = [
     "emb_pq_codes",
     "emb_pq_adc_topk",
     "emb_ivf_recall",
-    # round-4 additions
-    "emb_semantic_dedup",
+    # round-4 additions (r7: emb_semantic_dedup -> _auto, the production
+    # path — the fixed-K gate variant is quadratic by construction and
+    # stays correctness-gated, not benched; VERDICT r6 watch item #2)
+    "emb_semantic_dedup_auto",
     "doc_perplexity_buckets",
     "events_grouping_sets",
     # round-6 additions
@@ -106,7 +110,7 @@ def main() -> None:
     # (same spirit as the reference's JMH warmup+iterations,
     # ProducerBenchmark.java:14-16). Override with SPARK_GRAFT_BENCH_ROUNDS
     # or `--repeat N`.
-    rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2")))
+    rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
     if "--repeat" in sys.argv:
         try:
             rounds = max(1, int(sys.argv[sys.argv.index("--repeat") + 1]))
@@ -185,10 +189,17 @@ def main() -> None:
         timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 4)
+    import statistics
+
+    medians = {
+        name: round(statistics.median(rs), 4) for name, rs in runs.items()
+    }
     # per-run detail first, on its own line (not part of the summary)
     print(json.dumps({"runs": runs, "n_events": n_events, "skipped": sorted(skip)}))
     sys.stdout.flush()
-    # compact summary LAST: this is the line the driver parses
+    # compact summary LAST: this is the line the driver parses. "queries"
+    # stays min-of-N (comparable to every prior round); "medians" is the
+    # jitter-robust reading (VERDICT r6 #2)
     print(
         json.dumps(
             {
@@ -196,6 +207,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "medians": medians,
                 "sf": sf_val,
                 "records_per_s": rates,
             }

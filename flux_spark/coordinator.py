@@ -140,6 +140,10 @@ class GroupCoordinator:
     # -- G9: heartbeat / liveness ---------------------------------------
     def heartbeat(self, group_id: str, member_id: str) -> None:
         g = self._group(group_id)
+        # Broker-sweep semantics: a member stalled past its session timeout
+        # is evicted on ANY group interaction, so it cannot self-resurrect
+        # by heartbeating late — it gets UnknownMemberError and must rejoin.
+        self._evict_expired(g)
         if member_id not in g.members:
             raise UnknownMemberError(member_id)
         g.members[member_id].last_heartbeat = time.monotonic()
@@ -170,7 +174,9 @@ class GroupCoordinator:
             self.leave_group(g.group_id, m)
 
     def describe(self, group_id: str) -> GroupState:
-        return self._group(group_id)
+        g = self._group(group_id)
+        self._evict_expired(g)
+        return g
 
     def list_groups(self) -> list[str]:
         """Kafka AdminClient.listConsumerGroups analog: every group id this

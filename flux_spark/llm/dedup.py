@@ -60,6 +60,10 @@ def word_shingles(text_col: str = "text", k: int = 3) -> Column:
 
         out = []
         for text in col:
+            if text is None:
+                # Catalyst split/transform null-propagate; match them
+                out.append(None)
+                continue
             toks = text.split(" ")
             if len(toks) < k:
                 out.append([text])
@@ -195,6 +199,12 @@ def minhash_signature_arrow(shingles: Column, num_hashes: int = 16) -> Column:
 
         out = []
         for lst in col:
+            if lst is None:
+                # match the Catalyst tower exactly: transform(NULL) makes
+                # each array_min NULL, but the outer F.array still builds
+                # -> an array of NULL elements, not a NULL array
+                out.append([None] * num_hashes)
+                continue
             n = len(lst)
             if n == 0:
                 # array_min over empty -> NULL elements, matching Catalyst
@@ -582,8 +592,11 @@ def simhash_bits_arrow(shingles: Column, n_bits: int = 32) -> Column:
             dtype=np.int64,
         )
         weights = np.array([1 << j for j in range(n_bits)], dtype=np.int64)
-        out = np.empty(len(col), dtype=np.int64)
+        out = [None] * len(col)
         for r, lst in enumerate(col):
+            if lst is None:
+                # Catalyst zip_with/aggregate null-propagate
+                continue
             n = len(lst)
             xs = np.empty(n, dtype=np.int64)
             for i, s in enumerate(lst):
@@ -592,7 +605,7 @@ def simhash_bits_arrow(shingles: Column, n_bits: int = 32) -> Column:
                 )
             ones = ((xs[:, None] >> shifts[None, :]) & 1).sum(axis=0)
             out[r] = int((((ones * 2) > n) * weights).sum())
-        return pd.Series(out)
+        return pd.Series(out, dtype="object")
 
     return _sim(shingles)
 

@@ -589,6 +589,147 @@ def _centroid_assign_arrow(cents: list[tuple[int, list[float]]]):
     return _assign
 
 
+def _centroid_probe_arrow(cents: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow pandas UDF: the ``nprobe`` nearest centroid ids (cosine DESC,
+    centroid id ASC) for each batch vector — the multi-probe twin of
+    :func:`_centroid_assign_arrow` (same dimension-loop float64 fold, so
+    cosines are bit-identical to the Catalyst/DuckDB fold; ``cents`` must
+    be sorted by centroid id ascending so stable argsort resolves ties to
+    the lowest id, matching the ROW_NUMBER (cos DESC, cid ASC) oracle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids = [c[0] for c in cents]
+    cmat = [c[1] for c in cents]
+
+    @pandas_udf("array<long>")
+    def _probe(v):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.asarray(cids, dtype=np.int64)
+        C = np.asarray(cmat, dtype=np.float64)  # K x dim
+        out = []
+        vals = v.tolist()
+        good = [x for x in vals if x is not None]
+        if good:
+            A = np.array(good, dtype=np.float64)  # B x dim
+            acc = np.zeros((A.shape[0], C.shape[0]))
+            na = np.zeros(A.shape[0])
+            nc = np.zeros(C.shape[0])
+            for i in range(A.shape[1]):
+                acc += A[:, i, None] * C[None, :, i]
+                na += A[:, i] * A[:, i]
+                nc += C[:, i] * C[:, i]
+            cos = acc / (np.sqrt(na)[:, None] * np.sqrt(nc)[None, :])
+            # stable sort on -cos: equal cosines keep ascending-id order
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            probed = iter(ids[order].tolist())
+            out = [None if x is None else next(probed) for x in vals]
+        else:
+            out = [None] * len(vals)
+        return pd.Series(out)
+
+    return _probe
+
+
+def knn_label_vote_ivf(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_id_col: str = "centroid_id",
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Corpus-scale kNN label propagation over an IVF index (VERDICT r6
+    #3): predict a label for EVERY vector of ``unlabeled`` (the corpus —
+    the big side) from its ``k`` nearest neighbors among ``labeled`` (the
+    seed set), scanning only ``nprobe`` centroid buckets per vector
+    instead of the whole seed set.
+
+    This inverts :func:`knn_label_vote`'s brute-force shape (which
+    broadcasts the QUERIES and is O(|corpus| x |queries|) — right when a
+    handful of queries probe a huge corpus, wrong when the query side IS
+    the corpus). Plan shape here:
+
+    * centroids are a driver-collected MODEL (K rows, like the PQ
+      codebook); the seed set is bucketed by max-cosine centroid and the
+      corpus probes its ``nprobe`` nearest buckets — both via Arrow
+      kernels, one narrow pass each, no K-way crossJoin or window.
+    * with ``broadcast_index=True`` (default — seed sets are normally
+      executor-memory sized) the bucketed seed set broadcasts, so the
+      corpus NEVER shuffles its embeddings; the only wide ops are the
+      top-k window and the vote groupBy over O(candidates) narrow rows,
+      both keyed on query_id (AQE reuses the exchange). Set it False for
+      a seed set too big to broadcast: the join becomes shuffle-hash on
+      the bucket id.
+    * candidate scoring uses :func:`pair_cosine_arrow` (bit-identical to
+      the fold), so the approximate result is still exactly
+      oracle-checkable.
+
+    Ties break like everywhere in this module: assignment/probe on
+    (cos DESC, cid ASC), rank on (cos DESC, neighbor_id ASC), vote on
+    (n_votes DESC, label ASC). Returns (query_id, predicted_label,
+    n_votes, true_label, correct) — ``true_label`` is ``unlabeled``'s own
+    label column when present (held-out evaluation), else NULL.
+    """
+    from pyspark.sql import Window
+
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id_col, vec_col).collect()
+    )
+    assign = _centroid_assign_arrow(cents)
+    probe = _centroid_probe_arrow(cents, nprobe)
+    idx = labeled.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__nl"),
+        assign(F.col(vec_col)).alias("bucket"),
+    )
+    q = unlabeled.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe(F.col(vec_col))).alias("bucket"),
+    )
+    idx_side = F.broadcast(idx) if broadcast_index else idx.hint("shuffle_hash")
+    scored = (
+        q.join(idx_side, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", pair_cosine_arrow(F.col("__qv"), F.col("__cv"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .groupBy("query_id", "__nl")
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("__nl"))
+    pred = (
+        votes.withColumn("__vr", F.row_number().over(w2))
+        .where(F.col("__vr") == 1)
+        .drop("__vr")
+    )
+    truth = unlabeled.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        F.col("__nl").alias("predicted_label"),
+        "n_votes",
+        "true_label",
+        (F.col("__nl") == F.col("true_label")).alias("correct"),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -761,7 +902,14 @@ def _pq_scored(
         import pandas as pd
 
         CB = np.array([v for _, v in cents], dtype=np.float64)
-        V = np.array(col.tolist(), dtype=np.float64)
+        # Catalyst's transform tower builds the outer arrays even for a
+        # NULL vector (each aggregate fold is NULL): mask such rows out of
+        # the batch matrix and emit [[NULL]*n_codes]*n_sub for them
+        null_mask = [v is None for v in col]
+        V = np.array(
+            [[0.0] * dim if v is None else list(v) for v in col],
+            dtype=np.float64,
+        )
         n_codes = CB.shape[0]
         # acc[s][c] per batch: left-to-right over the sub dimensions
         per_sc = []
@@ -775,7 +923,12 @@ def _pq_scored(
                 row.append(acc)
             per_sc.append(row)
         out = [
-            [[per_sc[s][c][r] for c in range(n_codes)] for s in range(n_sub)]
+            [[None] * n_codes for _ in range(n_sub)]
+            if null_mask[r]
+            else [
+                [per_sc[s][c][r] for c in range(n_codes)]
+                for s in range(n_sub)
+            ]
             for r in range(len(V))
         ]
         return pd.Series(out)

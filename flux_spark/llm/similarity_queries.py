@@ -698,3 +698,196 @@ def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_label_vote(e, e.where(F.col("vec_id") < 20), k=5)
+
+
+def _knn_vote_ivf_sql(k: int = 5, nprobe: int = 2) -> str:
+    """DuckDB twin of the IVF-backed label vote: same centroid set
+    (vec_id < 8), same labeled/unlabeled split, same tie rules at every
+    stage (assign/probe cos DESC + cid ASC, rank cos DESC + id ASC, vote
+    count DESC + label ASC)."""
+    return f"""
+    WITH cen AS (SELECT vec_id AS cid, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+    lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
+            FROM embeddings WHERE vec_id % 4 <> 0),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+          FROM embeddings WHERE vec_id % 4 = 0),
+    lasg AS (
+      SELECT neighbor_id, lv, nl, cid AS bucket FROM (
+        SELECT l.*, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY l.neighbor_id
+                                  ORDER BY {similarity.sql_cosine("l.lv", "c.cv", _DIM)} DESC,
+                                           c.cid ASC) AS rn
+        FROM lab l CROSS JOIN cen c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cid AS bucket FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {similarity.sql_cosine("q.qv", "c.cv", _DIM)} DESC,
+                                           c.cid ASC) AS rn
+        FROM q CROSS JOIN cen c) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, l.neighbor_id, l.nl,
+             {similarity.sql_cosine("p.qv", "l.lv", _DIM)} AS cos_sim
+      FROM probes p JOIN lasg l USING (bucket)
+      WHERE l.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored),
+    votes AS (
+      SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rnk <= {k} GROUP BY query_id, nl),
+    win AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nl ASC) AS vr
+      FROM votes)
+    SELECT w.query_id, w.nl AS predicted_label, w.n_votes, q.true_label,
+           w.nl = q.true_label AS correct
+    FROM win w JOIN q USING (query_id) WHERE vr = 1
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "emb_knn_label_vote_ivf",
+    _knn_vote_ivf_sql(),
+    "corpus-scale label propagation (VERDICT r6 #3): every 4th vector is "
+    "the unlabeled corpus, the rest the labeled seed set bucketed by an "
+    "8-centroid IVF index; each corpus vector probes its 2 nearest "
+    "buckets and takes the majority label of its exact-cosine top-5 "
+    "among probed candidates. The seed index broadcasts, so the corpus "
+    "never shuffles its embeddings — the 100 TB auto-labeling shape the "
+    "brute-force emb_knn_label_vote (queries broadcast) cannot take",
+)
+def emb_knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.knn_label_vote_ivf(
+        labeled=e.where(F.col("vec_id") % 4 != 0),
+        unlabeled=e.where(F.col("vec_id") % 4 == 0),
+        centroids=centroids,
+        k=5,
+        nprobe=2,
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_label_vote_ivf_recall",
+    f"""
+    WITH ivf AS ({_knn_vote_ivf_sql().replace(chr(10), chr(10) + '    ')}),
+    lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
+            FROM embeddings WHERE vec_id % 4 <> 0),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+          FROM embeddings WHERE vec_id % 4 = 0),
+    scored AS (
+      SELECT q.query_id, l.neighbor_id, l.nl,
+             {similarity.sql_cosine("q.qv", "l.lv", _DIM)} AS cos_sim
+      FROM q CROSS JOIN lab l WHERE l.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored),
+    votes AS (
+      SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rnk <= 5 GROUP BY query_id, nl),
+    win AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nl ASC) AS vr
+      FROM votes),
+    brute AS (
+      SELECT w.query_id, w.nl AS predicted_label,
+             w.nl = q.true_label AS correct
+      FROM win w JOIN q USING (query_id) WHERE vr = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN i.predicted_label = b.predicted_label
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN i.predicted_label = b.predicted_label
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS agree_rate,
+           CAST(SUM(CASE WHEN i.correct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct_ivf,
+           CAST(SUM(CASE WHEN b.correct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct_brute
+    FROM ivf i JOIN brute b USING (query_id)
+    """,
+    "ANN-vote calibration (the emb_ivf_recall companion for label "
+    "propagation): per-corpus-vector prediction agreement between the "
+    "IVF-probed vote and the exact brute-force vote, plus both accuracy "
+    "counts — the measurement that tells a pipeline owner whether "
+    "nprobe/K is high enough to trust propagated labels at scales where "
+    "brute force is unaffordable",
+)
+def emb_label_vote_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    labeled = e.where(F.col("vec_id") % 4 != 0)
+    unlabeled = e.where(F.col("vec_id") % 4 == 0)
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    ivf = similarity.knn_label_vote_ivf(
+        labeled, unlabeled, centroids, k=5, nprobe=2
+    ).select("query_id", "predicted_label", "correct")
+    # brute twin: same labeled/unlabeled split, full seed-set scan. The
+    # unlabeled side is corpus-sized, so the generic knn_label_vote
+    # (broadcast queries) shape is wrong here — score via a plain join
+    # with the labeled side broadcast, mirroring the IVF plan minus
+    # bucket pruning.
+    from pyspark.sql import Window
+
+    lab = labeled.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("__nl"),
+    )
+    q = unlabeled.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(lab))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            similarity.pair_cosine_arrow(F.col("__qv"), F.col("__cv")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= 5)
+        .groupBy("query_id", "true_label", "__nl")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("__nl")
+    )
+    brute = (
+        votes.withColumn("__vr", F.row_number().over(w2))
+        .where(F.col("__vr") == 1)
+        .select(
+            "query_id",
+            F.col("__nl").alias("b_pred"),
+            (F.col("__nl") == F.col("true_label")).alias("b_correct"),
+        )
+    )
+    joined = ivf.join(brute, "query_id")
+    agree = F.sum(
+        F.when(F.col("predicted_label") == F.col("b_pred"), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        agree.alias("n_agree"),
+        (agree.cast("double") / F.count("*")).alias("agree_rate"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct_ivf"),
+        F.sum(F.when(F.col("b_correct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct_brute"),
+    )

@@ -599,10 +599,13 @@ def _backdate(coord, group_id, seconds, members=None):
 
 
 def test_poll_and_commit_heartbeat_member(topic_store):
-    """An actively polling/committing consumer must survive arbitrarily
-    slow phases: poll() and commit_offsets() heartbeat, so only the gap
-    BETWEEN polls can time a member out (Kafka max.poll.interval.ms
-    semantics, not wall-clock-since-join)."""
+    """poll() and commit_offsets() must heartbeat: two sub-timeout stalls
+    with a poll/commit between them never evict, while the same total
+    stall WITHOUT the intervening heartbeat would exceed the 9 s session
+    timeout. (Configure session_timeout_s above the longest expected
+    inter-poll gap — Kafka max.poll.interval.ms discipline — because a
+    gap past the timeout is eviction, see
+    test_stalled_member_cannot_self_resurrect.)"""
     fill(topic_store, 30)
     coord = GroupCoordinator()  # default 9 s session timeout
     c1 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m1")
@@ -610,17 +613,41 @@ def test_poll_and_commit_heartbeat_member(topic_store):
     c1.subscribe(["t"])
     c2.subscribe(["t"])
     c1.subscribe(["t"])  # re-sync after c2's join bumped the generation
-    # a 12 s stall has elapsed... but both members then poll/commit, which
-    # heartbeats them back to liveness before any group interaction
-    _backdate(coord, "g", 12.0)
+    # 6 s stall (below timeout), then poll/commit heartbeat both back
+    _backdate(coord, "g", 6.0)
     c1.poll()
     c1.commit_offsets()
-    _backdate(coord, "g", 12.0, members={"m2"})
     c2.poll()  # poll alone must also heartbeat
-    # a third join triggers the eviction sweep: nobody may be evicted
+    # another 6 s stall: cumulative 12 s > timeout, but the intervening
+    # heartbeats reset the clock, so the join-triggered sweep evicts nobody
+    _backdate(coord, "g", 6.0)
     c3 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m3")
     c3.subscribe(["t"])
     assert sorted(coord.describe("g").members) == ["m1", "m2", "m3"]
+
+
+def test_stalled_member_cannot_self_resurrect(topic_store):
+    """Broker-sweep semantics (ADVICE r6): a member that stalls PAST its
+    session timeout is evicted on ANY group interaction — including its
+    own late heartbeat — not only when another member happens to join.
+    Its poll() raises RebalanceInProgressError; rejoining restores
+    service."""
+    from flux_spark.errors import RebalanceInProgressError
+
+    fill(topic_store, 30)
+    coord = GroupCoordinator()  # default 9 s session timeout
+    c1 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m1")
+    c1.subscribe(["t"])
+    _backdate(coord, "g", 12.0)
+    # no other member interacts: the late poll itself runs the sweep
+    with pytest.raises(RebalanceInProgressError):
+        c1.poll()
+    assert "m1" not in coord.describe("g").members
+    c1.subscribe(["t"])  # rejoin restores service
+    assert c1.poll().count >= 0
+    # describe() also sweeps: a stalled member disappears from admin views
+    _backdate(coord, "g", 12.0)
+    assert "m1" not in coord.describe("g").members
 
 
 def test_rebalance_resume_survives_slow_phase(topic_store):
@@ -645,14 +672,16 @@ def test_rebalance_resume_survives_slow_phase(topic_store):
     c3.subscribe(["rb"])
     a1, a2 = c1.subscribe(["rb"]), c2.subscribe(["rb"])
     assert a1 == {"rb": [0, 1]} and a2 == {"rb": [3, 4]}, (a1, a2)
-    # 12 s elapse after the join storm (more than the 9 s session
-    # timeout) — then phase 1 runs: every poll/commit re-heartbeats, so
-    # by the rebalance no member's gap exceeds the timeout. Without
-    # heartbeat-on-poll this evicts m1 and m2 exactly as the driver saw.
-    _backdate(coord, "g", 12.0)
+    # 6 s elapse after the join storm, then phase 1 polls/commits
+    # (heartbeating everyone), then 6 s more before the rebalance:
+    # cumulative 12 s > the 9 s session timeout, so WITHOUT
+    # heartbeat-on-poll this evicts m1 and m2 exactly as the driver saw
+    # in r5 — with it, no single gap exceeds the timeout.
+    _backdate(coord, "g", 6.0)
     for c in (c1, c2, c3):
         c.poll(max_records_per_partition=5)
         c.commit_offsets()
+    _backdate(coord, "g", 6.0)
     c3.unsubscribe()
     a1, a2 = c1.subscribe(["rb"]), c2.subscribe(["rb"])
     assert a1 == {"rb": [0, 1, 2]} and a2 == {"rb": [3, 4, 5]}, (a1, a2)

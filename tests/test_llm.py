@@ -819,3 +819,57 @@ def test_word_shingles_arrow_matches_catalyst(spark):
     ).collect()
     for r in both:
         assert list(r.arrow) == list(r.ref), (r.doc_id, r.arrow, r.ref)
+
+
+def test_arrow_kernels_null_propagate_like_catalyst(spark):
+    """ADVICE r6: every Arrow kernel must null-propagate exactly like its
+    pinned Catalyst twin — a null text/shingles/embedding row yields NULL,
+    never an executor crash, so one bad row can't fail a 100 TB job."""
+    from flux_spark.llm import dedup
+    from flux_spark.llm.similarity import _pq_scored, _pq_scored_catalyst
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, None), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    both = d.select(
+        "doc_id",
+        dedup.word_shingles("text", 3).alias("arrow_sh"),
+        dedup.word_shingles_catalyst("text", 3).alias("ref_sh"),
+    )
+    sig = both.select(
+        "doc_id",
+        "arrow_sh",
+        "ref_sh",
+        dedup.minhash_signature_arrow(F.col("arrow_sh"), 8).alias("arrow_sig"),
+        dedup.minhash_signature(F.col("ref_sh"), 8).alias("ref_sig"),
+        dedup.simhash_bits_arrow(F.col("arrow_sh"), 32).alias("arrow_sim"),
+    ).collect()
+    by_id = {r.doc_id: r for r in sig}
+    assert by_id[2].arrow_sh is None and by_id[2].ref_sh is None
+    # Catalyst's F.array-of-array_min on NULL shingles is [NULL]*n, not NULL
+    assert list(by_id[2].ref_sig) == [None] * 8
+    assert list(by_id[2].arrow_sig) == [None] * 8
+    assert by_id[2].arrow_sim is None
+    for i in (1, 3):  # non-null rows unaffected by the guard
+        assert list(by_id[i].arrow_sh) == list(by_id[i].ref_sh)
+        assert list(by_id[i].arrow_sig) == list(by_id[i].ref_sig)
+        assert by_id[i].arrow_sim is not None
+
+    e = spark.createDataFrame(
+        [(0, [float(j) for j in range(8)]),
+         (1, None),
+         (2, [float(8 - j) for j in range(8)])],
+        "vec_id long, embedding array<float>",
+    )
+    cb = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    ref = {r["vec_id"]: r["__ds"] for r in _pq_scored_catalyst(
+        e, cb, "embedding", "vec_id", "code_id", 2, 8).collect()}
+    got = {r["vec_id"]: r["__ds"] for r in _pq_scored(
+        e, cb, "embedding", "vec_id", "code_id", 2, 8).collect()}
+    # Catalyst builds the outer arrays even for a NULL vector
+    assert ref[1] == [[None], [None]]
+    assert got[1] == ref[1]
+    assert got[0] == ref[0] and got[2] == ref[2]
