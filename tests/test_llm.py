@@ -873,3 +873,42 @@ def test_arrow_kernels_null_propagate_like_catalyst(spark):
     assert ref[1] == [[None], [None]]
     assert got[1] == ref[1]
     assert got[0] == ref[0] and got[2] == ref[2]
+
+
+def test_knn_label_vote_ivf_probes_and_votes(spark):
+    """IVF label propagation semantics: a corpus vector takes the majority
+    label of its top-k among the seed vectors in its nprobe probed
+    buckets ONLY — seeds in unprobed buckets are invisible (the
+    scalability trade), and ties break on the smallest label."""
+    # two well-separated clusters on the unit circle axes
+    lab = [
+        (1, [1.0, 0.0, 0.0, 0.0], "pos"),
+        (2, [0.99, 0.1, 0.0, 0.0], "pos"),
+        (3, [0.98, 0.15, 0.0, 0.0], "neg"),   # minority in +x cluster
+        (4, [0.0, 0.0, 1.0, 0.0], "far"),     # +z cluster
+        (5, [0.0, 0.0, 0.99, 0.1], "far"),
+    ]
+    unl = [
+        (100, [0.97, 0.2, 0.0, 0.0], "pos"),  # +x query -> pos by 2:1
+        (101, [0.0, 0.0, 0.97, 0.2], "far"),  # +z query -> far
+    ]
+    cen = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0]),
+           (2, [0.0, 1.0, 0.0, 0.0])]
+    labeled = spark.createDataFrame(
+        lab, "vec_id long, embedding array<float>, label string")
+    unlabeled = spark.createDataFrame(
+        unl, "vec_id long, embedding array<float>, label string")
+    centroids = spark.createDataFrame(
+        cen, "centroid_id long, embedding array<float>")
+    out = {
+        r.query_id: r
+        for r in similarity.knn_label_vote_ivf(
+            labeled, unlabeled, centroids, k=3, nprobe=1
+        ).collect()
+    }
+    assert out[100].predicted_label == "pos" and out[100].n_votes == 2
+    assert out[100].correct
+    # nprobe=1: query 101 probes only the +z bucket; the +x seeds never
+    # become candidates even though k=3 > bucket size
+    assert out[101].predicted_label == "far" and out[101].n_votes == 2
+    assert out[101].correct

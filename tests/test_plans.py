@@ -467,3 +467,16 @@ def test_grouping_sets_expands_then_partial_aggregates(spark, sf):
     assert "Expand" in plan
     assert "partial" in plan.lower()
     assert "Join" not in plan
+
+
+def test_knn_label_vote_ivf_broadcasts_index_corpus_never_self_joins(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["emb_knn_label_vote_ivf"].fn(spark, sf))
+    # the bucketed seed index broadcasts (the corpus side never shuffles
+    # its embeddings into a join); no sort-merge, no cartesian product —
+    # centroid assign/probe are Arrow kernels, not K-way crossJoins
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
