@@ -654,3 +654,114 @@ def doc_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+def _incremental_dedup_sql(num_hashes: int = 16, bands: int = 4,
+                           threshold: float = 0.5) -> str:
+    """DuckDB twin of the two-batch MinHashDedupStore flow: batch 1 =
+    documents, batch 2 = the augmented copies; batch-2 matches count only
+    against batch-1 SURVIVORS (the store holds kept docs only) and
+    lower-id batch-2 mates; dup_of = MIN over both, the greedy min-id
+    rule. Verification is the signature-agreement estimate (the store
+    never re-reads text), calibrated by doc_minhash_jaccard_est."""
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(hs, m -> "
+        f"(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substring(m, 17, 8)) AS BIGINT)) % 4294967296))"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT 1 AS batch, doc_id, text FROM documents
+      UNION ALL
+      SELECT 2, doc_id + 1000000000, text FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT 2, doc_id + 2000000000, text || ' near dup suffix'
+      FROM documents WHERE doc_id % 23 = 0
+    )
+    {_SHINGLE_CTES}
+    , __hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM __sized)
+    , __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __hashed)
+    , __bh AS (
+      SELECT s.doc_id, r.band,
+             md5(array_to_string(list_transform(
+               s.sig[r.band*{rows}+1 : r.band*{rows}+{rows}],
+               v -> CAST(v AS VARCHAR)), '|')) AS bhash
+      FROM __sigs s CROSS JOIN (SELECT range AS band FROM range(0, {bands})) r)
+    , matches AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM __bh a JOIN __bh b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+      WHERE (SELECT CAST(len(list_filter(range(1, {num_hashes + 1}),
+                     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {num_hashes}
+             FROM __sigs sa, __sigs sb
+             WHERE sa.doc_id = a.doc_id AND sb.doc_id = b.doc_id)
+            >= {threshold})
+    , d1 AS (
+      SELECT m.id_b AS doc_id, MIN(m.id_a) AS dup_of
+      FROM matches m
+      JOIN corpus ca ON ca.doc_id = m.id_a AND ca.batch = 1
+      JOIN corpus cb ON cb.doc_id = m.id_b AND cb.batch = 1
+      GROUP BY m.id_b)
+    , kept1 AS (
+      SELECT doc_id FROM corpus WHERE batch = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1))
+    , d2 AS (
+      SELECT m.id_b AS doc_id, MIN(m.id_a) AS dup_of
+      FROM matches m
+      JOIN corpus cb ON cb.doc_id = m.id_b AND cb.batch = 2
+      WHERE m.id_a IN (SELECT doc_id FROM kept1)
+         OR m.id_a IN (SELECT doc_id FROM corpus WHERE batch = 2)
+      GROUP BY m.id_b)
+    SELECT CAST(1 AS INTEGER) AS batch, c.doc_id, d.dup_of,
+           d.dup_of IS NULL AS is_kept
+    FROM corpus c LEFT JOIN d1 d ON d.doc_id = c.doc_id WHERE c.batch = 1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), c.doc_id, d.dup_of, d.dup_of IS NULL
+    FROM corpus c LEFT JOIN d2 d ON d.doc_id = c.doc_id WHERE c.batch = 2
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_incremental",
+    _incremental_dedup_sql(),
+    "incremental dedup against a persisted signature store (VERDICT r6 "
+    "#4): batch 1 (documents) is ingested into a MinHash signature index "
+    "(~200 B/doc — signatures + band hashes, no text); batch 2 (the "
+    "augmented copies) then dedups against the STORE and within itself "
+    "without re-shingling batch 1 — the 'dedup the new crawl without "
+    "re-reading 100 TB' shape (ContinuousRollup applied to dedup). "
+    "Output: per-doc verdicts for both batches, greedy min-id survivors",
+)
+def doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .dedup_store import MinHashDedupStore
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b2 = (
+        d.where(F.col("doc_id") % 17 == 0)
+        .select((F.col("doc_id") + 1000000000).alias("doc_id"), "text")
+        .unionByName(
+            d.where(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 2000000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" near dup suffix")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    store = MinHashDedupStore(
+        spark,
+        tempfile.mkdtemp(prefix="flux-dedupstore-") + "/idx",
+        threshold=0.5,
+    )
+    v1 = store.ingest(d).select(
+        F.lit(1).cast("int").alias("batch"), "doc_id", "dup_of", "is_kept"
+    )
+    v2 = store.ingest(b2).select(
+        F.lit(2).cast("int").alias("batch"), "doc_id", "dup_of", "is_kept"
+    )
+    return v1.unionByName(v2)

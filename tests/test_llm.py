@@ -912,3 +912,40 @@ def test_knn_label_vote_ivf_probes_and_votes(spark):
     # become candidates even though k=3 > bucket size
     assert out[101].predicted_label == "far" and out[101].n_votes == 2
     assert out[101].correct
+
+
+def test_dedup_store_incremental_two_batches(spark, tmp_path):
+    """MinHashDedupStore contract: batch 2 dedups against batch-1
+    SURVIVORS and lower-id batch-mates; only kept docs' signatures are
+    ever appended; verdicts stay correct after the append (materialized
+    before the store gains the batch)."""
+    from flux_spark.llm.dedup_store import MinHashDedupStore
+
+    store = MinHashDedupStore(spark, tmp_path / "idx", threshold=0.5)
+    assert store.signatures() is None
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different content about spark engines and logs"),
+        ],
+        "doc_id long, text string",
+    )
+    v1 = {r.doc_id: (r.dup_of, r.is_kept) for r in store.ingest(b1).collect()}
+    assert v1 == {1: (None, True), 2: (1, False), 3: (None, True)}
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "brand new text never seen before in any batch at all"),
+            (12, "brand new text never seen before in any batch at all"),
+        ],
+        "doc_id long, text string",
+    )
+    v2 = {r.doc_id: (r.dup_of, r.is_kept) for r in store.ingest(b2).collect()}
+    # 10 matches STORED doc 1 (not the evicted 2); 12 matches batch-mate 11
+    assert v2 == {10: (1, False), 11: (None, True), 12: (11, False)}
+    # the store holds survivors only: 1, 3 (batch 1) + 11 (batch 2)
+    assert sorted(r.doc_id for r in store.signatures().collect()) == [1, 3, 11]
+    # idempotent reread: signatures carry bands for the next batch's join
+    row = store.signatures().where("doc_id = 1").first()
+    assert len(row.sig) == 16 and len(row.bands) == 4
