@@ -288,6 +288,20 @@ class PollResult:
     should_continue: bool
 
 
+@dataclass
+class RebalanceEvent:
+    """What a cooperative resync did (KIP-429's listener callbacks as a
+    record): partitions this member kept serving without a pause or
+    rewind, partitions revoked to other members, and partitions newly
+    acquired (installed from the group's committed offsets)."""
+
+    generation: int
+    retained: list[tuple[str, int]]
+    revoked: list[tuple[str, int]]
+    added: list[tuple[str, int]]
+    lost_all: bool = False  # eviction path: everything re-installed
+
+
 class FluxConsumer:
     def __init__(
         self,
@@ -298,11 +312,17 @@ class FluxConsumer:
         member_id: str | None = None,
         auto_offset_reset: str = "earliest",
         session_timeout_s: float | None = None,
+        rebalance_protocol: str = "eager",
     ):
         if auto_offset_reset not in ("earliest", "latest"):
             raise ValueError(
                 f"auto_offset_reset must be 'earliest' or 'latest', "
                 f"got {auto_offset_reset!r}"
+            )
+        if rebalance_protocol not in ("eager", "cooperative"):
+            raise ValueError(
+                f"rebalance_protocol must be 'eager' or 'cooperative', "
+                f"got {rebalance_protocol!r}"
             )
         self.store = store
         self.group_id = group_id
@@ -316,6 +336,17 @@ class FluxConsumer:
         # poll()/commit_offsets() heartbeat, so the timeout only bites a
         # member that stalls BETWEEN polls longer than this.
         self.session_timeout_s = session_timeout_s
+        # KIP-429 in-process: under "cooperative", a generation bump no
+        # longer raises from poll(); the consumer resyncs transparently,
+        # keeps serving retained partitions from their IN-MEMORY positions
+        # (no pause, no rewind to the last commit), and installs only the
+        # newly acquired ones from the group's committed offsets. The
+        # two-round revoke/rejoin dance of the real protocol collapses to
+        # one round here because the in-process coordinator is a single
+        # consistent view. Pair with protocols=("sticky",) — cooperative
+        # resync only pays off when the assignor minimizes movement.
+        self.rebalance_protocol = rebalance_protocol
+        self.last_rebalance: RebalanceEvent | None = None
         self.offset_store = OffsetStore(store)
         # generation this member last synced on; None until subscribe()
         # (manual assign() keeps it None -> no group liveness protocol)
@@ -386,6 +417,13 @@ class FluxConsumer:
         try:
             self.coordinator.heartbeat(self.group_id, self.member_id)
         except UnknownMemberError as e:
+            if self.rebalance_protocol == "cooperative":
+                # fenced member: Kafka's cooperative client fires
+                # onPartitionsLost and rejoins in the background — every
+                # partition re-installs from committed offsets (at-least-
+                # once: uncommitted progress is re-read, never skipped)
+                self._cooperative_resync(lost_all=True)
+                return
             raise RebalanceInProgressError(
                 f"member {self.member_id!r} was evicted from group "
                 f"{self.group_id!r} (session timed out between polls); "
@@ -393,11 +431,52 @@ class FluxConsumer:
             ) from e
         g = self.coordinator.describe(self.group_id)
         if g.generation != self._generation:
+            if self.rebalance_protocol == "cooperative":
+                self._cooperative_resync(lost_all=False)
+                return
             raise RebalanceInProgressError(
                 f"group {self.group_id!r} rebalanced to generation "
                 f"{g.generation} (member {self.member_id!r} synced on "
                 f"{self._generation}); call subscribe() to re-sync"
             )
+
+    def _cooperative_resync(self, lost_all: bool) -> None:
+        """Transparent rejoin+resync on a generation bump (KIP-429 made
+        in-process). Retained partitions keep their in-memory positions —
+        they never pause and never rewind to the last commit; revoked
+        ones are dropped (their uncommitted progress belongs to the new
+        owner's replay window); added ones install from the group's
+        committed offsets inside subscribe(). On the eviction path
+        (``lost_all``) nothing is retained: other members may have
+        owned and committed past this member's in-memory positions."""
+        old_pos = dict(self._positions)
+        old_assign = {t: set(ps) for t, ps in self._assignment.items()}
+        self.subscribe(self._topics)  # rejoin (no generation bump) + sync
+        retained: list[tuple[str, int]] = []
+        added: list[tuple[str, int]] = []
+        for t, ps in self._assignment.items():
+            for p in ps:
+                if not lost_all and p in old_assign.get(t, set()):
+                    self._positions[(t, p)] = old_pos[(t, p)]
+                    retained.append((t, p))
+                else:
+                    added.append((t, p))
+        new_assign = {t: set(ps) for t, ps in self._assignment.items()}
+        revoked = sorted(
+            (t, p)
+            for t, ps in old_assign.items()
+            for p in ps
+            if p not in new_assign.get(t, set())
+        )
+        # paused state survives only for retained partitions
+        self._paused = {tp for tp in self._paused if tp in set(retained)}
+        self.last_rebalance = RebalanceEvent(
+            generation=self._generation,
+            retained=sorted(retained),
+            revoked=revoked,
+            added=sorted(added),
+            lost_all=lost_all,
+        )
 
     def _install_positions(self) -> None:
         committed = self.offset_store.fetch(self.group_id)
