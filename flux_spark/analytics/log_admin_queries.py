@@ -430,3 +430,104 @@ def log_rebalance_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1]).select(
         "member", "part_id", "resumed_from", "n_consumed", "max_offset"
     )
+
+
+@register(
+    LOG_QUERIES,
+    "log_rebalance_cooperative",
+    """
+    WITH routed AS (
+      SELECT CAST(event_id % 6 AS INTEGER) AS part_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id % 6
+                                ORDER BY event_id) - 1 AS record_offset
+      FROM events),
+    counts AS (SELECT part_id, CAST(COUNT(*) AS BIGINT) AS total
+               FROM routed GROUP BY part_id),
+    -- survivors keep their own partitions SERVING (positions 150 = the
+    -- committed 100 + 50 uncommitted, never rewound) and acquire the
+    -- departed m3's {2,5} from m3's commits (100)
+    owners(part_id, member, resume_base) AS (
+      VALUES (0, 'm1', 150), (1, 'm1', 150), (2, 'm1', 100),
+             (3, 'm2', 150), (4, 'm2', 150), (5, 'm2', 100))
+    SELECT o.member, c.part_id,
+           CAST(LEAST(o.resume_base, c.total) AS BIGINT) AS resumed_from,
+           CAST(c.total - LEAST(o.resume_base, c.total) AS BIGINT) AS n_consumed,
+           CAST(c.total - 1 AS BIGINT) AS max_offset
+    FROM counts c JOIN owners o USING (part_id)
+    """,
+    "cooperative (incremental) rebalance lifecycle (VERDICT r6 #6, the "
+    "KIP-429 variant of log_rebalance_resume): three cooperative-sticky "
+    "members consume 100/partition and commit, then 50 more UNCOMMITTED; "
+    "m3 leaves; the survivors' next poll() resyncs transparently — no "
+    "RebalanceInProgressError round-trip — keeping their own partitions "
+    "at their in-memory positions (resume 150: the uncommitted 50 are "
+    "neither re-read nor paused) while m3's partitions install from m3's "
+    "commits (resume 100, at-least-once). Eager semantics leaking in "
+    "would rewind retained partitions to 100 and fail the value hash",
+)
+def log_rebalance_cooperative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import FluxConsumer
+    from ..coordinator import GroupCoordinator
+    from ..log import LogStore
+
+    store = LogStore(spark, tempfile.mkdtemp(prefix="flux-corebal-"))
+    store.catalog.create_topic("rbc", 6)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(6)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("rbc", e, ordering_col="seq")
+    # the oracle's resume points assume every partition holds a tail past
+    # the 150-record phase-1 window
+    assert min(store.high_water_marks("rbc").values()) > 150, (
+        "fixture too small: every partition must hold > 150 records"
+    )
+
+    coord = GroupCoordinator()
+    mk = lambda m: FluxConsumer(  # noqa: E731 - three identical members
+        store, group_id="corebal-gate", coordinator=coord,
+        protocols=("sticky",), member_id=m, session_timeout_s=300.0,
+        rebalance_protocol="cooperative",
+    )
+    c1, c2, c3 = mk("m1"), mk("m2"), mk("m3")
+    c1.subscribe(["rbc"])
+    c2.subscribe(["rbc"])
+    c3.subscribe(["rbc"])
+    assert c3.assignment() == {"rbc": [2, 5]}, c3.assignment()
+
+    # phase 1: polls auto-resync the stale members (no exception, no
+    # explicit re-subscribe — the cooperative difference), consume
+    # 100/partition, commit, then 50 more UNCOMMITTED
+    for c in (c1, c2, c3):
+        c.poll(max_records_per_partition=100)
+        c.commit_offsets()
+        c.poll(max_records_per_partition=50)
+    assert c1.assignment() == {"rbc": [0, 1]}, c1.assignment()
+    assert c2.assignment() == {"rbc": [3, 4]}, c2.assignment()
+
+    # m3 leaves; survivors just poll — the resync is transparent,
+    # retained partitions resume at 150 (in-memory), acquired at 100
+    c3.unsubscribe()
+    out = []
+    for label, c in (("m1", c1), ("m2", c2)):
+        recs = c.poll().records
+        out.append(
+            recs.groupBy(F.col("partition").alias("part_id"))
+            .agg(
+                F.min("offset").alias("resumed_from"),
+                F.count("*").alias("n_consumed"),
+                F.max("offset").alias("max_offset"),
+            )
+            .withColumn("member", F.lit(label))
+        )
+    ev1, ev2 = c1.last_rebalance, c2.last_rebalance
+    assert ev1.retained == [("rbc", 0), ("rbc", 1)], ev1
+    assert ev1.added == [("rbc", 2)] and not ev1.lost_all, ev1
+    assert ev2.retained == [("rbc", 3), ("rbc", 4)], ev2
+    assert ev2.added == [("rbc", 5)], ev2
+    return out[0].unionByName(out[1]).select(
+        "member", "part_id", "resumed_from", "n_consumed", "max_offset"
+    )

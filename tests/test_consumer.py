@@ -776,3 +776,79 @@ def test_close_leaves_group_and_is_idempotent(topic_store):
     assert sorted(coord.describe("g").members) == ["m1"]
     a1 = c1.subscribe(["t"])  # rebalance hands m1 everything
     assert a1 == {"t": [0, 1, 2]}
+
+
+# -- cooperative (incremental) rebalance (VERDICT r6 #6) ---------------------
+
+
+def test_cooperative_join_moves_only_minimal_partitions(topic_store):
+    """KIP-429 semantics, in-process: when m3 joins a 2-member sticky
+    group on 6 partitions, each survivor's next poll resyncs
+    transparently — it keeps ceil-share partitions serving from their
+    IN-MEMORY positions (no pause, no rewind of uncommitted progress)
+    and revokes exactly one; total movement is ceil(P/M) = 2, not P."""
+    store = topic_store
+    store.catalog.create_topic("co", 6)
+    prod = FluxProducer(store)
+    for i in range(60):
+        prod.send("co", value=f"v{i}", partition=i % 6)
+    prod.flush()
+    coord = GroupCoordinator()
+    mk = lambda m: FluxConsumer(  # noqa: E731
+        store, group_id="g", coordinator=coord, protocols=("sticky",),
+        member_id=m, rebalance_protocol="cooperative",
+    )
+    c1, c2 = mk("m1"), mk("m2")
+    c1.subscribe(["co"])
+    c2.subscribe(["co"])
+    # c1 resyncs via poll (cooperative: no exception, no explicit resub)
+    r = c1.poll()
+    assert c1.assignment() == {"co": [0, 1, 2]}
+    assert r.count == 30  # drained its three partitions... no commit
+    assert c2.poll().count == 30
+
+    c3 = mk("m3")
+    c3.subscribe(["co"])
+    assert c3.assignment() == {"co": [2, 5]}
+
+    # survivors poll: transparent resync, minimal movement
+    r1 = c1.poll()
+    ev1 = c1.last_rebalance
+    assert ev1.retained == [("co", 0), ("co", 1)]
+    assert ev1.revoked == [("co", 2)] and ev1.added == []
+    assert not ev1.lost_all
+    # retained partitions NEVER rewind: their uncommitted progress holds,
+    # so the drain poll returns nothing new (eager would re-read 20 rows
+    # from the last commit — here there is none, i.e. offset 0)
+    assert r1.count == 0
+    r2 = c2.poll()
+    assert c2.last_rebalance.revoked == [("co", 5)]
+    assert r2.count == 0
+    # m3 re-reads the revoked partitions from COMMITTED offsets (none ->
+    # 0): at-least-once, the uncommitted survivor progress is replayed
+    assert c3.poll().count == 20
+
+
+def test_cooperative_eviction_loses_all_reinstalls_from_commits(topic_store):
+    """The fencing path under cooperative: an evicted member's poll
+    auto-rejoins (Kafka fires onPartitionsLost + background rejoin)
+    instead of raising, but retains NOTHING — every partition
+    re-installs from the group's committed offsets, replaying the
+    uncommitted window (at-least-once, never skipping)."""
+    fill(topic_store, 30)
+    coord = GroupCoordinator()
+    c1 = FluxConsumer(
+        topic_store, group_id="g", coordinator=coord, member_id="m1",
+        rebalance_protocol="cooperative",
+    )
+    c1.subscribe(["t"])
+    assert c1.poll().count == 30
+    c1.commit_offsets()
+    fill(topic_store, 12)
+    assert c1.poll().count == 12  # uncommitted progress
+    _backdate(coord, "g", 12.0)  # stall past the 9 s session timeout
+    res = c1.poll()  # no raise: auto-rejoin with lost-all semantics
+    ev = c1.last_rebalance
+    assert ev.lost_all and ev.retained == []
+    assert len(ev.added) == 3
+    assert res.count == 12  # the uncommitted window replays from commits
