@@ -265,15 +265,78 @@ def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id"
     )
 
 
+FRAME_SCHEMA = (
+    "doc_id LONG, frame_idx INT, pts_ms LONG, n_bytes INT, "
+    "byte_sum LONG, frame BINARY"
+)
+
+
+def with_mp4_media(
+    df: DataFrame, id_col: str = "doc_id", seed_col: str | None = None
+) -> DataFrame:
+    """(id, media) with a REAL ISO-BMFF file per row (ftyp + mdat + one
+    'vide' track whose stts/stsc/stsz/stco tables index the samples) —
+    the MP4 twin of :func:`with_png_media` / :func:`with_wav_media`."""
+    from .codecs import synth_mp4_bytes
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seeds = pdf[seed_col or id_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [synth_mp4_bytes(int(s)) for s in seeds],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} LONG, media BINARY"
+    )
+
+
 def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling (ffmpeg/pyav) producing one row per
-    sampled frame: (id, frame_idx, frame_bytes). posexplode over the
-    decoded frame list keeps it one narrow mapInPandas + explode.
-    MP4/H.264 genuinely needs an external codec library (absent here,
-    probed r4+r5); :func:`chunk_payloads` exercises the identical
-    fan-out plumbing."""
-    raise NotImplementedError(
-        "video codecs not available in this environment"
+    """REAL container-level video frame sampling (previously the repo's
+    one stub — r7): walk the MP4's sample tables (codecs.mp4_video_samples
+    — real ISO-BMFF box traversal, stts timestamp expansion, stsc/stco
+    chunk-run walk), keep every ``every_n``-th sample, and emit one row
+    per sampled frame with its presentation time and the still-ENCODED
+    sample bytes. This is exactly what a production sampler does before
+    handing frames to a decoder fleet: sampling is a container operation,
+    not a codec one, so it runs at scan bandwidth with zero external
+    libraries. (Decoding the H.264/mp4v payload itself would need a codec
+    library the container lacks — the sampled bytes stay opaque, as they
+    do for any sampler.) One narrow Arrow ``mapInPandas`` with in-batch
+    fan-out; no shuffle, no join — the same 100 TB shape as decode_image."""
+    from .codecs import mp4_video_samples
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ptss, sizes, sums, frames = [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["media"]):
+                parsed = mp4_video_samples(bytes(b))
+                ts = parsed["timescale"]
+                for idx, pts, data in parsed["frames"]:
+                    if idx % every_n:
+                        continue
+                    ids.append(did)
+                    idxs.append(idx)
+                    ptss.append(pts * 1000 // ts)
+                    sizes.append(len(data))
+                    sums.append(sum(data))
+                    frames.append(data)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "pts_ms": pd.Series(ptss, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(
+        sample, schema=FRAME_SCHEMA
     )
 
 

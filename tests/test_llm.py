@@ -949,3 +949,70 @@ def test_dedup_store_incremental_two_batches(spark, tmp_path):
     # idempotent reread: signatures carry bands for the next batch's join
     row = store.signatures().where("doc_id = 1").first()
     assert len(row.sig) == 16 and len(row.bands) == 4
+
+
+# -- MP4 container sampling (the former stub, r7) ----------------------------
+
+
+def test_mp4_container_roundtrip_and_corruption():
+    """Spark-free codec contract: writer and parser agree on every seed
+    shape (chunk runs of 3 with partial tails, variable stsz); structural
+    corruption raises instead of returning wrong frames."""
+    import struct
+
+    from flux_spark.llm.codecs import (
+        MP4_FRAME_DUR,
+        mp4_video_samples,
+        synth_mp4_bytes,
+        synth_mp4_frame_byte,
+        synth_mp4_frame_size,
+        synth_mp4_frames,
+    )
+
+    for seed in (0, 1, 7, 8, 15, 100):
+        p = synth_mp4_bytes(seed)
+        out = mp4_video_samples(p)
+        n = synth_mp4_frames(seed)
+        assert out["timescale"] == 1000
+        assert [i for i, _, _ in out["frames"]] == list(range(n))
+        for idx, pts, data in out["frames"]:
+            assert pts == idx * MP4_FRAME_DUR
+            assert len(data) == synth_mp4_frame_size(seed, idx)
+            assert data == bytes(
+                synth_mp4_frame_byte(seed, idx, j) for j in range(len(data))
+            )
+    # corruption: an stco offset pointing past EOF must raise, not slice
+    p = bytearray(synth_mp4_bytes(3))
+    at = p.find(b"stco")
+    (n_off,) = struct.unpack_from(">I", p, at + 8)
+    struct.pack_into(">I", p, at + 12, 2**24)  # first chunk offset -> junk
+    with pytest.raises(ValueError):
+        mp4_video_samples(bytes(p))
+    # truncated file: moov cut off mid-box
+    with pytest.raises(ValueError):
+        mp4_video_samples(synth_mp4_bytes(3)[:-20])
+
+
+def test_sample_frames_container_sampling(spark, docs):
+    """sample_frames pulls every Nth ENCODED sample out of a real
+    ISO-BMFF container: right frames, right presentation times, right
+    bytes — and the synthesized files pass the magic-number sniffer."""
+    from flux_spark.llm.codecs import synth_mp4_frames
+
+    media = multimodal.with_mp4_media(docs.select("doc_id"))
+    out = multimodal.sample_frames(media, every_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, rows in by_doc.items():
+        n = synth_mp4_frames(did)
+        assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == list(
+            range(0, n, 2)
+        )
+        for r in rows:
+            assert r.pts_ms == r.frame_idx * 40
+            assert r.n_bytes == len(r.frame)
+            assert r.byte_sum == sum(bytes(r.frame))
+    # sniffer integration: a real ftyp header routes these to 'mp4'
+    sniffed = multimodal.sniff_media_type(media).collect()
+    assert all(r.detected == "mp4" for r in sniffed)
