@@ -82,6 +82,10 @@ ANALYTICS_HEADLINE = [
     # round-6 additions
     "emb_knn_label_vote",
     "doc_source_mixture",
+    # round-7 additions (benched per VERDICT r7 #4)
+    "emb_knn_label_vote_ivf",
+    "doc_dedup_incremental",
+    "events_quantile_sketch",
 ]
 
 
@@ -194,25 +198,43 @@ def main() -> None:
     medians = {
         name: round(statistics.median(rs), 4) for name, rs in runs.items()
     }
-    # per-run detail first, on its own line (not part of the summary)
-    print(json.dumps({"runs": runs, "n_events": n_events, "skipped": sorted(skip)}))
-    sys.stdout.flush()
-    # compact summary LAST: this is the line the driver parses. "queries"
-    # stays min-of-N (comparable to every prior round); "medians" is the
-    # jitter-robust reading (VERDICT r6 #2)
+    # per-run detail first, on its own line (not part of the summary): the
+    # full 4-dp per-run matrix and per-query medians live HERE so the
+    # summary line stays inside the driver's 2000-char tail window
+    # (VERDICT r7 #2 — the r7 summary carried both `queries` and `medians`
+    # at 4 dp and grew to ~2.4 kB, so `parsed` went null)
     print(
         json.dumps(
             {
-                "metric": "ingest_consume_and_headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "runs": runs,
                 "medians": medians,
-                "sf": sf_val,
-                "records_per_s": rates,
+                "n_events": n_events,
+                "skipped": sorted(skip),
             }
         )
     )
+    sys.stdout.flush()
+    # compact summary LAST: this is the line the driver parses. "queries"
+    # stays min-of-N (comparable to every prior round) but rounded to 2 dp
+    # (full precision is on the detail line); medians collapse to one
+    # jitter-robust scalar.
+    summary_line = json.dumps(
+        {
+            "metric": "ingest_consume_and_headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "medians_total": round(sum(medians.values()), 2),
+            "sf": sf_val,
+            "records_per_s": rates,
+        }
+    )
+    # self-enforcing parse contract: the driver tail-captures 2000 chars
+    assert len(summary_line) < 1900, (
+        f"summary line {len(summary_line)} chars >= 1900 — would fall out "
+        "of the driver's capture window; move detail to the runs line"
+    )
+    print(summary_line)
 
 
 if __name__ == "__main__":

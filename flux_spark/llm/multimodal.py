@@ -9,9 +9,10 @@ sizing — is real and tested, and since round 5 so are two codecs:
   zlib/struct codec in ``codecs.py``: CRC-validated chunk walk, DEFLATE,
   all five scanline filters).
 * :func:`decode_audio` — REAL RIFF/WAVE PCM16 (stdlib ``wave`` parser).
-* :func:`sample_frames` raises ``NotImplementedError`` — MP4/H.264
-  genuinely needs external codec libraries (PIL/soundfile/cv2 absent in
-  this container, probed r4+r5).
+* :func:`sample_frames` — REAL container-level MP4 frame sampling
+  (stdlib ISO-BMFF sample-table parser in ``codecs.py``); sampled frame
+  bytes stay encoded (H.264 decode would need external codec libraries —
+  PIL/soundfile/cv2 absent in this container, probed r4+r5).
 * :func:`byte_features` is the deterministic fake decoder kept for the
   format-agnostic plumbing gate: per-payload byte statistics computed
   vectorized in pandas — the same batch shape any decoder uses.

@@ -230,11 +230,27 @@ def test_media_chunking(spark, docs):
     ]
 
 
-def test_video_codec_stub_marked(spark, docs):
-    # MP4/H.264 genuinely needs external codec libs (absent, probed r4+r5)
+def test_video_corruption_quarantined(spark, docs):
+    """Garbage MP4 payloads must fail loudly at execution (the quarantine
+    signal), not sample silently: mp4_video_samples raises ValueError on
+    structural corruption, and the Spark sample_frames path surfaces it."""
+    from flux_spark.llm import codecs as C
+
+    with pytest.raises(ValueError):
+        C.mp4_video_samples(b"this is not an iso-bmff container at all")
+    with pytest.raises(ValueError):
+        # structurally truncated: valid ftyp then a box overrunning EOF
+        C.mp4_video_samples(
+            b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00" + b"\x00\x00\xff\xffmoov"
+        )
+
+    # md5-digest payloads from with_fake_media are not MP4s — the lazy
+    # plan builds fine, the error fires at execution inside mapInPandas.
     m = multimodal.with_fake_media(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(m)
+    sampled = multimodal.sample_frames(m)
+    with pytest.raises(Exception) as ei:
+        sampled.collect()
+    assert "ValueError" in str(ei.value)
 
 
 def test_png_codec_round_trip_and_foreign_filters():
