@@ -571,7 +571,8 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-             CAST(least(floor(value / 2.0), 255) AS BIGINT) AS bin_id,
+             CAST(least(greatest(floor(value / 2.0), 0), 255) AS BIGINT)
+               AS bin_id,
              COUNT(*) AS n
       FROM events GROUP BY 1, 2, 3
     ), merged AS (
@@ -643,9 +644,17 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding)."""
     width, top = 2.0, 255
     e = load_table(spark, sf_dir, "events")
-    bin_id = F.least(F.floor(F.col("value") / F.lit(width)), F.lit(top)).cast(
-        "bigint"
-    )
+    # clamped register domain (ADVICE r7): values below 0 land in bin 0
+    # and values >= top*width in the open top bin — without the lower
+    # clamp, negative values minted unbounded negative bin ids. The
+    # documented |err| <= 2*width tolerance holds only for distributions
+    # inside [0, top*width); edge-bin mass keeps both engines agreeing
+    # bit-for-bit but the tolerance boolean loses meaning there (the
+    # events fixture's value range fits the domain at every sf).
+    bin_id = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(width)), F.lit(0)),
+        F.lit(top),
+    ).cast("bigint")
     # shard unit: (topic, day) registers — what a continuous rollup stores
     shards = e.groupBy(
         "event_type",

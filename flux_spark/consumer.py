@@ -432,7 +432,21 @@ class FluxConsumer:
         g = self.coordinator.describe(self.group_id)
         if g.generation != self._generation:
             if self.rebalance_protocol == "cooperative":
-                self._cooperative_resync(lost_all=False)
+                # ONE generation bump = exactly one rebalance since this
+                # member synced, so a partition present in both its old
+                # and new assignment cannot have had an intermediate
+                # owner — retaining the in-memory position is safe.
+                # Across MULTIPLE bumps (this member slept through 2+
+                # rebalances) a partition may have been reassigned away
+                # and back, with the interim owner consuming/committing
+                # past our in-memory position; KIP-429 closes that via
+                # revoke-before-reassign, which a multi-bump collapse
+                # cannot honor — so treat it as lost-all and reinstall
+                # every partition from committed offsets (at-least-once:
+                # replay, never skip or regress a commit). (ADVICE r7)
+                self._cooperative_resync(
+                    lost_all=g.generation - self._generation > 1
+                )
                 return
             raise RebalanceInProgressError(
                 f"group {self.group_id!r} rebalanced to generation "

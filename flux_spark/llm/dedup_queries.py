@@ -753,15 +753,18 @@ def doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    store = MinHashDedupStore(
-        spark,
-        tempfile.mkdtemp(prefix="flux-dedupstore-") + "/idx",
-        threshold=0.5,
-    )
+    root = tempfile.mkdtemp(prefix="flux-dedupstore-")
+    store = MinHashDedupStore(spark, root + "/idx", threshold=0.5)
     v1 = store.ingest(d).select(
         F.lit(1).cast("int").alias("batch"), "doc_id", "dup_of", "is_kept"
     )
     v2 = store.ingest(b2).select(
         F.lit(2).cast("int").alias("batch"), "doc_id", "dup_of", "is_kept"
     )
+    # verdicts are localCheckpoint-materialized (no store-file lineage),
+    # so the temp store can be removed eagerly instead of leaking one
+    # parquet dir per invocation (ADVICE r7)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
     return v1.unionByName(v2)

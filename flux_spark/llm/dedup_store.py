@@ -61,6 +61,7 @@ class MinHashDedupStore:
         num_hashes: int = 16,
         bands: int = 4,
         threshold: float = 0.5,
+        max_bucket_size: int | None = 500,
     ) -> None:
         assert num_hashes % bands == 0
         self.spark = spark
@@ -70,6 +71,13 @@ class MinHashDedupStore:
         self.bands = bands
         self.rows = num_hashes // bands
         self.threshold = threshold
+        # the batch LSH path's skew guard (dedup.py minhash_lsh_pairs):
+        # a boilerplate mega-bucket in the STORE would otherwise grow
+        # every future ingest's join cost forever (|bucket| x |new| rows
+        # per ingest) — cap-500 drops degenerate buckets on BOTH sides of
+        # both candidate joins, trading recall only on buckets that are
+        # boilerplate by construction (VERDICT r7 #5)
+        self.max_bucket_size = max_bucket_size
         self.path.mkdir(parents=True, exist_ok=True)
 
     # -- store access -----------------------------------------------------
@@ -97,6 +105,21 @@ class MinHashDedupStore:
             F.col(id_col).alias("doc_id"), sig.alias("sig")
         ).withColumn(
             "bands", lsh_band_hashes(F.col("sig"), self.bands, self.rows)
+        )
+
+    def _cap_buckets(self, banded: DataFrame) -> DataFrame:
+        """Drop rows of degenerate (band, hash) buckets larger than
+        ``max_bucket_size`` — same window-count guard as the batch path
+        (dedup.py minhash_lsh_pairs step 3)."""
+        if self.max_bucket_size is None:
+            return banded
+        from pyspark.sql import Window
+
+        cnt = Window.partitionBy("__band", "__bhash")
+        return (
+            banded.withColumn("__bn", F.count("*").over(cnt))
+            .where(F.col("__bn") <= self.max_bucket_size)
+            .drop("__bn")
         )
 
     def _est_jaccard(self, sa, sb):
@@ -128,10 +151,12 @@ class MinHashDedupStore:
         # persisted: feeds the self-join's two sides, the store join, the
         # verdict spine, and the survivor append — one signature pass
         sig = self._sig_table(docs, text_col, id_col).persist()
-        verdict = self._verdict(sig).persist()
-        # materialize BEFORE appending: the returned plan must never see
-        # the store state that includes this very batch
-        verdict.count()
+        # localCheckpoint (eager) materializes BEFORE appending — the
+        # returned plan must never see the store state that includes this
+        # very batch — AND cuts the lineage so the result holds no cached
+        # relation or store-file reference (repeated ingests used to
+        # accumulate never-unpersisted verdict caches, ADVICE r7)
+        verdict = self._verdict(sig).localCheckpoint()
 
         survivors = sig.join(
             verdict.where("is_kept").select("doc_id"), "doc_id", "left_semi"
@@ -144,12 +169,45 @@ class MinHashDedupStore:
         sig.unpersist()
         return verdict
 
+    # -- maintenance ------------------------------------------------------
+    def compact(self) -> int:
+        """Rewrite all ``batch-*`` dirs into one (the store otherwise
+        accumulates one parquet dir per ingest forever — each adds file-
+        listing overhead and a scan task floor to every future ingest,
+        VERDICT r7 #5). Serialized with ingests by the same flock; commit
+        is staging-rename like ingest. Reveal-first ordering makes every
+        crash window safe: the compacted dir becomes visible BEFORE the
+        old dirs are removed, so a crash mid-cleanup leaves duplicate
+        signature rows — which the verdict path tolerates (candidates are
+        ``.distinct()``-ed before scoring) and the next ``compact()``
+        removes (``dropDuplicates`` on doc_id). Returns the number of
+        batch dirs compacted away (0 = nothing to do)."""
+        with file_lock(self.path / ".ingest.lock"):
+            dirs = self._batch_dirs()
+            if len(dirs) <= 1:
+                return 0
+            merged = self.spark.read.parquet(
+                *[str(d) for d in dirs]
+            ).dropDuplicates(["doc_id"])
+            staging = self.path / f".staging-{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(str(staging))
+            os.replace(staging, self.path / f"batch-{uuid.uuid4().hex[:8]}")
+            import shutil
+
+            for d in dirs:
+                shutil.rmtree(d)
+            return len(dirs)
+
     def _verdict(self, sig: DataFrame) -> DataFrame:
         """Lazy verdict plan for a new batch's signature table against the
         CURRENT store state (separated from ingest so plan tests can
         assert the store side reads signatures, never text)."""
-        banded = sig.select(
-            "doc_id", "sig", F.posexplode("bands").alias("__band", "__bhash")
+        banded = self._cap_buckets(
+            sig.select(
+                "doc_id",
+                "sig",
+                F.posexplode("bands").alias("__band", "__bhash"),
+            )
         )
 
         # within-batch candidates: banded self-join, greedy min-id.
@@ -183,10 +241,12 @@ class MinHashDedupStore:
         # cross-store candidates: new bands vs stored bands
         store = self.signatures()
         if store is not None:
-            sb = store.select(
-                F.col("doc_id").alias("__sid"),
-                F.col("sig").alias("__ssig"),
-                F.posexplode("bands").alias("__band", "__bhash"),
+            sb = self._cap_buckets(
+                store.select(
+                    F.col("doc_id").alias("__sid"),
+                    F.col("sig").alias("__ssig"),
+                    F.posexplode("bands").alias("__band", "__bhash"),
+                )
             )
             store_dups = (
                 banded.join(

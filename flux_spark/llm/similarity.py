@@ -718,8 +718,16 @@ def knn_label_vote_ivf(
         .where(F.col("__vr") == 1)
         .drop("__vr")
     )
+    # the operator's namesake use case is a GENUINELY unlabeled corpus:
+    # true_label is NULL when the column is absent (ADVICE r7 — the
+    # unconditional select raised AnalysisException on exactly that input)
+    truth_col = (
+        F.col(label_col)
+        if label_col in unlabeled.columns
+        else F.lit(None).cast("string")
+    )
     truth = unlabeled.select(
-        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+        F.col(id_col).alias("query_id"), truth_col.alias("true_label")
     )
     return pred.join(truth, "query_id").select(
         "query_id",

@@ -852,3 +852,41 @@ def test_cooperative_eviction_loses_all_reinstalls_from_commits(topic_store):
     assert ev.lost_all and ev.retained == []
     assert len(ev.added) == 3
     assert res.count == 12  # the uncommitted window replays from commits
+
+
+def test_cooperative_multi_generation_gap_is_lost_all(topic_store):
+    """ADVICE r7: a member that sleeps through TWO OR MORE rebalances
+    (e.g. another member joined AND left between its polls) cannot prove
+    any partition stayed continuously its own — the interim owner may
+    have consumed and committed past its in-memory position. A multi-bump
+    resync must therefore retain nothing and reinstall from committed
+    offsets (at-least-once replay, never a committed-offset regression).
+    A SINGLE bump still retains (the minimal-movement test covers that)."""
+    fill(topic_store, 30)
+    coord = GroupCoordinator()
+    c1 = FluxConsumer(
+        topic_store, group_id="g", coordinator=coord, member_id="m1",
+        rebalance_protocol="cooperative",
+    )
+    c1.subscribe(["t"])
+    assert c1.poll().count == 30
+    c1.commit_offsets()
+    fill(topic_store, 12)
+    assert c1.poll().count == 12  # uncommitted progress
+
+    # two generation bumps while c1 is between polls: m2 joins (+1),
+    # syncs, then leaves (+1) — c1's partitions were plausibly owned by
+    # m2 in the interim generation
+    c2 = FluxConsumer(
+        topic_store, group_id="g", coordinator=coord, member_id="m2",
+        rebalance_protocol="cooperative",
+    )
+    c2.subscribe(["t"])
+    c2.close()
+
+    res = c1.poll()
+    ev = c1.last_rebalance
+    assert ev.lost_all and ev.retained == []
+    assert len(ev.added) == 3
+    # in-memory positions were NOT trusted: the uncommitted 12 replay
+    assert res.count == 12
