@@ -19,10 +19,16 @@ nothing beyond the stdlib:
   ``multimodal.sample_frames`` a real operator; only decoding the codec
   payload itself (H.264 etc.) would need an external library.
 
+* **JPEG (baseline sequential DCT)** — a real encoder + decoder on
+  ``struct`` + numpy (r8, the last previously library-blocked format):
+  marker walk, DQT/DHT as found in the file, canonical Huffman
+  entropy coding with byte stuffing and restart intervals, dequantize +
+  float IDCT, grayscale and 4:4:4 YCbCr color. Progressive/subsampled/
+  arithmetic streams raise ValueError (quarantine) rather than guess.
+
 These are the per-payload functions the Arrow ``mapInPandas`` plumbing in
 :mod:`multimodal` batches over; they are deliberately Spark-free so they
-unit-test in microseconds. JPEG decode remains out of scope — it
-genuinely needs an external codec library (probed every round).
+unit-test in microseconds.
 
 Synthesis counterparts (:func:`synth_wav_bytes`, :func:`synth_png_bytes`)
 generate REAL files from a deterministic formula of an integer seed, so
@@ -496,3 +502,548 @@ def mp4_video_samples(payload: bytes) -> dict:
                     raise ValueError(f"chunk walk covered {idx}/{n} samples")
                 return {"timescale": timescale, "frames": frames}
     raise ValueError("no video track found")
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT on struct + numpy (the last format that
+# was library-blocked; VERDICT r7 stretch item). The DECODER is general:
+# it reads DQT/DHT from the file (any tables), handles byte stuffing,
+# restart intervals, 8/16-bit quant precision, grayscale and 4:4:4 YCbCr
+# color; it rejects progressive/subsampled streams with ValueError (the
+# quarantine signal) rather than guessing. The ENCODER emits real JFIF
+# baseline files (Annex K standard Huffman tables) any viewer opens.
+# ---------------------------------------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard Huffman tables, ITU T.81 Annex K (public spec constants)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# flat quant table used by the synthesis path: constant-16 keeps the
+# DC-only reconstruction an exact integer formula the DuckDB oracle can
+# mirror (see synth_jpeg_pixel); a perfectly legal baseline table
+_FLAT_Q16 = [16] * 64
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code assignment (T.81 Annex C): symbol ->
+    (code, length). Validates the (bits, vals) pair describes a prefix
+    code so a corrupted DHT fails loudly."""
+    if sum(bits) != len(vals):
+        raise ValueError("DHT: bits/values count mismatch")
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("DHT: oversubscribed prefix code")
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2.0)
+    return a
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        # pad the trailing partial byte with 1-bits (T.81 F.1.2.3); going
+        # through put() keeps 0xFF stuffing correct for the padded byte
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_jpeg_bytes(
+    planes: list,
+    width: int,
+    height: int,
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 1 (grayscale) or 3 (YCbCr, 4:4:4) component planes — each a
+    row-major list/array of width*height ints in [0, 255] — into a REAL
+    baseline JFIF file: JFIF APP0, DQT, SOF0, the four Annex K DHTs, SOS,
+    Huffman-coded entropy data with byte stuffing. Forward path per
+    block: level shift, float DCT, quantize with round-half-up (+1e-9
+    guard so coefficients that are mathematically exact halves do not
+    fall to float noise — what makes the synthesis formula exactly
+    reproducible by the oracle)."""
+    import numpy as np
+
+    q = list(qtable or _FLAT_Q16)
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError(f"1 or 3 components, got {ncomp}")
+    A = _dct_matrix()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    qm = np.array(q, dtype=np.float64)[np.argsort(ZIGZAG)].reshape(8, 8)
+
+    # tables: luminance for component 0, chrominance for 1-2
+    dc_tabs = [_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)] + [
+        _huff_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+    ] * (ncomp - 1)
+    ac_tabs = [_huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)] + [
+        _huff_codes(_AC_CHR_BITS, _AC_CHR_VALS)
+    ] * (ncomp - 1)
+
+    comps = []
+    for p in planes:
+        arr = np.asarray(p, dtype=np.float64).reshape(height, width)
+        # pad to block multiple by edge replication (standard practice)
+        arr = np.pad(
+            arr, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+        )
+        comps.append(arr - 128.0)
+
+    w = _BitWriter()
+    preds = [0] * ncomp
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # RSTn: byte-align (1-pad), emit the marker RAW (markers
+                # are never byte-stuffed), reset DC predictions
+                w.flush()
+                w.out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                preds = [0] * ncomp
+            mcu += 1
+            for ci in range(ncomp):
+                blk = comps[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = A @ blk @ A.T
+                qc = np.floor(coef / qm + 0.5 + 1e-9).astype(np.int64)
+                zz = qc.reshape(-1)[ZIGZAG]
+                # DC: differential, category + offset bits
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s = _category(diff)
+                code, ln = dc_tabs[ci][s]
+                w.put(code, ln)
+                if s:
+                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                # AC: run-length coded
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_tabs[ci][0xF0]  # ZRL
+                        w.put(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_tabs[ci][(run << 4) | s]
+                    w.put(code, ln)
+                    w.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    code, ln = ac_tabs[ci][0x00]  # EOB
+                    w.put(code, ln)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(0xFFDB, bytes([0x00]) + bytes(q))  # DQT id 0, 8-bit
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, qtable 0
+    out += seg(0xFFC0, sof)
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUM_BITS, _DC_LUM_VALS),
+        (1, 0, _AC_LUM_BITS, _AC_LUM_VALS),
+        (0, 1, _DC_CHR_BITS, _DC_CHR_VALS),
+        (1, 1, _AC_CHR_BITS, _AC_CHR_VALS),
+    )[: 2 * ncomp if ncomp == 1 else 4]:
+        out += seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: de-stuffs FF00, stops at markers
+    (exposing them for restart handling), byte-aligns on demand."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        while self._n < 25 and self.marker is None:
+            if self.pos >= len(d):
+                raise ValueError("truncated entropy-coded segment")
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(d):
+                    raise ValueError("truncated marker in entropy segment")
+                nxt = d[self.pos + 1]
+                if nxt == 0x00:  # stuffed FF data byte
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    self.marker = 0xFF00 | nxt  # RSTn / EOI: stop here
+                    return
+                else:
+                    raise ValueError(f"unexpected marker {nxt:#x} inside scan")
+            else:
+                self.pos += 1
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self._n < n:
+            self._fill()
+            if self.marker is not None and self._n < n:
+                raise ValueError("bit starvation at segment end")
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
+
+    def restart(self) -> None:
+        """Consume an expected RSTn marker and realign: scan forward
+        (buffering any pad bits) until the marker, then discard the pad
+        bits AFTER the marker is found — zeroing first would let pad
+        bits pulled in by the scan leak into the next MCU."""
+        if self.marker is None:
+            self._fill()
+        m = self.marker
+        if m is None or not (0xFFD0 <= m <= 0xFFD7):
+            raise ValueError(f"expected restart marker, got {m!r}")
+        self.pos += 2
+        self.marker = None
+        self._acc, self._n = 0, 0
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.bits(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code (corrupt entropy data)")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_bytes(payload: bytes) -> dict:
+    """Decode a baseline sequential JPEG (SOF0, Huffman, 8-bit samples,
+    1x1 sampling — grayscale or 4:4:4 color): full marker walk, DQT/DHT
+    as found in the file, byte de-stuffing, DRI restart intervals,
+    dequantize + float IDCT + level shift per block. Color output is
+    JFIF YCbCr -> RGB (BT.601 full range). Returns dict(width, height,
+    channels, pixel_sum) with pixel_sum over all output channels.
+    Raises ValueError on structural corruption, progressive (SOF2),
+    subsampled, or arithmetic-coded streams — the quarantine signal."""
+    import numpy as np
+
+    d = payload
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (height, width, [(comp_id, tq)])
+    restart_interval = 0
+    A = _dct_matrix()
+
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {d[pos]:#x}")
+        marker = d[pos + 1] if pos + 1 < len(d) else None
+        if marker is None:
+            raise ValueError("truncated marker")
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS (no image data)")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        if pos + 2 > len(d):
+            raise ValueError("truncated segment length")
+        seglen = struct.unpack(">H", d[pos : pos + 2])[0]
+        body = d[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("segment overruns file")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i : i + n]
+                if len(raw) != n:
+                    raise ValueError("truncated DQT")
+                if pq:
+                    vals = list(struct.unpack(f">{64}H", raw))
+                else:
+                    vals = list(raw)
+                qtables[tq] = vals
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("truncated DHT")
+                codes = _huff_codes(bits, vals)
+                htables[(cls, tid)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise ValueError(f"only 8-bit precision, got {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG not supported (only 1x1)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported SOF type {marker:#x} (progressive/arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []  # (comp index in frame, dc table id, ac table id)
+            h, w, comps = frame
+            for si in range(ns):
+                cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(
+                    (i for i, (cid, _) in enumerate(comps) if cid == cs),
+                    None,
+                )
+                if idx is None:
+                    raise ValueError(f"scan references unknown comp {cs}")
+                scan.append((idx, tabs >> 4, tabs & 0x0F))
+            if ns != len(comps):
+                raise ValueError("only single-scan (non-interleaved-full)")
+            bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+            planes = [
+                np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
+                for _ in comps
+            ]
+            br = _BitReader(d, pos + seglen)
+            preds = [0] * len(comps)
+            mcu = 0
+            for by in range(bh_):
+                for bx in range(bw_):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        br.restart()
+                        preds = [0] * len(comps)
+                    for idx, dct_id, act_id in scan:
+                        dt = htables.get((0, dct_id))
+                        at = htables.get((1, act_id))
+                        if dt is None or at is None:
+                            raise ValueError("scan uses undefined DHT")
+                        q = qtables.get(comps[idx][1])
+                        if q is None:
+                            raise ValueError("component uses undefined DQT")
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(br, dt)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[idx] += diff
+                        zz[0] = preds[idx]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, at)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * np.asarray(q, dtype=np.float64)
+                        blk = A.T @ coef.reshape(8, 8) @ A
+                        planes[idx][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = blk
+                    mcu += 1
+            # end-of-scan integrity: after the last MCU only pad bits may
+            # remain before EOI (or a final RSTn). A truncated or
+            # zero-overwritten entropy tail that happened to keep
+            # decoding as valid symbols is caught here — the standard
+            # completeness check a quarantining decoder needs.
+            if br.marker is None:
+                br._fill()
+            if br.marker not in (0xFFD9,) and not (
+                br.marker is not None and 0xFFD0 <= br.marker <= 0xFFD7
+            ):
+                raise ValueError("entropy data does not terminate at EOI")
+            out = [
+                np.clip(
+                    np.floor(p[:h, :w] + 128.0 + 0.5 + 1e-9), 0, 255
+                ).astype(np.int64)
+                for p in planes
+            ]
+            if len(out) == 3:  # JFIF YCbCr -> RGB, BT.601 full range
+                y, cb, cr = (o.astype(np.float64) for o in out)
+                r = y + 1.402 * (cr - 128.0)
+                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                b = y + 1.772 * (cb - 128.0)
+                out = [
+                    np.clip(np.floor(c + 0.5 + 1e-9), 0, 255).astype(
+                        np.int64
+                    )
+                    for c in (r, g, b)
+                ]
+            return {
+                "width": w,
+                "height": h,
+                "channels": len(out),
+                "pixel_sum": int(sum(int(o.sum()) for o in out)),
+            }
+        # APPn, COM, others: skip body
+        pos += seglen
+    raise ValueError("no SOS marker (not a decodable JPEG)")
+
+
+def synth_jpeg_dims(seed: int) -> tuple[int, int]:
+    """(width, height) of the synthetic JPEG — whole 8x8 blocks."""
+    return 8 * (2 + seed % 3), 8 * (1 + seed % 2)
+
+
+def synth_jpeg_block(seed: int, bx: int, by: int) -> int:
+    """Source gray value of the constant 8x8 block at (bx, by)."""
+    return (seed * 7 + bx * 13 + by * 29) % 256
+
+
+def synth_jpeg_pixel(seed: int, bx: int, by: int) -> int:
+    """DECODED gray value of block (bx, by): a constant block survives
+    the full DCT -> quantize(flat 16) -> Huffman -> dequantize -> IDCT
+    round trip as an exact integer formula — DC = 8*(v-128), quantized
+    round-half-up by 16 (= floor((v-127)/2)), reconstructed 2*that+128,
+    clamped. The SQL twin in the oracle recomputes exactly this."""
+    v = synth_jpeg_block(seed, bx, by)
+    return min(255, max(0, 2 * ((v - 127) // 2) + 128))
+
+
+def synth_jpeg_bytes(seed: int) -> bytes:
+    """A real baseline JFIF grayscale file: constant 8x8 blocks with
+    values from :func:`synth_jpeg_block`, flat-16 quant table — opens in
+    any viewer, decodes here to :func:`synth_jpeg_pixel` exactly."""
+    w, h = synth_jpeg_dims(seed)
+    plane = [
+        synth_jpeg_block(seed, x // 8, y // 8)
+        for y in range(h)
+        for x in range(w)
+    ]
+    return encode_jpeg_bytes([plane], w, h, qtable=_FLAT_Q16)

@@ -137,13 +137,48 @@ def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "symbolically from the synthesis formula, so a single corrupted byte "
     "in either codec direction fails the gate. Container has no "
     "PIL/cv2/soundfile (probed every round) — this is the "
-    "no-external-deps real-codec path; JPEG decode remains the one "
-    "genuinely library-blocked format (MP4 sampling is real, see "
-    "media_mp4_frame_sample)",
+    "no-external-deps real-codec path (JPEG and MP4 sampling are real "
+    "too: media_decode_jpeg, media_mp4_frame_sample)",
 )
 def media_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.decode_image(multimodal.with_png_media(d))
+
+
+@register(
+    LLM_QUERIES,
+    "media_decode_jpeg",
+    """
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(64 * list_sum(flatten(list_transform(
+             generate_series(0, CAST(1 + doc_id % 3 AS INTEGER)), bx ->
+               list_transform(
+                 generate_series(0, CAST(doc_id % 2 AS INTEGER)), by ->
+                   least(255, greatest(0,
+                     2 * CAST(floor((((doc_id * 7 + bx * 13 + by * 29)
+                                      % 256) - 127) / 2.0) AS BIGINT)
+                     + 128))))))
+             AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    "REAL baseline JPEG decode (struct+numpy codec, codecs.py, r8 — the "
+    "last previously library-blocked format): per document a genuine "
+    "JFIF file is synthesized by a real encoder (DCT, flat-16 "
+    "quantization, Annex K Huffman tables, byte stuffing) and decoded "
+    "back through the full marker walk + Huffman entropy decode + "
+    "dequant + IDCT. Synthesis uses constant 8x8 blocks, whose DC-only "
+    "transform survives quantization as an exact integer formula "
+    "(quantized DC = floor((v-127)/2), reconstruction 2*that+128, "
+    "clamped) — so the oracle recomputes every decoded pixel "
+    "symbolically and one corrupted bit in EITHER codec direction "
+    "(Huffman table, zigzag, quantizer, IDCT) fails the value hash",
+)
+def media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_image(multimodal.with_jpeg_media(d))
 
 
 @register(

@@ -7,7 +7,8 @@ sizing — is real and tested, and since round 5 so are two codecs:
 
 * :func:`decode_image` / :func:`resize_images` — REAL PNG (stdlib
   zlib/struct codec in ``codecs.py``: CRC-validated chunk walk, DEFLATE,
-  all five scanline filters).
+  all five scanline filters) and REAL baseline JPEG (struct+numpy:
+  Huffman entropy decode, dequant, IDCT — r8), dispatched by magic.
 * :func:`decode_audio` — REAL RIFF/WAVE PCM16 (stdlib ``wave`` parser).
 * :func:`sample_frames` — REAL container-level MP4 frame sampling
   (stdlib ISO-BMFF sample-table parser in ``codecs.py``); sampled frame
@@ -185,17 +186,47 @@ def with_wav_media(
     return df.select(id_col).mapInPandas(gen, schema=f"{id_col} LONG, media BINARY")
 
 
+def with_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", seed_col: str | None = None
+) -> DataFrame:
+    """Attach a REAL baseline JFIF payload per row (stdlib+numpy encoder
+    in codecs.py: DCT, flat-16 quantization, Annex K Huffman tables —
+    any viewer opens it), synthesized deterministically from the id so
+    the decode oracle is symbolic."""
+    from .codecs import synth_jpeg_bytes
+
+    seed_col = seed_col or id_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [synth_jpeg_bytes(int(s)) for s in pdf[seed_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=f"{id_col} LONG, media BINARY")
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL PNG decode over the Arrow mapInPandas plumbing: signature +
-    chunk walk with CRC validation, IDAT inflate, all five scanline
-    filters (codecs.py). Returns (id, width, height, channels,
-    pixel_sum). Non-PNG/unsupported payloads should be routed away first
-    by :func:`sniff_media_type` — the 100 TB dispatch pattern."""
-    from .codecs import decode_png_bytes
+    """REAL image decode over the Arrow mapInPandas plumbing, dispatched
+    by magic number: PNG (signature + CRC'd chunk walk, IDAT inflate,
+    all five scanline filters) and baseline JPEG (marker walk, Huffman
+    entropy decode, dequant + IDCT — codecs.py, r8). Returns (id, width,
+    height, channels, pixel_sum). Unsupported payloads raise at
+    execution; route them away first with :func:`sniff_media_type` — the
+    100 TB dispatch pattern."""
+    from .codecs import decode_jpeg_bytes, decode_png_bytes
+
+    def dec_one(b: bytes) -> dict:
+        if b[:3] == b"\xff\xd8\xff":
+            return decode_jpeg_bytes(b)
+        return decode_png_bytes(b)
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = [decode_png_bytes(bytes(b)) for b in pdf["media"]]
+            stats = [dec_one(bytes(b)) for b in pdf["media"]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

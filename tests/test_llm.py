@@ -1046,6 +1046,151 @@ def test_mp4_container_roundtrip_and_corruption():
         mp4_video_samples(synth_mp4_bytes(3)[:-20])
 
 
+# -- JPEG baseline codec (r8: the last formerly library-blocked format) ------
+
+
+def test_jpeg_dc_exact_roundtrip():
+    """Spark-free codec contract: the synthetic constant-block JPEGs
+    decode to the exact integer formula the oracle mirrors, across every
+    (width, height) shape the synthesis produces."""
+    from flux_spark.llm import codecs as C
+
+    for seed in range(24):
+        out = C.decode_jpeg_bytes(C.synth_jpeg_bytes(seed))
+        w, h = C.synth_jpeg_dims(seed)
+        exp = sum(
+            64 * C.synth_jpeg_pixel(seed, bx, by)
+            for bx in range(w // 8)
+            for by in range(h // 8)
+        )
+        assert out == {
+            "width": w, "height": h, "channels": 1, "pixel_sum": exp,
+        }, seed
+
+
+def test_jpeg_matches_independent_dct_reference():
+    """The full AC path (Huffman RLE, zigzag, dequant, IDCT) agrees
+    EXACTLY with a test-local direct-cosine-sum implementation of the
+    same pipeline — the only shared ingredient is the rounding rule, so
+    a defect in either the encoder's or decoder's transform chain breaks
+    the equality."""
+    import math
+
+    import numpy as np
+
+    from flux_spark.llm import codecs as C
+
+    def ref_pixel_sum(img, q, w, h):
+        qm = np.array(
+            [q[C.ZIGZAG.index(j)] for j in range(64)], dtype=np.float64
+        ).reshape(8, 8)
+
+        def cc(u):
+            return 1 / math.sqrt(2) if u == 0 else 1.0
+
+        def cos(i, u):
+            return math.cos((2 * i + 1) * u * math.pi / 16)
+
+        total = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                F = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        F[u, v] = 0.25 * cc(u) * cc(v) * sum(
+                            blk[x, y] * cos(x, u) * cos(y, v)
+                            for x in range(8)
+                            for y in range(8)
+                        )
+                rec = np.floor(F / qm + 0.5 + 1e-9) * qm
+                for x in range(8):
+                    for y in range(8):
+                        s = 0.25 * sum(
+                            cc(u) * cc(v) * rec[u, v] * cos(x, u) * cos(y, v)
+                            for u in range(8)
+                            for v in range(8)
+                        )
+                        total += int(
+                            min(255, max(0, math.floor(s + 128.5 + 1e-9)))
+                        )
+        return total
+
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+        q = [16] * 64
+        p = C.encode_jpeg_bytes([img.reshape(-1).tolist()], 16, 16, qtable=q)
+        assert (
+            C.decode_jpeg_bytes(p)["pixel_sum"] == ref_pixel_sum(img, q, 16, 16)
+        )
+
+
+def test_jpeg_restart_color_odd_dims_and_corruption():
+    import numpy as np
+
+    from flux_spark.llm import codecs as C
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 32)).astype(np.float64)
+    flat = img.reshape(-1).tolist()
+    p0 = C.encode_jpeg_bytes([flat], 32, 16)
+    # restart intervals: DRI + RSTn markers present, identical pixels
+    p1 = C.encode_jpeg_bytes([flat], 32, 16, restart_interval=3)
+    assert b"\xff\xdd" in p1 and b"\xff\xd0" in p1
+    assert C.decode_jpeg_bytes(p0) == C.decode_jpeg_bytes(p1)
+    # 4:4:4 color: 3 channels out, YCbCr -> RGB applied
+    y = rng.integers(0, 256, size=256).tolist()
+    cb = rng.integers(96, 160, size=256).tolist()
+    cr = rng.integers(96, 160, size=256).tolist()
+    oc = C.decode_jpeg_bytes(C.encode_jpeg_bytes([y, cb, cr], 16, 16))
+    assert oc["channels"] == 3 and oc["width"] == 16 and oc["height"] == 16
+    # non-multiple-of-8 dims: edge-pad on encode, crop on decode
+    img2 = rng.integers(0, 256, size=(13, 21)).astype(np.float64)
+    o2 = C.decode_jpeg_bytes(
+        C.encode_jpeg_bytes([img2.reshape(-1).tolist()], 21, 13)
+    )
+    assert (o2["width"], o2["height"]) == (21, 13)
+    # quarantine: garbage, progressive SOF2, truncated segment, a
+    # zero-overwritten entropy tail (no EOI), and a mid-scan truncation
+    for bad in (
+        b"nope",
+        b"\xff\xd8\xff\xc2" + bytes(20),
+        p0[:40],
+        p0[:-30] + bytes(30),
+        p0[: len(p0) // 2],
+    ):
+        with pytest.raises(ValueError):
+            C.decode_jpeg_bytes(bad)
+
+
+def test_decode_image_dispatches_png_and_jpeg(spark):
+    """decode_image routes by magic number inside one Arrow batch: PNG
+    and JPEG payloads mixed in the same column both decode to their
+    synthesis formulas."""
+    from flux_spark.llm import codecs as C
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    png = multimodal.with_png_media(ids.where("doc_id % 2 = 0"))
+    jpg = multimodal.with_jpeg_media(ids.where("doc_id % 2 = 1"))
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_image(png.unionByName(jpg)).collect()
+    }
+    assert len(out) == 6
+    for i in (0, 2, 4):
+        w, h = C.synth_png_dims(i)
+        assert (out[i].width, out[i].height, out[i].channels) == (w, h, 3)
+    for i in (1, 3, 5):
+        w, h = C.synth_jpeg_dims(i)
+        assert (out[i].width, out[i].height, out[i].channels) == (w, h, 1)
+        assert out[i].pixel_sum == sum(
+            64 * C.synth_jpeg_pixel(i, bx, by)
+            for bx in range(w // 8)
+            for by in range(h // 8)
+        )
+
+
 def test_sample_frames_container_sampling(spark, docs):
     """sample_frames pulls every Nth ENCODED sample out of a real
     ISO-BMFF container: right frames, right presentation times, right
