@@ -86,6 +86,12 @@ ANALYTICS_HEADLINE = [
     "emb_knn_label_vote_ivf",
     "doc_dedup_incremental",
     "events_quantile_sketch",
+    # round-8 additions (int8 + RRF are query-broadcast/top-k bounded —
+    # linear in the corpus; doc_containment stays gate-only like its twin
+    # doc_dedup_ngram_jaccard: the uncapped inverted index is
+    # output-bound on the synthetic near-dup wall at sf10+)
+    "emb_int8_topk",
+    "doc_hybrid_retrieval",
 ]
 
 

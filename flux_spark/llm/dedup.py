@@ -497,6 +497,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A in B) = |A∩B| / |A| — the
+    subset/quote detector Jaccard structurally misses: a short document
+    wholly embedded in a long one has Jaccard ~ |A|/|B| (arbitrarily
+    small) but containment 1.0. This is the signal for "doc is a quoted
+    excerpt / boilerplate-wrapped copy / partial scrape of another" in a
+    curation pipeline, where the usual action is dropping the contained
+    side rather than either-of-the-pair.
+
+    Same inverted-shingle-index plan as :func:`ngram_jaccard_pairs`
+    (exact intersections via merge-hinted equi-join on shared shingles,
+    ``max_doc_freq`` as the skew/df guard); scores both directions and
+    keeps pairs where either containment >= threshold. Returns
+    (id_a, id_b, containment_a_in_b, containment_b_in_a, jaccard) with
+    id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__shingles")
+    ).withColumn("__n_sh", F.size("__shingles"))
+    ex = sh.select(id_col, "__n_sh", F.explode("__shingles").alias("__s")).persist()
+    if max_doc_freq is not None:
+        rare = (
+            ex.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("__s")
+        )
+        ex = ex.join(rare, "__s")
+    ea = ex.select(F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__na"), "__s")
+    eb = ex.select(F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"), "__s")
+    common = (
+        ea.join(eb.hint("merge"), "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count("*").alias("__common"))
+    )
+    c_ab = F.col("__common").cast("double") / F.col("__na")
+    c_ba = F.col("__common").cast("double") / F.col("__nb")
+    jac = F.col("__common").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__common")
+    )
+    return (
+        common.select(
+            "id_a",
+            "id_b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+            jac.alias("jaccard"),
+        )
+        .where(
+            F.greatest("containment_a_in_b", "containment_b_in_a")
+            >= threshold
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

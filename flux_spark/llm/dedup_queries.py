@@ -242,6 +242,36 @@ def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LLM_QUERIES,
+    "doc_containment",
+    _CORPUS_CTE
+    + _SHINGLE_CTES
+    + """
+, __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS cc
+  FROM __ex a JOIN __ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       CAST(cc AS DOUBLE) / na AS containment_a_in_b,
+       CAST(cc AS DOUBLE) / nb AS containment_b_in_a,
+       CAST(cc AS DOUBLE) / (na + nb - cc) AS jaccard
+FROM __common
+WHERE greatest(CAST(cc AS DOUBLE) / na, CAST(cc AS DOUBLE) / nb) >= 0.8
+""",
+    "asymmetric shingle containment |A∩B|/|A| (r8): the subset/quote "
+    "detector Jaccard structurally misses — a short doc embedded in a "
+    "long one has tiny Jaccard but containment 1.0; curation drops the "
+    "CONTAINED side, not either-of-the-pair. Exact intersections via the "
+    "same inverted shingle index as doc_dedup_ngram_jaccard; both "
+    "directions scored, pairs kept when either >= 0.8",
+)
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(dup_corpus(spark, sf_dir), threshold=0.8)
+
+
+@register(
+    LLM_QUERIES,
     "doc_simhash",
     _simhash_sql(),
     "32-bit SimHash signature per document over shingle features",

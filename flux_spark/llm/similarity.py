@@ -1163,3 +1163,95 @@ def sql_pq_adc_topk(
     FROM ranked WHERE rnk <= {k}
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar int8 quantization (r8) — the standard first-line embedding
+# compression before PQ: 4 bytes/dim float32 -> 1 byte/dim symmetric
+# int8, 4x less scan bandwidth and cache footprint at 100 TB, with
+# near-exact dot products (the per-vector max-abs scale bounds the
+# element error at 1/254 of the vector's range). Everything stays in
+# whole-stage codegen: quantization is one narrow transform()/aggregate()
+# pass (no shuffle, no Python), scoring is an integer zip_with fold.
+# ---------------------------------------------------------------------------
+
+
+def int8_quantize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale m = max|x_i|,
+    code_i = clamp(floor(x_i * 127 / m + 0.5), -127, 127) — round-half-up
+    in double, the same IEEE expression the DuckDB oracle runs, so codes
+    are engine-exact. Zero vectors (m = 0) code to all-zeros. Returns
+    (id, codes array<int>, maxabs double)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    base = df.select(F.col(id_col), v.alias("__v"), m.alias("maxabs"))
+    codes = F.transform(
+        F.col("__v"),
+        lambda x: F.when(F.col("maxabs") == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x * F.lit(127.0) / F.col("maxabs") + F.lit(0.5))
+                    .cast("int"),
+                ),
+            )
+        ),
+    )
+    return base.withColumn("codes", codes).drop("__v")
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate dot-product top-k over int8 codes: the integer code
+    dot (exact int64 fold) is rescaled by (m_q * m_c / 127^2) — one
+    deterministic double expression, so even the APPROXIMATE scores are
+    oracle-exact. Plan shape: corpus quantized in one narrow pass and
+    never shuffled; the (tiny) quantized query side broadcasts; ranking
+    is the standard per-query top-k window. Ties break on neighbor_id."""
+    from pyspark.sql import Window
+
+    cq = int8_quantize(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes").alias("__cc"),
+        F.col("maxabs").alias("__cm"),
+    )
+    qq = int8_quantize(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("codes").alias("__qc"),
+        F.col("maxabs").alias("__qm"),
+    )
+    idot = F.aggregate(
+        F.zip_with("__qc", "__cc", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cq.join(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx_dot",
+            F.col("__qm") * F.col("__cm") / F.lit(16129.0)
+            * idot.cast("double"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_dot",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

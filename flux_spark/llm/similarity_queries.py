@@ -891,3 +891,282 @@ def emb_label_vote_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_correct_brute"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar int8 quantization (r8)
+# ---------------------------------------------------------------------------
+
+_INT8_CTE = f"""
+WITH q8 AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (acc, x) -> greatest(acc, x)) AS maxabs,
+         embedding
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, maxabs,
+         list_transform(embedding, x ->
+           CASE WHEN maxabs = 0 THEN 0
+                ELSE greatest(-127, least(127,
+                  CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+                       AS INTEGER))) END) AS codes
+  FROM q8),
+i8 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.maxabs * c.maxabs / 16129.0 * CAST(
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, {_DIM + 1}),
+                            i -> CAST(q.codes[i] * c.codes[i] AS BIGINT))),
+             (acc, x) -> acc + x) AS DOUBLE) AS approx_dot
+  FROM codes q CROSS JOIN codes c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+i8r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_dot DESC, neighbor_id ASC)
+              AS rnk
+  FROM i8)
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "emb_int8_topk",
+    _INT8_CTE
+    + """
+    SELECT query_id, neighbor_id, approx_dot, CAST(rnk AS INT) AS "rank"
+    FROM i8r WHERE rnk <= 5
+    """,
+    "scalar int8 embedding quantization + approximate dot top-5 (r8): "
+    "per-vector symmetric max-abs scale, codes clamp(floor(x*127/m+0.5)) "
+    "— 4x less scan bandwidth than float32, the standard first-line "
+    "compression before PQ. The integer code dot is an exact int64 fold "
+    "and the rescale is one deterministic double expression, so even the "
+    "APPROXIMATE scores oracle-check bit-for-bit. Plan: quantization is "
+    "one narrow whole-stage-codegen pass (no shuffle, no Python), "
+    "queries broadcast, corpus never shuffles",
+)
+def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.int8_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_int8_recall",
+    _INT8_CTE
+    + f"""
+    , exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {similarity.sql_dot("q.embedding", "c.embedding", _DIM)} AS ip
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    exr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ip DESC, neighbor_id ASC) AS rnk
+      FROM exact)
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_matched,
+           COUNT(a.neighbor_id) / 10.0 AS recall
+    FROM exr e
+    LEFT JOIN (SELECT query_id, neighbor_id FROM i8r WHERE rnk <= 10) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    WHERE e.rnk <= 10
+    GROUP BY e.query_id
+    """,
+    "recall@10 of int8-quantized dot ranking vs the exact float64 MIPS "
+    "ranking, per query — the quantization-quality metric itself is "
+    "oracle-gated (both rankings and the intersection count are "
+    "deterministic), so a quantizer regression that silently hurt recall "
+    "would fail the gate, not just a benchmark",
+)
+def emb_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    approx = similarity.int8_topk(e, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    exact = similarity.mips_topk(e, q, k=10).select(
+        "query_id", F.col("neighbor_id").alias("__en")
+    )
+    return (
+        exact.join(
+            approx,
+            (approx.query_id == exact.query_id)
+            & (approx.neighbor_id == exact.__en),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("neighbor_id").cast("bigint").alias("n_matched"),
+            (F.count("neighbor_id") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid lexical + vector retrieval with reciprocal-rank fusion (r8)
+# ---------------------------------------------------------------------------
+
+_HYBRID_QS = (11, 23, 37)  # query doc ids (arbitrary, deterministic)
+_RRF_K = 60
+_TOPN = 20
+
+
+def _hybrid_sql() -> str:
+    qs = ", ".join(str(q) for q in _HYBRID_QS)
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qterms AS (
+      SELECT query_id, term FROM (
+        SELECT t.doc_id AS query_id, t.term,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC,
+                                           t.term ASC) AS rnk
+        FROM tf t JOIN df d ON d.term = t.term
+        WHERE t.doc_id IN ({qs}))
+      WHERE rnk <= 3),
+    lex AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(SUM(CAST(floor(CAST(t.tf AS DOUBLE) / d.df * 1000000)
+                           AS BIGINT)) AS BIGINT) AS lex_q
+      FROM qterms q
+      JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_id
+      JOIN df d ON d.term = q.term
+      GROUP BY 1, 2),
+    lexr AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY lex_q DESC, doc_id ASC) AS lex_rank
+      FROM lex),
+    sem AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             {similarity.sql_cosine("q.embedding", "c.embedding", _DIM)}
+               AS cos_sim
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id IN ({qs}) AND c.vec_id <> q.vec_id
+        AND c.vec_id IN (SELECT doc_id FROM documents)),
+    semr AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id ASC)
+               AS sem_rank
+      FROM sem),
+    fused AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
+             COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + s.sem_rank), 0.0) AS rrf_score
+      FROM (SELECT * FROM lexr WHERE lex_rank <= {_TOPN}) l
+      FULL OUTER JOIN (SELECT * FROM semr WHERE sem_rank <= {_TOPN}) s
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id)
+    SELECT query_id, doc_id, CAST(lex_rank AS INT) AS lex_rank,
+           CAST(sem_rank AS INT) AS sem_rank, rrf_score,
+           CAST(fr AS INT) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC, doc_id ASC)
+                      AS fr
+          FROM fused)
+    WHERE fr <= 10
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "doc_hybrid_retrieval",
+    _hybrid_sql(),
+    "hybrid retrieval with reciprocal-rank fusion (r8): a lexical "
+    "channel (top-3 tf/df query terms, per-doc score = sum of "
+    "1e6-quantized tf/df parts — integer-exact, so the float-sum "
+    "ordering problem never exists) and a semantic channel (exact "
+    "cosine over the aligned embedding table) each rank top-20; RRF "
+    "1/(60+r) fuses them, missing-channel docs contribute 0. The "
+    "RAG-ingestion ranking primitive: rrf needs only RANKS, so the "
+    "fusion is engine-exact even though the channels use different "
+    "score scales. Plan: tf/df broadcast joins, both channels reuse the "
+    "query_id window partitioning, corpus never shuffles embeddings",
+)
+def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = list(_HYBRID_QS)
+
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored_terms = tf.join(F.broadcast(df_tab), "term")
+    w_q = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.asc("term")
+    )
+    qterms = (
+        scored_terms.where(F.col("doc_id").isin(qs))
+        .withColumn("__r", F.row_number().over(w_q))
+        .where(F.col("__r") <= 3)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    part = F.floor(
+        F.col("tf").cast("double") / F.col("df") * F.lit(1000000.0)
+    ).cast("long")
+    lex = (
+        scored_terms.join(F.broadcast(qterms), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(part).cast("long").alias("lex_q"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("lex_q"), F.asc("doc_id")
+    )
+    lexr = (
+        lex.withColumn("lex_rank", F.row_number().over(w_lex))
+        .where(F.col("lex_rank") <= _TOPN)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    corpus = e.join(
+        d.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem = similarity.brute_force_topk(
+        corpus, e.where(F.col("vec_id").isin(qs)), k=_TOPN
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+
+    fused = lexr.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+        ),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .where(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            "rrf_score",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )

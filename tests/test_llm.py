@@ -1214,3 +1214,70 @@ def test_sample_frames_container_sampling(spark, docs):
     # sniffer integration: a real ftyp header routes these to 'mp4'
     sniffed = multimodal.sniff_media_type(media).collect()
     assert all(r.detected == "mp4" for r in sniffed)
+
+
+# -- int8 scalar quantization (r8) -------------------------------------------
+
+
+def test_int8_quantize_codes_and_edges(spark):
+    from flux_spark.llm import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5, 0.25]),      # m=1: codes 127,-127,64,32
+            (2, [0.0, 0.0, 0.0, 0.0]),        # zero vector -> all zeros
+            (3, [2.0, -4.0, 1.0, 0.0]),       # m=4: 64,-127,32,0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in similarity.int8_quantize(df).collect()}
+    assert out[1].codes == [127, -127, 64, 32] and out[1].maxabs == 1.0
+    assert out[2].codes == [0, 0, 0, 0] and out[2].maxabs == 0.0
+    # -4*127/4 + 0.5 = -126.5 -> floor = -127 (round-half-up), clamped fine
+    assert out[3].codes == [64, -127, 32, 0] and out[3].maxabs == 4.0
+
+
+def test_int8_topk_ranks_by_rescaled_integer_dot(spark):
+    from flux_spark.llm import similarity
+
+    rows = [
+        (0, [1.0, 0.0]),    # query
+        (1, [2.0, 0.0]),    # strongest dot (2.0)
+        (2, [1.0, 1.0]),    # dot 1.0
+        (3, [0.0, 1.0]),    # dot 0.0
+        (4, [-1.0, 0.0]),   # dot -1.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.int8_topk(df, df.where("vec_id = 0"), k=4).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [
+        1, 2, 3, 4,
+    ]
+    top = next(r for r in out if r.rank == 1)
+    # q codes [127,0] m=1; c codes [127,0] m=2: dot=16129 -> 1*2/16129*16129
+    assert top.approx_dot == 2.0
+
+
+# -- containment pairs (r8) --------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from flux_spark.llm import dedup
+
+    short = "alpha beta gamma delta"
+    long_ = (
+        "intro words here first " + short + " and then a very long tail "
+        "of completely unrelated filler content going on and on forever "
+        "about spark engines logs brokers partitions offsets and more"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    got = dedup.containment_pairs(df, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_a_in_b == 1.0       # every shingle of A is in B
+    assert r.jaccard < 0.2                    # Jaccard would never flag it
+    assert r.containment_b_in_a < 0.2
+    # the Jaccard op at the same bar indeed misses the pair
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.8).count() == 0

@@ -532,3 +532,34 @@ def test_dedup_store_cap_drops_mega_bucket(spark, tmp_path):
     uncapped.ingest(b1)
     v = {r.doc_id: (r.dup_of, r.is_kept) for r in uncapped.ingest(b2).collect()}
     assert v == {100: (1, False)}
+
+
+def test_int8_topk_stays_jvm_side_and_broadcasts_queries(spark):
+    """int8 quantization + scoring is pure Catalyst (transform/aggregate
+    higher-order functions): no Python/Arrow eval anywhere in the plan,
+    the query side broadcasts, and the corpus is never exchanged before
+    scoring (only the final top-k window shuffles rank-input rows)."""
+    from flux_spark.llm import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, -2.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = executed_plan(similarity.int8_topk(df, df.where("vec_id < 2")))
+    assert "PythonEval" not in plan and "ArrowEval" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_containment_uses_inverted_index_merge_join(spark):
+    """containment_pairs shares the ngram-jaccard plan shape: the shingle
+    equi-join carries the merge hint (both sides corpus-scaled; broadcast
+    off cached stats would not survive 100x)."""
+    from flux_spark.llm import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma tok{i + 1}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = executed_plan(dedup.containment_pairs(df))
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
