@@ -82,8 +82,11 @@ ANALYTICS_HEADLINE = [
     # round-6 additions
     "emb_knn_label_vote",
     "doc_source_mixture",
-    # round-7 additions (benched per VERDICT r7 #4)
-    "emb_knn_label_vote_ivf",
+    # round-7 additions (benched per VERDICT r7 #4; r8 swapped the label
+    # vote to the auto-K variant — the K=8 gate config scans |seeds|/8
+    # per probe, quadratic with the corpus (fixed-config law, SCALE.md);
+    # the gate stays correctness-pinned, the bench times the scale path)
+    "emb_knn_label_vote_ivf_auto",
     "doc_dedup_incremental",
     "events_quantile_sketch",
     # round-8 additions (int8 + RRF are query-broadcast/top-k bounded —

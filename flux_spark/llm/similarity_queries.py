@@ -700,14 +700,17 @@ def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_vote(e, e.where(F.col("vec_id") < 20), k=5)
 
 
-def _knn_vote_ivf_sql(k: int = 5, nprobe: int = 2) -> str:
+def _knn_vote_ivf_sql(
+    k: int = 5, nprobe: int = 2, cen_pred: str = "vec_id < 8"
+) -> str:
     """DuckDB twin of the IVF-backed label vote: same centroid set
-    (vec_id < 8), same labeled/unlabeled split, same tie rules at every
-    stage (assign/probe cos DESC + cid ASC, rank cos DESC + id ASC, vote
-    count DESC + label ASC)."""
+    (``cen_pred``, default the gate-pinned vec_id < 8), same
+    labeled/unlabeled split, same tie rules at every stage (assign/probe
+    cos DESC + cid ASC, rank cos DESC + id ASC, vote count DESC + label
+    ASC)."""
     return f"""
     WITH cen AS (SELECT vec_id AS cid, embedding AS cv
-                 FROM embeddings WHERE vec_id < 8),
+                 FROM embeddings WHERE {cen_pred}),
     lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
             FROM embeddings WHERE vec_id % 4 <> 0),
     q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
@@ -767,6 +770,41 @@ def emb_knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.knn_label_vote_ivf(
         labeled=e.where(F.col("vec_id") % 4 != 0),
+        unlabeled=e.where(F.col("vec_id") % 4 == 0),
+        centroids=centroids,
+        k=5,
+        nprobe=2,
+    )
+
+
+_AUTO_CEN_PRED = (
+    "vec_id < (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 256.0) AS INT)) "
+    "FROM embeddings WHERE vec_id % 4 <> 0)"
+)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_knn_label_vote_ivf_auto",
+    _knn_vote_ivf_sql(cen_pred=_AUTO_CEN_PRED),
+    "IVF label propagation with the centroid count DERIVED from the "
+    "seed-set size (auto_centroids: ceil(n/256)) instead of pinned at 8 "
+    "— the production/bench path (r8, same fixed-configuration law as "
+    "emb_semantic_dedup_auto): with K fixed, each probe scans "
+    "|seeds|/8, so candidate volume grows quadratically with the corpus "
+    "(117M pairs at sf1, 9.9 s); with K ∝ n the probed bucket stays "
+    "~256 seeds and the scan stays linear. The oracle re-derives K from "
+    "COUNT(*) in SQL; everything else identical to emb_knn_label_vote_ivf",
+)
+def emb_knn_label_vote_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    labeled = e.where(F.col("vec_id") % 4 != 0)
+    k_c = similarity.auto_centroids(labeled.count(), target_cluster=256)
+    centroids = e.where(F.col("vec_id") < k_c).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.knn_label_vote_ivf(
+        labeled=labeled,
         unlabeled=e.where(F.col("vec_id") % 4 == 0),
         centroids=centroids,
         k=5,
