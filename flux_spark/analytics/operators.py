@@ -438,3 +438,61 @@ def expectation_report(
     return wide.select(
         F.explode(pairs).alias("r"), F.col("__n").alias("n_checked")
     ).select("r.rule", "r.n_violations", "n_checked")
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Dataset-card profiler: one row per column with row/null/distinct
+    counts and a numeric min/max (doubles; dates as epoch days,
+    timestamps as epoch micros; strings/binary get NULL — cross-engine
+    string formatting of floats is not bit-portable, numeric min/max
+    is).
+
+    Plan shape for 100 TB: one independent column-pruned scan + partial
+    aggregate per column, unioned — total I/O equals reading the table
+    once (parquet is columnar), each leg parallelizes independently, and
+    no EXPAND multiplication ever materializes rows x columns the way a
+    single multi-count-distinct aggregate would. The exact
+    COUNT(DISTINCT) is the gate knob; at warehouse scale swap in
+    approx_count_distinct per leg (same plan shape).
+    """
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    parts = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.NumericType):
+            num = c.cast("double")
+        elif isinstance(f.dataType, T.DateType):
+            num = F.datediff(c, F.lit("1970-01-01").cast("date")).cast(
+                "double"
+            )
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            # NTZ first casts to an instant (session tz is pinned UTC,
+            # session.py:50, so the cast is identity on the wall clock)
+            num = F.unix_micros(c.cast("timestamp")).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        parts.append(
+            df.select(f.name)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(num).alias("min_num"),
+                F.max(num).alias("max_num"),
+            )
+            .select(
+                F.lit(f.name).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_num",
+                "max_num",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

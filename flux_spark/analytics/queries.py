@@ -1269,6 +1269,53 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # domain modules register their entries into the same ANALYTICS_QUERIES dict
+def _profile_col_sql(col: str, dtype: str, num_expr: str | None) -> str:
+    num = num_expr if num_expr else "NULL"
+    mn = f"MIN({num})" if num_expr else "CAST(NULL AS DOUBLE)"
+    mx = f"MAX({num})" if num_expr else "CAST(NULL AS DOUBLE)"
+    return f"""
+    SELECT '{col}' AS "column", '{dtype}' AS dtype,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num
+    FROM orders"""
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "table_profile",
+    "\nUNION ALL".join(
+        _profile_col_sql(c, t, n)
+        for c, t, n in (
+            ("o_orderkey", "bigint", "CAST(o_orderkey AS DOUBLE)"),
+            ("o_custkey", "bigint", "CAST(o_custkey AS DOUBLE)"),
+            ("o_orderstatus", "string", None),
+            ("o_totalprice", "double", "CAST(o_totalprice AS DOUBLE)"),
+            (
+                "o_orderdate",
+                "timestamp_ntz",
+                "CAST(epoch_us(o_orderdate) AS DOUBLE)",
+            ),
+            ("o_orderpriority", "string", None),
+        )
+    ),
+    "dataset-card profiler (r8): one row per column of `orders` with "
+    "row/null/exact-distinct counts and numeric min/max (timestamps as "
+    "epoch micros; strings NULL — float string-formatting is not "
+    "bit-portable, numeric min/max is). Plan: one column-pruned scan + "
+    "partial agg per column, unioned — total I/O = one table read on "
+    "columnar storage, no EXPAND row multiplication; the exact "
+    "COUNT(DISTINCT) swaps for approx_count_distinct at warehouse scale "
+    "(same plan shape). The dtype column pins the read schema itself",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
+
+
 # on import (kept at the bottom so `from .queries import ANALYTICS_QUERIES`
 # always sees the full registry; registry.py holds the dict itself)
 from . import events_queries  # noqa: E402,F401

@@ -72,3 +72,14 @@ def test_all_tables_load(spark, sf_dir):
     for t in TABLES:
         df = load_table(spark, sf_dir, t)
         assert len(df.columns) > 0, t
+
+
+def test_bench_headline_names_resolve():
+    """bench.py silently skips headline names missing from the registry
+    (`if name not in registry: continue`) — a renamed query would drop
+    out of BENCH_r{N} without any error. Pin every headline name to an
+    existing registry entry."""
+    import bench
+
+    missing = [n for n in bench.ANALYTICS_HEADLINE if n not in QUERY_NAMES]
+    assert missing == [], f"bench headline names not in registry: {missing}"
