@@ -1047,3 +1047,37 @@ def synth_jpeg_bytes(seed: int) -> bytes:
         for x in range(w)
     ]
     return encode_jpeg_bytes([plane], w, h, qtable=_FLAT_Q16)
+
+
+def wav_pcm_features(payload: bytes, window: int = 16) -> dict:
+    """Signal-analysis features over a decoded PCM16 mono stream — the
+    audio-curation pre-filter (silence/clipping/energy screens) that runs
+    before any expensive model touches the audio. All-integer math so
+    the stats are engine-exact: energy is the int64 sum of squared
+    samples, zero crossings count sign flips (s >= 0 is positive), peak
+    is max |s|, and a window of ``window`` samples is silent when its
+    peak stays under 1000 (~3% FS).
+
+    Returns dict(n_samples, energy_sum, zero_crossings, peak,
+    n_windows, silent_windows)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("wav_pcm_features: PCM16 mono only")
+        n = w.getnframes()
+        raw = w.readframes(n)
+    s = struct.unpack(f"<{n}h", raw)
+    zc = sum(1 for i in range(n - 1) if (s[i] >= 0) != (s[i + 1] >= 0))
+    n_win = n // window
+    silent = sum(
+        1
+        for wi in range(n_win)
+        if max(abs(v) for v in s[wi * window : (wi + 1) * window]) < 1000
+    )
+    return {
+        "n_samples": n,
+        "energy_sum": sum(v * v for v in s),
+        "zero_crossings": zc,
+        "peak": max((abs(v) for v in s), default=0),
+        "n_windows": n_win,
+        "silent_windows": silent,
+    }

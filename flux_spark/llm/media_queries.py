@@ -238,3 +238,44 @@ def media_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(
         multimodal.with_mp4_media(d), every_n=2
     ).select("doc_id", "frame_idx", "pts_ms", "n_bytes", "byte_sum")
+
+
+_WAV_S = "((d.doc_id * 31 + {k} * 17) % 65536 - 32768)"
+
+
+@register(
+    LLM_QUERIES,
+    "media_audio_features",
+    f"""
+    WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS n
+               FROM documents)
+    SELECT d.doc_id,
+      n AS n_samples,
+      CAST(list_sum(list_transform(generate_series(0, n - 1),
+        k -> CAST({_WAV_S.format(k='k')} AS BIGINT)
+             * {_WAV_S.format(k='k')})) AS BIGINT) AS energy_sum,
+      CAST(list_sum(list_transform(generate_series(0, n - 2),
+        k -> CASE WHEN ({_WAV_S.format(k='k')} >= 0)
+                    <> ({_WAV_S.format(k='(k + 1)')} >= 0)
+             THEN 1 ELSE 0 END)) AS INTEGER) AS zero_crossings,
+      CAST(list_max(list_transform(generate_series(0, n - 1),
+        k -> abs({_WAV_S.format(k='k')}))) AS INTEGER) AS peak,
+      CAST(n // 16 AS INTEGER) AS n_windows,
+      CAST(list_sum(list_transform(generate_series(0, n // 16 - 1),
+        wi -> CASE WHEN list_max(list_transform(
+                generate_series(wi * 16, wi * 16 + 15),
+                k -> abs({_WAV_S.format(k='k')}))) < 1000
+              THEN 1 ELSE 0 END)) AS INTEGER) AS silent_windows
+    FROM d
+    """,
+    "audio-curation pre-filter (r8): integer signal stats over REAL "
+    "decoded WAV payloads — energy (int64 sum of squared PCM16 "
+    "samples), zero crossings, peak amplitude, silent 16-sample windows "
+    "(peak < 1000 ~ 3% FS) — the dead-air/clipping/energy screens an "
+    "audio pipeline runs at scan bandwidth before any model decode. "
+    "All-integer arithmetic, so the oracle recomputes every stat "
+    "symbolically from the synthesis formula",
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.audio_features(multimodal.with_wav_media(d))

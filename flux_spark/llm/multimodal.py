@@ -438,3 +438,35 @@ def sniff_media_type(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.length("media").cast("int").alias("n_bytes"),
         head(8).alias("header_hex"),
     )
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio-curation pre-filter features over real WAV payloads
+    (codecs.wav_pcm_features): integer energy / zero-crossing / peak /
+    silent-window stats — the cheap screens (dead air, clipping, energy
+    floor) a 100 TB audio pipeline runs before any model decode. Same
+    Arrow mapInPandas shape as every decoder here."""
+    from .codecs import wav_pcm_features
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [wav_pcm_features(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_samples": [s["n_samples"] for s in stats],
+                    "energy_sum": [s["energy_sum"] for s in stats],
+                    "zero_crossings": [s["zero_crossings"] for s in stats],
+                    "peak": [s["peak"] for s in stats],
+                    "n_windows": [s["n_windows"] for s in stats],
+                    "silent_windows": [s["silent_windows"] for s in stats],
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} LONG, n_samples INT, energy_sum LONG, "
+            "zero_crossings INT, peak INT, n_windows INT, silent_windows INT"
+        ),
+    )

@@ -1208,3 +1208,65 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("int").alias("fused_rank"),
         )
     )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_matryoshka_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    tr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {similarity.sql_cosine("qv", "cv", 32)} DESC,
+               neighbor_id ASC) AS rnk
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    fu AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {similarity.sql_cosine("qv", "cv", _DIM)} DESC,
+               neighbor_id ASC) AS rnk
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_matched,
+           COUNT(t.neighbor_id) / 10.0 AS recall
+    FROM fu f
+    LEFT JOIN (SELECT query_id, neighbor_id FROM tr WHERE rnk <= 10) t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    WHERE f.rnk <= 10
+    GROUP BY f.query_id
+    """,
+    "matryoshka-truncation recall (r8): rank by cosine over only the "
+    "FIRST 32 of 64 dims (the MRL deploy pattern — half the scan "
+    "bandwidth and index memory) and measure recall@10 against the "
+    "full-dimension exact ranking, per query. Like emb_int8_recall, the "
+    "quality metric of the approximation is itself oracle-gated",
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    half = e.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    q_ids = F.col("vec_id") < 5
+    approx = similarity.brute_force_topk(
+        half, half.where(q_ids), k=10
+    ).select("query_id", "neighbor_id")
+    exact = similarity.brute_force_topk(e, e.where(q_ids), k=10).select(
+        "query_id", F.col("neighbor_id").alias("__en")
+    )
+    return (
+        exact.join(
+            approx,
+            (approx.query_id == exact.query_id)
+            & (approx.neighbor_id == exact.__en),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("neighbor_id").cast("bigint").alias("n_matched"),
+            (F.count("neighbor_id") / F.lit(10.0)).alias("recall"),
+        )
+    )
