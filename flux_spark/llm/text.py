@@ -455,3 +455,88 @@ def unigram_oov(
         n_oov.alias("n_oov"),
         (n_oov.cast("double") / F.count("*").cast("double")).alias("oov_rate"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, SIGMOD —
+    the MOSS plagiarism-detection primitive): hash every k-token gram
+    with the engine's rolling polynomial hash, slide a window of ``w``
+    consecutive gram hashes, and select each window's minimum (leftmost
+    on ties — first-occurrence semantics both engines share via
+    array_position/list_position). The guarantee: any shared token run
+    of length >= w + k - 1 contributes at least one COMMON selected
+    fingerprint, at ~1/w the density of storing every gram — the
+    shift-tolerant sketch for partial-copy detection at corpus scale.
+
+    Pure Catalyst higher-order functions — no shuffle, no Python; one
+    narrow pass per document. Documents shorter than k tokens fall back
+    to a single whole-text gram (word_shingles convention). Returns
+    (.., n_grams, n_windows, n_selected, fp_sum) where fp_sum is the
+    int64 sum of the DISTINCT selected (position, hash) pairs' hashes —
+    order-independent, so exactly oracle-checkable."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = F.size(toks)
+    gram_txts = F.when(
+        n < k, F.array(F.col(text_col))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    roll = lambda g: F.aggregate(  # noqa: E731
+        F.transform(F.split(g, ""), lambda c: F.coalesce(F.ascii(c), F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(FINGERPRINT_MOD)),
+    )
+    out = df.withColumn("__h", F.transform(gram_txts, roll))
+    m = F.size(F.col("__h"))
+    n_win = F.greatest(F.lit(1), m - w + 1)
+    # (pos, hash) encoded as one int64 key = pos * MOD + hash (hash < MOD,
+    # pos corpus-bounded, product far under 2^63) so the distinct runs on
+    # plain longs — portable to engines without struct-list distinct
+    sel = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: (
+            j
+            + F.array_position(
+                F.slice(F.col("__h"), j, w),
+                F.array_min(F.slice(F.col("__h"), j, w)),
+            )
+            - 1
+        ).cast("long")
+        * F.lit(FINGERPRINT_MOD)
+        + F.array_min(F.slice(F.col("__h"), j, w)),
+    )
+    distinct_sel = F.array_distinct(sel)
+    return (
+        out.withColumn("n_grams", m.cast("int"))
+        .withColumn("n_windows", n_win.cast("int"))
+        .withColumn("__sel", distinct_sel)
+        .withColumn("n_selected", F.size("__sel").cast("int"))
+        .withColumn(
+            "fp_sum",
+            F.aggregate(
+                F.col("__sel"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.pmod(s, F.lit(FINGERPRINT_MOD)),
+            ),
+        )
+        # the sketch itself: sorted distinct selected hashes — the column
+        # a partial-copy detector explodes and self-joins on (two docs
+        # sharing a >= w+k-1 token run share at least one entry)
+        .withColumn(
+            "fps",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.col("__sel"),
+                        lambda s: F.pmod(s, F.lit(FINGERPRINT_MOD)),
+                    )
+                )
+            ),
+        )
+        .drop("__h", "__sel")
+    )

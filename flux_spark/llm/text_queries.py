@@ -986,3 +986,106 @@ def doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("upsample_to_uniform"),
     )
+
+
+_WINNOW_ROLL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({g}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * 31 + x) % {text.FINGERPRINT_MOD})"
+)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_winnowing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                                      i -> array_to_string(tk[i:i+2], ' '))
+             END AS grams
+      FROM t),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, g -> {_WINNOW_ROLL.format(g='g')}) AS hs
+      FROM g),
+    sel AS (
+      SELECT doc_id, len(hs) AS n_grams,
+             greatest(1, len(hs) - 3) AS n_windows,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(hs) - 3) + 1),
+               j -> CAST(j + list_position(hs[j:j+3], list_min(hs[j:j+3]))
+                         - 1 AS BIGINT) * {text.FINGERPRINT_MOD}
+                    + list_min(hs[j:j+3]))) AS s
+      FROM h)
+    SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+           CAST(n_windows AS INT) AS n_windows,
+           CAST(len(s) AS INT) AS n_selected,
+           CAST(list_sum(list_transform(s, x -> x % {text.FINGERPRINT_MOD}))
+                AS BIGINT) AS fp_sum
+    FROM sel
+    """,
+    "winnowing fingerprints (Schleimer et al. 2003 — the MOSS partial- "
+    "copy sketch, r8): rolling-hash every 3-token gram, slide a window "
+    "of 4 hashes, select each window's leftmost minimum; any shared run "
+    "of >= 6 tokens contributes a common fingerprint at ~1/4 the density "
+    "of storing every gram. Pure Catalyst higher-order functions, no "
+    "shuffle; the oracle replays gram hashing, window minima, tie rule "
+    "and the distinct-(pos,hash) sum symbolically",
+)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.winnow_fingerprints(d).select(
+        "doc_id", "n_grams", "n_windows", "n_selected", "fp_sum"
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_langid_accuracy",
+    _lang_sql().replace(
+        """SELECT doc_id, score_en, score_fr, score_de,
+      CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+           WHEN score_fr >= score_de THEN 'fr'
+           ELSE 'de' END AS pred_lang
+    FROM scored""",
+        """, pred AS (
+      SELECT s.doc_id, d.lang AS true_lang,
+        CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+             WHEN score_fr >= score_de THEN 'fr'
+             ELSE 'de' END AS pred_lang
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+    SELECT true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           true_lang = pred_lang AS is_correct
+    FROM pred GROUP BY true_lang, pred_lang""",
+    ),
+    "language-ID confusion matrix (r8): the detector's predictions "
+    "against the corpus's labeled lang column, one row per (true, "
+    "predicted) pair — the quality report that tells a curation "
+    "pipeline WHERE the cheap n-gram detector is trustworthy (the "
+    "fixture corpus includes zh/es docs the 3-language marker set "
+    "cannot predict, so the matrix exposes the coverage gap, not just "
+    "the error rate). The detector itself is the doc_language_id gate; "
+    "this gates its measured accuracy",
+)
+def doc_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pred = text.with_language_id(d.select("doc_id", "text"))
+    return (
+        pred.join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("true_lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+    )

@@ -1281,3 +1281,33 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert r.containment_b_in_a < 0.2
     # the Jaccard op at the same bar indeed misses the pair
     assert dedup.ngram_jaccard_pairs(df, threshold=0.8).count() == 0
+
+
+# -- winnowing fingerprints (r8) ---------------------------------------------
+
+
+def test_winnowing_guarantee_and_shift_invariance(spark):
+    """The winnowing guarantee (k=3, w=4): two documents sharing a token
+    run of >= w + k - 1 = 6 tokens select at least one COMMON
+    fingerprint, regardless of where the run sits in either doc; docs
+    with no shared run share nothing."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    rows = [
+        (1, shared + " completely different tail content here now"),
+        (2, "unrelated lead tokens first then " + shared),
+        (3, "nothing in common with either of those two documents at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.winnow_fingerprints(df).collect()}
+    f1, f2, f3 = (set(out[i].fps) for i in (1, 2, 3))
+    assert f1 & f2, "shared 6-token run must yield a common fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
+    # density: selection keeps ~1/w of the grams, never more than windows
+    for r in out.values():
+        assert 1 <= r.n_selected <= r.n_windows
+        assert r.fp_sum == sum(r.fps)
+
+    # short-doc fallback: < k tokens -> single whole-text gram
+    tiny = spark.createDataFrame([(9, "ab cd")], "doc_id long, text string")
+    t = text.winnow_fingerprints(tiny).collect()[0]
+    assert (t.n_grams, t.n_windows, t.n_selected) == (1, 1, 1)
