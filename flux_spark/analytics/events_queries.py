@@ -1314,3 +1314,90 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count_distinct("user_id").cast("double")
         ).alias("stickiness"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_point_in_time_join",
+    """
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    states AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM changes WHERE prev IS DISTINCT FROM event_type),
+    merged AS (
+      SELECT user_id, ts, event_id, 1 AS side, state, NULL AS q_id
+      FROM states
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS side, NULL, event_id
+      FROM events WHERE event_type = 'purchase'),
+    filled AS (
+      SELECT user_id, ts, q_id,
+             LAST_VALUE(state IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS state_at_event
+      FROM merged)
+    SELECT CAST(q_id AS BIGINT) AS event_id, user_id, ts, state_at_event
+    FROM filled WHERE q_id IS NOT NULL
+    """,
+    "point-in-time (feature-store) join (r8): each purchase event is "
+    "joined to the user's SCD2 state STRICTLY BEFORE the event "
+    "timestamp — the temporal-correctness primitive that prevents label "
+    "leakage when assembling training examples (a feature computed at "
+    "or after the label's timestamp must never be visible). Merge-scan "
+    "form: states and query events union into one frame and a single "
+    "last_value-ignore-nulls window over (ts, side, event_id) resolves "
+    "the as-of lookup — one shuffle keyed on user_id, NO inequality "
+    "join, no per-row subquery (the plan a range join would need "
+    "degenerates to broadcast-nested-loop at scale)",
+)
+def events_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    states = changes.where(
+        ~F.col("prev").eqNullSafe(F.col("event_type"))
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("long").alias("q_id"),
+    )
+    queries = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("string").alias("state"),
+        F.col("event_id").alias("q_id"),
+    )
+    merged = states.unionByName(queries)
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        merged.withColumn(
+            "state_at_event",
+            F.last("state", ignorenulls=True).over(w_fill),
+        )
+        .where(F.col("q_id").isNotNull())
+        .select(
+            F.col("q_id").alias("event_id"),
+            "user_id",
+            "ts",
+            "state_at_event",
+        )
+    )

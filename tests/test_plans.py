@@ -563,3 +563,16 @@ def test_containment_uses_inverted_index_merge_join(spark):
     plan = executed_plan(dedup.containment_pairs(df))
     assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_point_in_time_join_is_window_not_range_join(spark, sf):
+    """The PIT (feature-store) join must stay in merge-scan form: one
+    window over a union — a real range/inequality join would degenerate
+    to BroadcastNestedLoop at scale (same guard as events_asof)."""
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["events_point_in_time_join"].fn(spark, sf)
+    )
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
