@@ -1270,3 +1270,165 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("neighbor_id") / F.lit(10.0)).alias("recall"),
         )
     )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS negative_id, embedding AS cv, label AS cl
+          FROM embeddings),
+    scored AS (
+      SELECT anchor_id, negative_id,
+             {similarity.sql_cosine("qv", "cv", _DIM)} AS cos_sim
+      FROM q CROSS JOIN c
+      WHERE cl IS DISTINCT FROM ql AND negative_id <> anchor_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, negative_id ASC)
+                  AS rnk
+      FROM scored)
+    SELECT anchor_id, negative_id, cos_sim, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= 3
+    """,
+    "hard-negative mining for contrastive training (r8): per anchor, "
+    "the top-3 highest-cosine vectors carrying a DIFFERENT label — the "
+    "near-misses that make contrastive/triplet losses learn anything "
+    "(random negatives are trivially separable). Same broadcast-anchors "
+    "/ one-corpus-pass / per-anchor-window plan as brute-force top-k "
+    "with the label-mismatch predicate fused into the scan; exact "
+    "cosine, deterministic ties, oracle-exact",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("__cl"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            ~F.col("__cl").eqNullSafe(F.col("__ql"))
+            & (F.col("negative_id") != F.col("anchor_id"))
+        )
+        .withColumn(
+            "cos_sim", similarity.cosine(F.col("__qv"), F.col("__cv"))
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_training_triplets",
+    f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding AS cv, label AS cl FROM embeddings),
+    pos AS (
+      SELECT anchor_id, vec_id AS positive_id, cos_sim AS cos_pos FROM (
+        SELECT anchor_id, vec_id,
+               {similarity.sql_cosine("qv", "cv", _DIM)} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY
+                 {similarity.sql_cosine("qv", "cv", _DIM)} DESC,
+                 vec_id ASC) AS rnk
+        FROM q CROSS JOIN c
+        WHERE cl = ql AND vec_id <> anchor_id)
+      WHERE rnk = 1),
+    neg AS (
+      SELECT anchor_id, vec_id AS negative_id, cos_sim AS cos_neg FROM (
+        SELECT anchor_id, vec_id,
+               {similarity.sql_cosine("qv", "cv", _DIM)} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY
+                 {similarity.sql_cosine("qv", "cv", _DIM)} DESC,
+                 vec_id ASC) AS rnk
+        FROM q CROSS JOIN c
+        WHERE cl IS DISTINCT FROM ql AND vec_id <> anchor_id)
+      WHERE rnk = 1)
+    SELECT p.anchor_id, p.positive_id, n.negative_id, p.cos_pos, n.cos_neg,
+           p.cos_pos - n.cos_neg AS margin,
+           p.cos_pos - n.cos_neg > 0.0 AS satisfied
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    """,
+    "contrastive triplet assembly (r8): per anchor, the nearest "
+    "same-label vector (positive) and the nearest different-label "
+    "vector (hardest negative) with the triplet margin cos_pos - "
+    "cos_neg and a satisfied flag — the (a, p, n) training-example prep "
+    "for triplet/InfoNCE losses, and the margin audit that tells you "
+    "which anchors are currently violated. One corpus pass scores both "
+    "roles (label predicate splits it), everything else is per-anchor "
+    "windows over broadcast-sized rows",
+)
+def emb_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    c = e.select(
+        "vec_id", F.col("embedding").alias("__cv"), F.col("label").alias("__cl")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .withColumn(
+            "cos_sim", similarity.cosine(F.col("__qv"), F.col("__cv"))
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+
+    def top1(df):
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .drop("__r")
+        )
+
+    pos = top1(scored.where(F.col("__cl") == F.col("__ql"))).select(
+        "anchor_id",
+        F.col("vec_id").alias("positive_id"),
+        F.col("cos_sim").alias("cos_pos"),
+    )
+    neg = top1(
+        scored.where(~F.col("__cl").eqNullSafe(F.col("__ql")))
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        F.col("cos_sim").alias("cos_neg"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "cos_pos",
+        "cos_neg",
+        (F.col("cos_pos") - F.col("cos_neg")).alias("margin"),
+        (F.col("cos_pos") - F.col("cos_neg") > 0.0).alias("satisfied"),
+    )
