@@ -52,7 +52,10 @@ ANALYTICS_HEADLINE = [
     "doc_dedup_minhash_lsh",
     "doc_simhash",
     "ann_cosine_topk",
-    "emb_near_dup_lsh",
+    # r8: _auto replaces the pinned-8-plane variant (fixed-config law:
+    # candidate volume ~ n^2/2^planes, measured 67 s at sf10; auto keeps
+    # planes ~ log2(n) and the gate variant stays correctness-pinned)
+    "emb_near_dup_lsh_auto",
     "events_funnel",
     "events_hll_registers",
     "orders_market_basket",
