@@ -798,3 +798,58 @@ def doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(root, ignore_errors=True)
     return v1.unionByName(v2)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_duplication_density",
+    _CORPUS_CTE
+    + _SHINGLE_CTES
+    + """
+, __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __df AS (SELECT g, COUNT(*) AS df FROM __ex GROUP BY g)
+, __per AS (
+  SELECT e.doc_id, e.n_sh,
+         SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM __ex e JOIN __df d ON d.g = e.g
+  GROUP BY e.doc_id, e.n_sh)
+SELECT doc_id, CAST(n_sh AS INT) AS n_shingles,
+       CAST(n_dup AS INT) AS n_duplicated,
+       CAST(n_dup AS DOUBLE) / n_sh AS dup_density,
+       CAST(n_dup AS DOUBLE) / n_sh >= 0.8 AS high_risk
+FROM __per
+""",
+    "corpus-level duplication density (r8, the Lee et al. 2022 "
+    "memorization-risk screen): per document, the fraction of its "
+    "3-token shingles occurring >= 2 times corpus-wide — distinct "
+    "from within-doc repetition (Gopher) "
+    "and pairwise Jaccard: it flags docs assembled from corpus-common "
+    "material even when no single near-dup partner exists. Plan: "
+    "shingle DF table partial-aggregates, the join back keys on the "
+    "shingle (both sides corpus-scaled), one groupBy per doc",
+)
+def doc_duplication_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import word_shingles
+
+    d = dup_corpus(spark, sf_dir)
+    ex = d.select(
+        "doc_id", word_shingles("text", 3).alias("__sh")
+    ).select(
+        "doc_id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__g")
+    )
+    df_tab = ex.groupBy("__g").agg(F.count("*").alias("__df"))
+    per = (
+        ex.join(df_tab.hint("shuffle_hash"), "__g")
+        .groupBy("doc_id", "__n")
+        .agg(
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("__nd")
+        )
+    )
+    dens = F.col("__nd").cast("double") / F.col("__n")
+    return per.select(
+        "doc_id",
+        F.col("__n").cast("int").alias("n_shingles"),
+        F.col("__nd").cast("int").alias("n_duplicated"),
+        dens.alias("dup_density"),
+        (dens >= 0.8).alias("high_risk"),
+    )
