@@ -824,15 +824,17 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_bytes(payload: bytes) -> dict:
+def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline sequential JPEG (SOF0, Huffman, 8-bit samples,
     1x1 sampling — grayscale or 4:4:4 color): full marker walk, DQT/DHT
     as found in the file, byte de-stuffing, DRI restart intervals,
     dequantize + float IDCT + level shift per block. Color output is
-    JFIF YCbCr -> RGB (BT.601 full range). Returns dict(width, height,
-    channels, pixel_sum) with pixel_sum over all output channels.
-    Raises ValueError on structural corruption, progressive (SOF2),
-    subsampled, or arithmetic-coded streams — the quarantine signal."""
+    JFIF YCbCr -> RGB (BT.601 full range). Returns (width, height,
+    channels, pixel_bytes) with samples interleaved row-major — the
+    same contract as :func:`png_pixels`, so transcode/resize pipelines
+    compose the two decoders interchangeably. Raises ValueError on
+    structural corruption, progressive (SOF2), subsampled, or
+    arithmetic-coded streams — the quarantine signal."""
     import numpy as np
 
     d = payload
@@ -1005,15 +1007,24 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
                     )
                     for c in (r, g, b)
                 ]
-            return {
-                "width": w,
-                "height": h,
-                "channels": len(out),
-                "pixel_sum": int(sum(int(o.sum()) for o in out)),
-            }
+            arrs = [o.astype(np.uint8) for o in out]
+            pix = (
+                arrs[0].tobytes()
+                if len(arrs) == 1
+                else np.stack(arrs, axis=-1).tobytes()
+            )
+            return w, h, len(arrs), pix
         # APPn, COM, others: skip body
         pos += seglen
     raise ValueError("no SOS marker (not a decodable JPEG)")
+
+
+def decode_jpeg_bytes(payload: bytes) -> dict:
+    """Stats wrapper over :func:`jpeg_pixels` (the shape the decode
+    oracles compare): dict(width, height, channels, pixel_sum) with
+    pixel_sum over all output channels."""
+    w, h, ch, pix = jpeg_pixels(payload)
+    return {"width": w, "height": h, "channels": ch, "pixel_sum": sum(pix)}
 
 
 def synth_jpeg_dims(seed: int) -> tuple[int, int]:
@@ -1081,3 +1092,35 @@ def wav_pcm_features(payload: bytes, window: int = 16) -> dict:
         "n_windows": n_win,
         "silent_windows": silent,
     }
+
+
+def encode_png_bytes(
+    pixels: bytes, width: int, height: int, channels: int
+) -> bytes:
+    """Encode interleaved 8-bit samples as a real PNG (filter-0
+    scanlines, one IDAT) — the re-encode half every transcode/resize
+    pipeline shares. ``channels`` 1/2/3/4 map to gray/gray+alpha/RGB/
+    RGBA color types."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * channels
+    rows = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride]
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(rows))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Magic-number dispatch to the right REAL pixel decoder: PNG
+    (:func:`png_pixels`) or baseline JPEG (:func:`jpeg_pixels`). The
+    uniform (w, h, channels, interleaved bytes) contract is what lets
+    transcode/resize treat sources interchangeably."""
+    if payload[:3] == b"\xff\xd8\xff":
+        return jpeg_pixels(payload)
+    return png_pixels(payload)

@@ -279,3 +279,37 @@ _WAV_S = "((d.doc_id * 31 + {k} * 17) % 65536 - 32768)"
 def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.audio_features(multimodal.with_wav_media(d))
+
+
+@register(
+    LLM_QUERIES,
+    "media_transcode_png",
+    """
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(64 * list_sum(flatten(list_transform(
+             generate_series(0, CAST(1 + doc_id % 3 AS INTEGER)), bx ->
+               list_transform(
+                 generate_series(0, CAST(doc_id % 2 AS INTEGER)), by ->
+                   least(255, greatest(0,
+                     2 * CAST(floor((((doc_id * 7 + bx * 13 + by * 29)
+                                      % 256) - 127) / 2.0) AS BIGINT)
+                     + 128))))))
+             AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    "REAL JPEG -> PNG transcoding (r8): synthesize a genuine JFIF file, "
+    "decode it through the full baseline pipeline, re-encode the pixels "
+    "as a grayscale PNG, then decode THAT back — three codec passes "
+    "chained (JPEG decode, PNG encode, PNG decode), and the final stats "
+    "must still equal the symbolic JPEG-decode formula because PNG is "
+    "lossless. The normalize-to-one-format pass of a multimodal "
+    "ingestion pipeline; a corrupted byte in any of the three codec "
+    "directions fails the value hash",
+)
+def media_transcode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    png = multimodal.transcode_to_png(multimodal.with_jpeg_media(d))
+    return multimodal.decode_image(png)

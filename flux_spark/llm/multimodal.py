@@ -267,29 +267,15 @@ def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id"
     """REAL resize: PNG decode -> nearest-neighbor resample -> PNG
     re-encode, batched in the same mapInPandas shape. Returns
     (id, media) with the resized PNG payload."""
-    from .codecs import _CHANNELS, _PNG_SIG, _chunk, png_pixels, resize_nearest
-    import struct as _struct
-    import zlib as _zlib
+    from .codecs import encode_png_bytes, image_pixels, resize_nearest
 
     def rez(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for b in pdf["media"]:
-                w, h, ch, pixels = png_pixels(bytes(b))
+                w, h, ch, pixels = image_pixels(bytes(b))
                 resized = resize_nearest(pixels, w, h, ch, width, height)
-                color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-                ihdr = _struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-                stride = width * ch
-                rows = b"".join(
-                    b"\x00" + resized[y * stride : (y + 1) * stride]
-                    for y in range(height)
-                )
-                out.append(
-                    _PNG_SIG
-                    + _chunk(b"IHDR", ihdr)
-                    + _chunk(b"IDAT", _zlib.compress(rows))
-                    + _chunk(b"IEND", b"")
-                )
+                out.append(encode_png_bytes(resized, width, height, ch))
             yield pd.DataFrame({id_col: pdf[id_col].values, "media": out})
 
     return df.select(id_col, "media").mapInPandas(
@@ -469,4 +455,27 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             f"{id_col} LONG, n_samples INT, energy_sum LONG, "
             "zero_crossings INT, peak INT, n_windows INT, silent_windows INT"
         ),
+    )
+
+
+def transcode_to_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL format transcoding: decode any supported image payload (PNG
+    or baseline JPEG, dispatched by magic number) to pixels and
+    re-encode as PNG — the normalize-to-one-format pass a multimodal
+    ingestion pipeline runs so every downstream consumer handles a
+    single codec. Pixel-exact by construction (PNG is lossless; the
+    JPEG loss already happened at original encode time). Same Arrow
+    mapInPandas shape; returns (id, media) with the PNG payload."""
+    from .codecs import encode_png_bytes, image_pixels
+
+    def tr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["media"]:
+                w, h, ch, pixels = image_pixels(bytes(b))
+                out.append(encode_png_bytes(pixels, w, h, ch))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "media": out})
+
+    return df.select(id_col, "media").mapInPandas(
+        tr, schema=f"{id_col} LONG, media BINARY"
     )
