@@ -313,3 +313,36 @@ def media_transcode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     png = multimodal.transcode_to_png(multimodal.with_jpeg_media(d))
     return multimodal.decode_image(png)
+
+
+@register(
+    LLM_QUERIES,
+    "media_resize",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                      CAST(3 + doc_id % 4 AS INTEGER) AS h
+               FROM documents)
+    SELECT doc_id,
+           CAST(10 AS INTEGER) AS width,
+           CAST(7 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(list_sum(flatten(list_transform(generate_series(0, 6), y ->
+             flatten(list_transform(generate_series(0, 9), x ->
+               list_transform(generate_series(0, 2), c ->
+                 (doc_id * 7
+                  + ((y * h // 7) * w + (x * w // 10)) * 3 + c) % 256))))))
+             AS BIGINT) AS pixel_sum
+    FROM d
+    """,
+    "REAL image resize (r8 gate for the r5 operator): PNG decode -> "
+    "nearest-neighbor resample to 10x7 -> PNG re-encode -> decode back; "
+    "the oracle recomputes every resampled pixel symbolically (source "
+    "index y*h//7, x*w//10 per target cell) so the resampling "
+    "arithmetic, both PNG codec directions, and the Arrow plumbing are "
+    "all under the value hash",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    resized = multimodal.resize_images(multimodal.with_png_media(d), 10, 7)
+    return multimodal.decode_image(resized)
