@@ -1255,3 +1255,80 @@ def int8_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def sign_pack_codes(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """1-bit sign quantization: bit i set when x_i >= 0, packed into TWO
+    int64 words of 32 dims each (shifts stay < 32 so the packing is
+    portable to engines where a 63-bit shift wraps). 64 bytes/dim
+    float32 -> 8 bytes/vector: the most aggressive embedding compression
+    tier, ranked by Hamming distance (popcount of XOR)."""
+    v = F.col(vec_col)
+
+    def pack(lo: int) -> Column:
+        # MSB-first multiplication fold (acc*2 + bit over i = 31..0), so
+        # no shift-by-column is needed and the max value 2^32-1 can
+        # never overflow — bit i of the result is dim lo+i's sign bit
+        return F.aggregate(
+            F.sequence(F.lit(31), F.lit(0), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(
+                F.element_at(v, (i + 1 + lo).cast("int")) >= 0, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+
+    return df.select(
+        F.col(id_col), pack(0).alias("code_lo"), pack(32).alias("code_hi")
+    )
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hamming top-k over sign-packed codes: XOR + popcount on two int64
+    words per pair — integer-exact, so even this roughest approximation
+    ranks identically in any engine. Broadcast queries, one corpus pass,
+    per-query window; ties break (hamming ASC, neighbor_id ASC)."""
+    from pyspark.sql import Window
+
+    cq = sign_pack_codes(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("code_lo").alias("__cl"),
+        F.col("code_hi").alias("__ch"),
+    )
+    qq = sign_pack_codes(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("code_lo").alias("__ql"),
+        F.col("code_hi").alias("__qh"),
+    )
+    ham = (
+        F.bit_count(F.col("__cl").bitwiseXOR(F.col("__ql")))
+        + F.bit_count(F.col("__ch").bitwiseXOR(F.col("__qh")))
+    ).cast("int")
+    scored = (
+        cq.join(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", ham)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1432,3 +1432,117 @@ def emb_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cos_pos") - F.col("cos_neg")).alias("margin"),
         (F.col("cos_pos") - F.col("cos_neg") > 0.0).alias("satisfied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit sign quantization + Hamming retrieval (r8)
+# ---------------------------------------------------------------------------
+
+def _sign_pack_sql(col: str, lo: int) -> str:
+    # MSB-first multiplication fold, twin of sign_pack_codes: acc*2 + bit
+    # over i = 31..0 (no shifts, no overflow)
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(31, -1, -1), "
+        f"i -> CASE WHEN {col}[CAST(i + 1 + {lo} AS INT)] >= 0 "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+        "(acc, x) -> acc * 2 + x)"
+    )
+
+
+_BIN_CTE = f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_sign_pack_sql('embedding', 0)} AS code_lo,
+         {_sign_pack_sql('embedding', 32)} AS code_hi,
+         embedding
+  FROM embeddings),
+bh AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.code_lo, c.code_lo))
+              + bit_count(xor(q.code_hi, c.code_hi)) AS INT) AS hamming
+  FROM codes q CROSS JOIN codes c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+bhr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+  FROM bh)
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "emb_binary_hamming_topk",
+    _BIN_CTE
+    + """
+    SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS "rank"
+    FROM bhr WHERE rnk <= 10
+    """,
+    "1-bit sign quantization + Hamming top-10 (r8): each 64-dim float32 "
+    "vector packs to TWO int64 words (sign bit per dim, shifts < 32 so "
+    "the packing is engine-portable) — 32x less memory than float32, "
+    "ranked by XOR popcount. The roughest tier of the quantization "
+    "ladder (float32 -> int8 -> 1-bit), integer-exact so even this "
+    "approximation oracle-checks bit-for-bit",
+)
+def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.binary_hamming_topk(
+        e, e.where(F.col("vec_id") < 5), k=10
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_binary_recall",
+    _BIN_CTE
+    + f"""
+    , exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {similarity.sql_cosine("q.embedding", "c.embedding", _DIM)}
+               AS cos_sim
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    exr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC)
+                  AS rnk
+      FROM exact)
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_matched,
+           COUNT(a.neighbor_id) / 10.0 AS recall
+    FROM exr e
+    LEFT JOIN (SELECT query_id, neighbor_id FROM bhr WHERE rnk <= 10) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    WHERE e.rnk <= 10
+    GROUP BY e.query_id
+    """,
+    "recall@10 of the 1-bit Hamming ranking vs exact cosine — completes "
+    "the gated quantization-quality ladder (emb_int8_recall, "
+    "emb_matryoshka_recall, this): every compression tier's quality "
+    "metric is itself oracle-exact, so a quantizer regression shows as "
+    "a failed gate, not a quiet quality drop",
+)
+def emb_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    approx = similarity.binary_hamming_topk(e, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    exact = similarity.brute_force_topk(e, q, k=10).select(
+        "query_id", F.col("neighbor_id").alias("__en")
+    )
+    return (
+        exact.join(
+            approx,
+            (approx.query_id == exact.query_id)
+            & (approx.neighbor_id == exact.__en),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("neighbor_id").cast("bigint").alias("n_matched"),
+            (F.count("neighbor_id") / F.lit(10.0)).alias("recall"),
+        )
+    )
