@@ -98,6 +98,7 @@ ANALYTICS_HEADLINE = [
     # output-bound on the synthetic near-dup wall at sf10+)
     "emb_int8_topk",
     "doc_hybrid_retrieval",
+    "emb_binary_hamming_topk",
 ]
 
 

@@ -576,3 +576,19 @@ def test_point_in_time_join_is_window_not_range_join(spark, sf):
     )
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_binary_hamming_stays_jvm_side(spark):
+    """1-bit packing + XOR/popcount scoring is pure Catalyst — no
+    Python/Arrow eval; queries broadcast (same guard as int8)."""
+    from flux_spark.llm import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0] * 64) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = executed_plan(
+        similarity.binary_hamming_topk(df, df.where("vec_id < 2"))
+    )
+    assert "PythonEval" not in plan and "ArrowEval" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
