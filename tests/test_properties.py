@@ -99,3 +99,85 @@ def test_murmur2_kafka_reference_vectors():
         got = murmur2(data)
         signed = got - (1 << 32) if got >= (1 << 31) else got
         assert signed == expected, (data, signed, expected)
+
+
+# -- JPEG codec properties (r8) ----------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    q=st.sampled_from([1, 4, 16, 32]),
+    ri=st.sampled_from([0, 2, 5]),
+)
+def test_jpeg_roundtrip_error_bounded(seed, w, h, q, ri):
+    """decode(encode(img)) error is bounded by the quantization step:
+    each of the 64 coefficients moves at most q/2, and the orthonormal
+    IDCT maps that into at most sum(|dC|)/8 per pixel -> 4q. Holds for
+    every size (including non-multiples of 8), any flat table, with or
+    without restart markers."""
+    import numpy as np
+
+    from flux_spark.llm.codecs import decode_jpeg_bytes, encode_jpeg_bytes, jpeg_pixels
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+    payload = encode_jpeg_bytes(
+        [img.reshape(-1).tolist()], w, h, qtable=[q] * 64, restart_interval=ri
+    )
+    gw, gh, ch, pix = jpeg_pixels(payload)
+    assert (gw, gh, ch) == (w, h, 1)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(h, w).astype(np.float64)
+    assert np.abs(got - img).max() <= 4 * q + 1
+    # stats wrapper agrees with the pixel contract
+    assert decode_jpeg_bytes(payload)["pixel_sum"] == int(got.sum())
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    tokens=st.lists(
+        st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+        min_size=1,
+        max_size=40,
+    ),
+    prefix=st.lists(
+        st.sampled_from("xx yy zz ww".split()), min_size=0, max_size=8
+    ),
+)
+def test_winnowing_shift_invariant_guarantee(tokens, prefix):
+    """Property form of the winnowing guarantee: prefixing a document
+    with arbitrary junk never erases all common fingerprints as long as
+    the original is >= w + k - 1 = 6 tokens long (the selected minima
+    inside the shared run survive any shift)."""
+    from flux_spark.llm.text import FINGERPRINT_MOD
+
+    if len(tokens) < 6:
+        return
+    base = " ".join(tokens)
+    shifted = " ".join(prefix + tokens)
+
+    # Spark-free replay of the operator's exact algorithm
+    def fps(text, k=3, w=4):
+        tk = [t for t in text.split(" ") if t]
+        grams = (
+            [text]
+            if len(tk) < k
+            else [" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        )
+        def roll(g):
+            acc = 0
+            for c in g:
+                acc = (acc * 31 + ord(c)) % FINGERPRINT_MOD
+            return acc
+        hs = [roll(g) for g in grams]
+        n_win = max(1, len(hs) - w + 1)
+        out = set()
+        for j in range(n_win):
+            win = hs[j : j + w]
+            m = min(win)
+            out.add(m)
+        return out
+
+    assert fps(base) & fps(shifted)
