@@ -99,6 +99,9 @@ ANALYTICS_HEADLINE = [
     "emb_int8_topk",
     "doc_hybrid_retrieval",
     "emb_binary_hamming_topk",
+    # composed IVF-PQ: corpus scanned once into codes (Arrow kernels,
+    # zero shuffle), per-probe LUTs broadcast — linear in the corpus
+    "emb_ivf_pq_topk",
 ]
 
 

@@ -1166,6 +1166,266 @@ def sql_pq_adc_topk(
 
 
 # ---------------------------------------------------------------------------
+# composed IVF-PQ (IVFADC, Jegou et al. 2011 §IV) — the billion-scale
+# architecture both halves exist for: IVF prunes the candidate set to
+# nprobe buckets, PQ compresses what remains to n_sub bytes, and the
+# residual encoding (vector MINUS its assigned centroid) is what makes
+# the two compose losslessly-enough — residuals are centered near zero,
+# so a shared codebook quantizes every bucket well. This is FAISS's
+# IndexIVFPQ; at 100 TB the corpus is scanned once (assignment + codes,
+# both per-row Arrow kernels, zero shuffle), the query side's per-probe
+# LUTs broadcast, and only the top-k window shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _pq_residual_scored(
+    cents: list[tuple[int, list[float]]],
+    codebook: list[tuple[int, list[float]]],
+    n_sub: int,
+    dim: int,
+):
+    """Arrow kernel: per-subspace squared-L2 distance arrays from each
+    row's RESIDUAL (vector minus the centroid named by its ``bucket``
+    column) to every codebook entry — the encoding/LUT kernel of IVF-PQ.
+
+    IEEE discipline matches :func:`_pq_scored`: the residual is computed
+    once in float64, then each ``((v - cent) - cb)^2`` accumulates
+    left-to-right over the sub dimensions, bit-identical to the DuckDB
+    ``((v[i] - centv[i]) - c.cv[i])`` fold. NULL vectors emit
+    ``[[NULL] * n_codes] * n_sub`` like the non-residual kernel.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = {c: v for c, v in cents}
+    cb_mat = [v for _, v in codebook]
+    sub = dim // n_sub
+
+    @pandas_udf("array<array<double>>")
+    def _dists(vec, bucket):
+        import numpy as np
+        import pandas as pd
+
+        CB = np.array(cb_mat, dtype=np.float64)
+        vals = vec.tolist()
+        bks = bucket.tolist()
+        null_mask = [v is None or b is None for v, b in zip(vals, bks)]
+        V = np.array(
+            [[0.0] * dim if v is None else list(v) for v in vals],
+            dtype=np.float64,
+        )
+        C = np.array(
+            [
+                [0.0] * dim if (b is None or b not in cent_rows)
+                else cent_rows[b]
+                for b in bks
+            ],
+            dtype=np.float64,
+        )
+        R = V - C  # the residual, computed once like the SQL subexpression
+        n_codes = CB.shape[0]
+        per_sc = []
+        for s in range(n_sub):
+            row = []
+            for c in range(n_codes):
+                acc = np.zeros(len(R))
+                for j in range(sub):
+                    diff = R[:, s * sub + j] - CB[c, s * sub + j]
+                    acc = acc + diff * diff
+                row.append(acc)
+            per_sc.append(row)
+        out = [
+            [[None] * n_codes for _ in range(n_sub)]
+            if null_mask[r]
+            else [
+                [per_sc[s][c][r] for c in range(n_codes)]
+                for s in range(n_sub)
+            ]
+            for r in range(len(V))
+        ]
+        return pd.Series(out)
+
+    return _dists
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    code_id_col: str = "code_id",
+    n_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Composed IVF-PQ top-k (FAISS IndexIVFPQ / IVFADC): each corpus
+    vector is assigned to its max-cosine centroid, its residual
+    product-quantized against a shared codebook; each query probes its
+    ``nprobe`` nearest centroids and, PER PROBED BUCKET, builds an ADC
+    lookup table from its residual relative to THAT centroid (the part
+    plain PQ search skips — residual LUTs are bucket-relative). A
+    candidate's approximate distance is ``n_sub`` table lookups; ranking
+    is (adc_dist asc, neighbor_id asc) over all probed buckets.
+
+    Plan shape for 100 TB: centroids + codebook are driver-side models
+    (K + n_codes rows); corpus assignment and encoding are per-row Arrow
+    kernels (zero shuffle — the corpus is scanned once and reduced to
+    ``n_sub``-byte codes); the query side (n_q x nprobe LUT rows)
+    broadcasts into the bucket join, so corpus embeddings never move.
+    Only the final top-k window shuffles, keyed by query.
+    """
+    from pyspark.sql import Window
+
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id_col, vec_col).collect()
+    )
+    cb = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in codebook.select(code_id_col, vec_col).collect()
+    )
+    res_scored = _pq_residual_scored(cents, cb, n_sub, dim)
+    assign = _centroid_assign_arrow(cents)
+    probe = _centroid_probe_arrow(cents, nprobe)
+
+    enc = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        )
+        .withColumn("bucket", assign(F.col("__v")))
+        .withColumn("__ds", res_scored(F.col("__v"), F.col("bucket")))
+        .select("neighbor_id", "bucket", _pq_codes_expr().alias("__codes"))
+    )
+    qp = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("bucket", F.explode(probe(F.col("__qv"))))
+        .withColumn("__qds", res_scored(F.col("__qv"), F.col("bucket")))
+        .select("query_id", "bucket", "__qds")
+    )
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_sub)),
+            lambda s: F.element_at(
+                F.element_at(F.col("__qds"), s.cast("int")),
+                F.element_at(F.col("__codes"), s.cast("int")) + F.lit(1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.join(F.broadcast(qp), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sql_ivf_pq_topk(
+    n_centroids: int = 8,
+    n_codes: int = 16,
+    nprobe: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+    n_sub: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk` with the gate's seed
+    conventions (centroids = vec_id < n_centroids, codebook = vec_id <
+    n_codes, queries = vec_id < n_queries) — the whole composition
+    (assignment, residual encode, per-probe LUT, ADC rank) re-derived
+    symbolically."""
+    sub = dim // n_sub
+    d_exprs = ", ".join(
+        f"""list_transform(cb, c -> list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, {sub + 1}), j ->
+                  ((v[{s * sub} + j] - centv[{s * sub} + j])
+                   - c.cv[{s * sub} + j])
+                  * ((v[{s * sub} + j] - centv[{s * sub} + j])
+                     - c.cv[{s * sub} + j]))),
+              (acc, x) -> acc + x))"""
+        for s in range(n_sub)
+    )
+    cos_a = sql_cosine("c.v", "n.cv", dim)
+    cos_q = sql_cosine("q.v", "n.cv", dim)
+    return f"""
+    WITH cen AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < {n_centroids}),
+    cbrow AS (
+      SELECT list(struct_pack(
+               cid := vec_id,
+               cv := list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             ORDER BY vec_id) AS cb
+      FROM embeddings WHERE vec_id < {n_codes}),
+    corp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    assign_scored AS (
+      SELECT c.vec_id, c.v, n.cid, n.cv,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {cos_a} DESC, n.cid ASC) AS r
+      FROM corp c CROSS JOIN cen n),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, v, cid AS bucket, cv AS centv
+      FROM assign_scored WHERE r = 1),
+    enc AS (
+      SELECT neighbor_id, bucket,
+             list_transform([{d_exprs}], d ->
+               CAST(list_position(d, list_min(d)) - 1 AS INT)) AS codes
+      FROM assigned CROSS JOIN cbrow),
+    probe_scored AS (
+      SELECT q.vec_id, q.v, n.cid, n.cv,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos_q} DESC, n.cid ASC) AS r
+      FROM corp q CROSS JOIN cen n
+      WHERE q.vec_id < {n_queries}),
+    probes AS (
+      SELECT vec_id AS query_id, v, cid AS bucket, cv AS centv
+      FROM probe_scored WHERE r <= {nprobe}),
+    qlut AS (
+      SELECT query_id, bucket, [{d_exprs}] AS qds
+      FROM probes CROSS JOIN cbrow),
+    adc AS (
+      SELECT q.query_id, e.neighbor_id, e.bucket,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, {n_sub + 1}),
+                         s -> q.qds[s][e.codes[s] + 1])),
+          (acc, x) -> acc + x) AS adc_dist
+      FROM enc e JOIN qlut q USING (bucket)
+      WHERE e.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id ASC)
+                  AS rnk
+      FROM adc)
+    SELECT query_id, neighbor_id, bucket, adc_dist,
+           CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # scalar int8 quantization (r8) — the standard first-line embedding
 # compression before PQ: 4 bytes/dim float32 -> 1 byte/dim symmetric
 # int8, 4x less scan bandwidth and cache footprint at 100 TB, with

@@ -361,6 +361,29 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    LLM_QUERIES,
+    "emb_ivf_pq_topk",
+    similarity.sql_ivf_pq_topk(),
+    "composed IVF-PQ (FAISS IVFADC): residual product quantization inside "
+    "IVF buckets — corpus assigned to 8 seed centroids, residuals encoded "
+    "against a shared 16-code book, queries probe 2 buckets with "
+    "BUCKET-RELATIVE residual LUTs; the full composition (assignment, "
+    "residual encode, per-probe LUT, ADC rank) oracle-exact",
+)
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    codebook = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    return similarity.ivf_pq_topk(
+        e, e.where(F.col("vec_id") < 5), centroids, codebook, k=5, nprobe=2
+    )
+
+
 def _ivf_probe_sweep_sql(max_probe: int = 4, k: int = 5, n_q: int = 5) -> str:
     total = k * n_q
     probe_selects = "\n      UNION ALL\n".join(

@@ -1216,6 +1216,85 @@ def test_sample_frames_container_sampling(spark, docs):
     assert all(r.detected == "mp4" for r in sniffed)
 
 
+# -- composed IVF-PQ (r8) -----------------------------------------------------
+
+
+def test_ivf_pq_topk_matches_numpy_reference(spark):
+    """Independent check (no DuckDB, no shared code): the whole IVFADC
+    composition — cosine assignment, residual PQ encode, per-probe
+    residual LUT, ADC ranking — recomputed with numpy on synthetic
+    vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flux_spark.llm import similarity
+
+    n, dim, n_sub, n_cents, n_codes, nprobe, k = 24, 16, 4, 3, 5, 2, 4
+    rng = [((i * 2654435761) % 997) / 997.0 - 0.5 for i in range(n * dim)]
+    vecs = [rng[i * dim : (i + 1) * dim] for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = df.where(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cb = df.where(F.col("vec_id") < n_codes).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    got = similarity.ivf_pq_topk(
+        df,
+        df.where(F.col("vec_id") < 2),
+        cents,
+        cb,
+        k=k,
+        nprobe=nprobe,
+        n_sub=n_sub,
+        dim=dim,
+    ).collect()
+
+    V = np.array(vecs, dtype=np.float32).astype(np.float64)
+    C, CB = V[:n_cents], V[:n_codes]
+    cos = (V @ C.T) / (
+        np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    bucket = np.argmax(cos, axis=1)  # first-on-ties = lowest cid
+    sub = dim // n_sub
+
+    def codes_for(vec, b):
+        r = vec - C[b]
+        out = []
+        for s in range(n_sub):
+            sl = slice(s * sub, (s + 1) * sub)
+            out.append(int(np.argmin(((CB[:, sl] - r[sl]) ** 2).sum(axis=1))))
+        return out
+
+    enc = {i: codes_for(V[i], bucket[i]) for i in range(n)}
+    expect = {}
+    for q in range(2):
+        probes = np.argsort(-cos[q], kind="stable")[:nprobe]
+        cand = []
+        for b in probes:
+            r = V[q] - C[b]
+            lut = [
+                ((CB[:, s * sub : (s + 1) * sub]
+                  - r[s * sub : (s + 1) * sub]) ** 2).sum(axis=1)
+                for s in range(n_sub)
+            ]
+            for i in range(n):
+                if i == q or bucket[i] != b:
+                    continue
+                d = sum(float(lut[s][enc[i][s]]) for s in range(n_sub))
+                cand.append((d, i, int(b)))
+        cand.sort()
+        expect[q] = cand[:k]
+    for row in got:
+        d, i, b = expect[row["query_id"]][row["rank"] - 1]
+        assert row["neighbor_id"] == i and row["bucket"] == b
+        assert abs(row["adc_dist"] - d) < 1e-9
+    assert len(got) == sum(min(k, len(v)) for v in expect.values())
+
+
 # -- int8 scalar quantization (r8) -------------------------------------------
 
 

@@ -482,6 +482,20 @@ def test_knn_label_vote_ivf_broadcasts_index_corpus_never_self_joins(spark, sf):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_pq_broadcasts_query_luts_corpus_never_shuffles(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["emb_ivf_pq_topk"].fn(spark, sf))
+    # composed IVF-PQ: corpus assignment + residual encoding are per-row
+    # Arrow kernels (scan once, reduce to codes — zero corpus shuffle);
+    # the tiny per-(query, probe) LUT side broadcasts into the bucket
+    # join; no sort-merge, no cartesian product anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_store_side_reads_signatures_never_text(spark, tmp_path):
     """VERDICT r6 #4 'done' criterion: the incremental-dedup verdict plan
     scans the persisted store as (doc_id, sig, bands) parquet — document
