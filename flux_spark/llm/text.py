@@ -540,3 +540,58 @@ def winnow_fingerprints(
         )
         .drop("__h", "__sel")
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-ingestion chunking: sliding token windows of ``window``
+    whitespace tokens every ``stride`` tokens (``window - stride`` tokens
+    of overlap so no retrieval-relevant span straddles a chunk boundary
+    unseen). Chunk count per doc is the standard sliding-window formula
+    ``1 + ceil(max(0, n - window) / stride)`` — the final window is the
+    only short one, and a doc at most ``window`` tokens long yields
+    exactly one chunk. Zero-token docs yield no rows.
+
+    Returns one row per chunk: (id, chunk_id, start_token,
+    n_chunk_tokens, chunk_text, n_chunk_chars).
+
+    Plan shape: pure Catalyst (split / sequence / posexplode / slice) —
+    no shuffle, no Python; at 100 TB this is a scan-bandwidth map with
+    output fan-out ~n_tokens/stride per document, the shape an embedding
+    stage consumes partition-parallel.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = F.size(F.col("__toks"))
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor((n - window + stride - 1) / F.lit(stride)).cast("int")
+    )
+    chunk_toks = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, window
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") > 0)
+        .select(
+            id_col,
+            "__toks",
+            F.posexplode(
+                F.sequence(F.lit(0), n_chunks - 1)
+            ).alias("chunk_id", "__s"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("int").alias("start_token"),
+            F.size(chunk_toks).cast("int").alias("n_chunk_tokens"),
+            F.array_join(chunk_toks, " ").alias("chunk_text"),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk_text").cast("int"))
+    )

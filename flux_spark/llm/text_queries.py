@@ -1089,3 +1089,46 @@ def doc_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_lang") == F.col("pred_lang")).alias("is_correct"),
         )
     )
+
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@register(
+    LLM_QUERIES,
+    "doc_chunk_windows",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    sized AS (SELECT doc_id, toks, len(toks) AS n
+              FROM base WHERE len(toks) > 0),
+    cnt AS (
+      SELECT doc_id, toks,
+             CASE WHEN n <= {_CHUNK_W} THEN 1
+                  ELSE 1 + (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+             END AS n_chunks
+      FROM sized),
+    ex AS (
+      SELECT doc_id, toks,
+             CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+      FROM cnt),
+    sliced AS (
+      SELECT doc_id, chunk_id,
+             CAST(chunk_id * {_CHUNK_S} AS INT) AS start_token,
+             list_slice(toks, chunk_id * {_CHUNK_S} + 1,
+                        chunk_id * {_CHUNK_S} + {_CHUNK_W}) AS ct
+      FROM ex)
+    SELECT doc_id, chunk_id, start_token,
+           CAST(len(ct) AS INT) AS n_chunk_tokens,
+           array_to_string(ct, ' ') AS chunk_text,
+           CAST(length(array_to_string(ct, ' ')) AS INT) AS n_chunk_chars
+    FROM sliced
+    """,
+    "RAG chunking: sliding 32-token windows every 24 tokens (8-token "
+    "overlap), one row per chunk with token/char offsets — the "
+    "embedding-stage input shape; pure codegen, zero shuffle",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_windows(d, window=_CHUNK_W, stride=_CHUNK_S)

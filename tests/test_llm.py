@@ -1390,3 +1390,44 @@ def test_winnowing_guarantee_and_shift_invariance(spark):
     tiny = spark.createDataFrame([(9, "ab cd")], "doc_id long, text string")
     t = text.winnow_fingerprints(tiny).collect()[0]
     assert (t.n_grams, t.n_windows, t.n_selected) == (1, 1, 1)
+
+
+# -- RAG chunk windows (r8) ---------------------------------------------------
+
+
+def test_chunk_windows_boundaries_and_coverage(spark):
+    """Edge cases of the sliding-window formula: n < w (one chunk),
+    n == w (one chunk), n == w + 1 (two, second is the short tail),
+    zero-token doc (no rows); every token is covered and consecutive
+    chunks overlap by exactly window - stride tokens."""
+    from flux_spark.llm import text
+
+    docs = [
+        (1, "a b c"),                                  # n=3 < w
+        (2, " ".join(f"t{i}" for i in range(8))),      # n == w
+        (3, " ".join(f"t{i}" for i in range(9))),      # n == w+1 -> 2 chunks
+        (4, " ".join(f"t{i}" for i in range(23))),     # long
+        (5, "   "),                                    # zero tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.chunk_windows(df, window=8, stride=6).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 5 not in by_doc
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "a b c"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 8
+    assert len(by_doc[3]) == 2
+    assert [r["n_chunk_tokens"] for r in sorted(by_doc[3], key=lambda r: r["chunk_id"])] == [8, 3]
+    # doc 4: n=23 -> 1 + ceil(15/6) = 4 chunks; full coverage, 2-token overlap
+    rows = sorted(by_doc[4], key=lambda r: r["chunk_id"])
+    assert len(rows) == 4
+    toks = docs[3][1].split(" ")
+    covered = set()
+    for r in rows:
+        got = r["chunk_text"].split(" ")
+        assert got == toks[r["start_token"] : r["start_token"] + 8]
+        covered.update(range(r["start_token"], r["start_token"] + len(got)))
+    assert covered == set(range(23))
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_token"] - a["start_token"] == 6
