@@ -927,3 +927,61 @@ def dup_span_dedup(
         F.col("__n").cast("long").alias("n_tokens"),
         F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_kept_tokens"),
     )
+
+
+def edit_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    edit_threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Character-level verification of MinHash-LSH candidates: each
+    near-dup pair is re-scored with true Levenshtein distance and
+    ``edit_sim = 1 - lev / max(len_a, len_b)`` — the final verify stage
+    production dedup runs before destructive removal, because shingle
+    Jaccard can rate a heavy reordering as near-identical while edit
+    similarity exposes it (and vice versa for small in-place edits).
+
+    Levenshtein is O(len_a * len_b) per pair — affordable ONLY because it
+    runs strictly after LSH pruning: cost is per candidate pair, never
+    per corpus pair. Text retrieval is two shuffle-hash joins keyed on
+    doc id (candidates << corpus, and a broadcast would bet on
+    cached-relation stats); the quadratic kernel itself is a JVM builtin
+    (no Python). Two empty texts score edit_sim = 1.0.
+
+    Returns (id_a, id_b, jaccard, lev_dist, edit_sim, verified) with
+    verified = edit_sim >= ``edit_threshold``.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, k, num_hashes, bands, threshold,
+        max_bucket_size,
+    )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    a = texts.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    b = texts.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    j = (
+        pairs.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+    )
+    lev = F.levenshtein("__ta", "__tb")
+    mx = F.greatest(F.length("__ta"), F.length("__tb"))
+    edit_sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - lev.cast("double") / mx.cast("double")
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        lev.cast("int").alias("lev_dist"),
+        edit_sim.alias("edit_sim"),
+        (edit_sim >= F.lit(edit_threshold)).alias("verified"),
+    )

@@ -853,3 +853,32 @@ def doc_duplication_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         dens.alias("dup_density"),
         (dens >= 0.8).alias("high_risk"),
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_edit_verify",
+    f"""
+    {_CORPUS_CTE}
+    , pairs AS (SELECT * FROM ({{lsh}}) q)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           CAST(levenshtein(a.text, b.text) AS INT) AS lev_dist,
+           CASE WHEN greatest(length(a.text), length(b.text)) = 0 THEN 1.0
+                ELSE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                     / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+           END AS edit_sim,
+           (CASE WHEN greatest(length(a.text), length(b.text)) = 0 THEN 1.0
+                 ELSE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                      / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+            END) >= 0.8 AS verified
+    FROM pairs p
+    JOIN corpus a ON a.doc_id = p.id_a
+    JOIN corpus b ON b.doc_id = p.id_b
+    """.replace("{lsh}", _minhash_lsh_sql()),
+    "character-level verification of LSH candidates: true Levenshtein "
+    "distance + edit similarity per near-dup pair — the O(m*n) kernel "
+    "that is only affordable AFTER LSH pruning; the verify-before-delete "
+    "stage of production dedup",
+)
+def doc_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.edit_verified_pairs(dup_corpus(spark, sf_dir))

@@ -1431,3 +1431,30 @@ def test_chunk_windows_boundaries_and_coverage(spark):
     assert covered == set(range(23))
     for a, b in zip(rows, rows[1:]):
         assert b["start_token"] - a["start_token"] == 6
+
+
+# -- edit-distance verification of LSH candidates (r8) ------------------------
+
+
+def test_edit_verified_pairs_rejects_reordered_text(spark):
+    """The case the verify stage exists for: a block-swapped document
+    keeps most of its trigram shingles (high Jaccard, LSH pairs it) but
+    has a huge edit distance — shingle similarity says near-dup, edit
+    similarity vetoes. Exact duplicates verify with lev_dist = 0."""
+    words = [f"w{i:02d}" for i in range(40)]
+    a = " ".join(words)
+    swapped = " ".join(words[20:] + words[:20])
+    rows = [(1, a), (2, a), (3, swapped)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.edit_verified_pairs(df, threshold=0.5).collect()
+    }
+    exact = out[(1, 2)]
+    assert exact["lev_dist"] == 0 and exact["edit_sim"] == 1.0
+    assert exact["verified"]
+    assert (1, 3) in out, "block swap keeps shingle Jaccard above 0.5"
+    sw = out[(1, 3)]
+    assert sw["jaccard"] >= 0.5 and sw["lev_dist"] > 20
+    assert sw["edit_sim"] < 0.8
+    assert not sw["verified"], "edit similarity must veto the reordering"
