@@ -1592,3 +1592,110 @@ def binary_hamming_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def cluster_quality_report(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-cluster quality diagnostics after a k-means/IVF assignment:
+    member count, within-cluster SSE (squared L2 to the assigned
+    centroid), mean squared distance, mean cosine to centroid, and the
+    separation to the nearest OTHER centroid — the numbers that tell you
+    whether K is too small (fat, overlapping clusters) before you build
+    an IVF index or SemDeDup pass on top of it.
+
+    Assignment is max-cosine (the family's convention — IVF, SemDeDup and
+    label-vote all assign by cosine); dispersion is measured in L2, the
+    k-means objective. Float sums are ORDER-FREE exact: each row's
+    squared distance / cosine is quantized to int64 (floor(x * 1e9))
+    before the SUM, so the aggregate is bit-identical on any engine and
+    any partitioning; means divide the exact integer sum at the end.
+
+    Plan shape at 100 TB: centroids are a driver model (K rows); the
+    corpus is scanned once (Arrow assign + codegen distance fold, no
+    shuffle) into a K-row partial aggregate; the K^2 separation table
+    never touches the corpus. Returns one row per non-empty cluster.
+    """
+    from pyspark.sql import Window
+
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id_col, vec_col).collect()
+    )
+    assign = _centroid_assign_arrow(cents)
+    cen_df = centroids.select(
+        F.col(centroid_id_col).alias("cluster_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+    )
+    rows = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn("cluster_id", assign(F.col("__v")))
+    d2 = F.aggregate(
+        F.zip_with("__v", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosc = dot(F.col("__v"), F.col("__cv")) / (
+        norm(F.col("__v")) * norm(F.col("__cv"))
+    )
+    per = (
+        rows.join(F.broadcast(cen_df), "cluster_id")
+        .select(
+            "cluster_id",
+            F.floor(d2 * F.lit(1e9)).cast("long").alias("__d2q"),
+            F.floor(cosc * F.lit(1e9)).cast("long").alias("__cq"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("__d2q").alias("__sse_q"),
+            F.sum("__cq").alias("__cos_q"),
+        )
+    )
+    # K^2 separation table — model-sized, never touches the corpus
+    a = cen_df.select(
+        F.col("cluster_id"), F.col("__cv").alias("__ca")
+    )
+    b = cen_df.select(
+        F.col("cluster_id").alias("other_id"), F.col("__cv").alias("__cb")
+    )
+    cd2 = F.aggregate(
+        F.zip_with("__ca", "__cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("__cd2"), F.asc("other_id")
+    )
+    sep = (
+        a.crossJoin(b)
+        .where(F.col("cluster_id") != F.col("other_id"))
+        .withColumn("__cd2", cd2)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            "cluster_id",
+            F.col("other_id").alias("nearest_cid"),
+            F.sqrt("__cd2").alias("centroid_sep"),
+        )
+    )
+    n_d = F.col("n_members").cast("double")
+    return per.join(sep, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        (F.col("__sse_q").cast("double") / F.lit(1e9)).alias("sse"),
+        (F.col("__sse_q").cast("double") / (n_d * F.lit(1e9))).alias(
+            "mean_sq_dist"
+        ),
+        (F.col("__cos_q").cast("double") / (n_d * F.lit(1e9))).alias(
+            "mean_cos"
+        ),
+        "nearest_cid",
+        "centroid_sep",
+    )

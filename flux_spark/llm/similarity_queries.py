@@ -1569,3 +1569,75 @@ def emb_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("neighbor_id") / F.lit(10.0)).alias("recall"),
         )
     )
+
+
+def _cluster_quality_sql(n_centroids: int = 8, dim: int = 64) -> str:
+    cos_a = similarity.sql_cosine("c.v", "n.cv", dim)
+    d2 = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> "
+        f"(v[i] - cv[i]) * (v[i] - cv[i]))), (acc, x) -> acc + x)"
+    )
+    cd2 = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> "
+        f"(ca[i] - cb[i]) * (ca[i] - cb[i]))), (acc, x) -> acc + x)"
+    )
+    cosv = similarity.sql_cosine("v", "cv", dim)
+    return f"""
+    WITH cen AS (
+      SELECT vec_id AS cluster_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < {n_centroids}),
+    corp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    assign_scored AS (
+      SELECT c.vec_id, c.v, n.cluster_id, n.cv,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {cos_a} DESC, n.cluster_id ASC) AS r
+      FROM corp c CROSS JOIN cen n),
+    assigned AS (SELECT vec_id, v, cluster_id, cv
+                 FROM assign_scored WHERE r = 1),
+    per AS (
+      SELECT cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(CAST(floor({d2} * 1e9) AS BIGINT)) AS BIGINT) AS sse_q,
+             CAST(SUM(CAST(floor({cosv} * 1e9) AS BIGINT)) AS BIGINT) AS cos_q
+      FROM assigned GROUP BY cluster_id),
+    seps AS (
+      SELECT a.cluster_id, b.cluster_id AS other_id, {cd2} AS cd2,
+             ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                                ORDER BY {cd2} ASC, b.cluster_id ASC) AS r
+      FROM (SELECT cluster_id, cv AS ca FROM cen) a
+      CROSS JOIN (SELECT cluster_id, cv AS cb FROM cen) b
+      WHERE a.cluster_id <> b.cluster_id),
+    sep AS (SELECT cluster_id, other_id AS nearest_cid, sqrt(cd2) AS centroid_sep
+            FROM seps WHERE r = 1)
+    SELECT p.cluster_id, p.n_members,
+           CAST(p.sse_q AS DOUBLE) / 1e9 AS sse,
+           CAST(p.sse_q AS DOUBLE) / (CAST(p.n_members AS DOUBLE) * 1e9)
+             AS mean_sq_dist,
+           CAST(p.cos_q AS DOUBLE) / (CAST(p.n_members AS DOUBLE) * 1e9)
+             AS mean_cos,
+           s.nearest_cid, s.centroid_sep
+    FROM per p JOIN sep s USING (cluster_id)
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "emb_cluster_quality",
+    _cluster_quality_sql(),
+    "k-means/IVF cluster-quality report: per-cluster member count, "
+    "within-cluster SSE + mean squared L2 + mean cosine to centroid "
+    "(int64-quantized order-free sums, bit-exact on any partitioning), "
+    "nearest-other-centroid separation — the K-is-too-small diagnostic "
+    "before building IVF/SemDeDup on the clustering",
+)
+def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.cluster_quality_report(e, centroids)

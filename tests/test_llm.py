@@ -1458,3 +1458,35 @@ def test_edit_verified_pairs_rejects_reordered_text(spark):
     assert sw["jaccard"] >= 0.5 and sw["lev_dist"] > 20
     assert sw["edit_sim"] < 0.8
     assert not sw["verified"], "edit similarity must veto the reordering"
+
+
+# -- cluster-quality report (r8) ----------------------------------------------
+
+
+def test_cluster_quality_report_semantics(spark):
+    """Hand-checkable fixture: two tight clusters on orthogonal axes.
+    Members assign by cosine, SSE/mean_cos come out exactly, separation
+    is the L2 between the two centroids."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid 1
+        (2, [2.0, 0.0, 0.0, 0.0]),   # cluster 0 (cos=1, d2=1)
+        (3, [0.0, 3.0, 0.0, 0.0]),   # cluster 1 (cos=1, d2=4)
+        (4, [1.0, 0.0, 0.0, 0.0]),   # cluster 0 exact (d2=0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in similarity.cluster_quality_report(df, cents, dim=4).collect()
+    }
+    assert out[0]["n_members"] == 3 and out[1]["n_members"] == 2
+    assert abs(out[0]["sse"] - 1.0) < 1e-8       # 0 + 1 + 0
+    assert abs(out[1]["sse"] - 4.0) < 1e-8
+    assert abs(out[0]["mean_cos"] - 1.0) < 1e-8
+    assert out[0]["nearest_cid"] == 1 and out[1]["nearest_cid"] == 0
+    assert abs(out[0]["centroid_sep"] - math.sqrt(2)) < 1e-12
