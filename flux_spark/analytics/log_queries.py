@@ -1377,3 +1377,84 @@ def log_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same LOG_QUERIES dict (pure move, VERDICT r6 #7); the import sits
 # at the tail so the helpers above exist when the module binds them
 from . import log_admin_queries  # noqa: E402,F401
+
+
+@register(
+    LOG_QUERIES,
+    "stream_late_data_drop",
+    """
+    WITH ev AS (SELECT event_id, ts, user_id FROM events),
+    a AS (SELECT ts,
+                 ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS off
+          FROM ev WHERE event_id % 4 != 3),
+    na AS (SELECT COUNT(*) AS n FROM a),
+    b AS (SELECT ts,
+                 (SELECT n FROM na)
+                 + ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS off
+          FROM ev WHERE event_id % 4 = 3),
+    wm1 AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM a),
+    wm2 AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM ev),
+    kept AS (
+      SELECT ts, off FROM a
+      UNION ALL
+      SELECT ts, off FROM b
+      WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+            > (SELECT w FROM wm1)
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(off) AS first_offset,
+             MAX(off) AS last_offset
+      FROM kept GROUP BY 1)
+    SELECT window_start, n_events, first_offset, last_offset
+    FROM agg
+    WHERE window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm2)
+    """,
+    "watermark LATE-DATA DROP, gated end-to-end: two append-mode "
+    "AvailableNow drains share one checkpoint — run 1 ingests 3/4 of "
+    "events and persists watermark = max(ts)-30min; run 2 appends the "
+    "held-back quarter, so rows whose 1h window closed under the run-1 "
+    "watermark are DROPPED by the engine and windows still open at the "
+    "final watermark are withheld; the oracle re-derives both watermark "
+    "epochs, the drop rule and the append-mode emission rule "
+    "symbolically",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+    from ..streaming import (
+        stream_export,
+        stream_topic,
+        stream_windowed_counts,
+    )
+
+    wh = tempfile.mkdtemp(prefix="flux-late-")
+    ckpt = tempfile.mkdtemp(prefix="flux-late-ckpt-")
+    out = tempfile.mkdtemp(prefix="flux-late-out-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("ev_late", 1)
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("ev_late", base.where(F.col("seq") % 4 != 3),
+                 ordering_col="seq")
+
+    def agg():
+        return stream_windowed_counts(
+            stream_topic(store, "ev_late"),
+            window="1 hour",
+            watermark="30 minutes",
+        ).select("window_start", "n_events", "first_offset", "last_offset")
+
+    # append-mode file sink: checkpoint-recoverable (memory sinks are
+    # not), and the _spark_metadata manifest makes the two runs' output
+    # exactly-once under one reader
+    stream_export(agg(), out, ckpt)
+    store.append("ev_late", base.where(F.col("seq") % 4 == 3),
+                 ordering_col="seq")
+    stream_export(agg(), out, ckpt)
+    return spark.read.parquet(out)

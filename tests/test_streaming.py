@@ -295,3 +295,47 @@ def test_processing_time_trigger_multi_microbatch(filled_store, spark, tmp_path)
         by_part.setdefault(r.partition, []).append(r.offset)
     for p, offs in by_part.items():
         assert sorted(offs) == list(range(len(offs))), f"partition {p}"
+
+
+def test_late_data_dropped_across_checkpointed_runs(store, spark, tmp_path):
+    """Append-mode windowed agg across two AvailableNow runs sharing a
+    checkpoint: run 1 persists watermark = max(ts) - 30min; a run-2 row
+    landing in a window already closed under that watermark is DROPPED
+    (its window's count excludes it), later rows keep flowing, and the
+    still-open window is withheld."""
+    from datetime import datetime
+
+    def ts(h, m):
+        return datetime(2024, 3, 1, h, m)
+
+    store.catalog.create_topic("late", 1)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def append(rows):
+        df = spark.createDataFrame(
+            rows, "seq long, partition int, timestamp timestamp, "
+                  "key string, value string"
+        )
+        store.append("late", df, ordering_col="seq")
+
+    def export():
+        agg = streaming.stream_windowed_counts(
+            streaming.stream_topic(store, "late"),
+            window="1 hour",
+            watermark="30 minutes",
+        ).select("window_start", "n_events")
+        streaming.stream_export(agg, out, ckpt)
+
+    append([(0, 0, ts(10, 0), "k", "a"),
+            (1, 0, ts(10, 10), "k", "b"),
+            (2, 0, ts(12, 0), "k", "c")])
+    export()  # wm -> 11:30; emits [10,11) with n=2
+    append([(3, 0, ts(10, 30), "k", "LATE"),   # window end 11:00 <= wm: drop
+            (4, 0, ts(11, 15), "k", "kept"),   # window end 12:00 > wm: keep
+            (5, 0, ts(13, 45), "k", "tail")])  # wm -> 13:15
+    export()  # closes [11,12) n=1 and [12,13) n=1; [13,14) stays open
+    got = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {10: 2, 11: 1, 12: 1}, got
