@@ -1401,3 +1401,52 @@ def events_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state_at_event",
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_skew_profile",
+    """
+    WITH counts AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    ranked AS (
+      SELECT k, c,
+             ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i,
+             ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rd
+      FROM counts),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_count,
+             MIN(CASE WHEN rd = 1 THEN CAST(k AS VARCHAR) END) AS hottest_key,
+             CAST(SUM(CASE WHEN rd <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10,
+             CAST(SUM(i * c) AS BIGINT) AS ic,
+             quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50_count,
+             quantile_cont(CAST(c AS DOUBLE), 0.9) AS p90_count,
+             quantile_cont(CAST(c AS DOUBLE), 0.99) AS p99_count
+      FROM ranked)
+    SELECT n_rows, n_keys, max_count, hottest_key,
+           CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share,
+           CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+           CAST(2 * ic - (n_keys + 1) * n_rows AS DOUBLE)
+             / CAST(n_keys * n_rows AS DOUBLE) AS gini,
+           CAST(max_count AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(n_rows AS DOUBLE) AS skew_ratio,
+           CAST(least(32, greatest(1,
+             ceil(CAST(max_count AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE)))) AS INTEGER) AS suggested_salt,
+           p50_count, p90_count, p99_count
+    FROM agg
+    """,
+    "key-skew diagnostics for the user_id grouping key: hottest key, "
+    "top-10 share, exact integer-identity Gini, count percentiles, and a "
+    "suggested salt factor — the read-before-you-shuffle report that "
+    "decides plain groupBy vs salted_agg vs broadcast; fact table "
+    "scanned once, everything after is O(distinct keys)",
+)
+def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import skew_profile
+
+    e = load_table(spark, sf_dir, "events")
+    return skew_profile(e, "user_id")

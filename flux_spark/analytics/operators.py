@@ -496,3 +496,92 @@ def profile_table(df: DataFrame) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    suggested_salt_cap: int = 32,
+) -> DataFrame:
+    """Key-skew diagnostics for a prospective groupBy/join key — the
+    numbers you read BEFORE choosing between a plain shuffle,
+    :func:`salted_agg`, or a broadcast: per-key counts reduced to one
+    row of distribution stats (max/hottest key, top-10 share, Gini
+    coefficient, exact count percentiles) plus a suggested salt factor
+    ``min(cap, ceil(max_count / mean_count))`` — the fan-out that would
+    level the hottest key to roughly the mean (heuristic, capped).
+
+    Exactness: Gini comes from the integer identity
+    ``(2 * sum(i * c_i) - (n + 1) * sum(c)) / (n * sum(c))`` over counts
+    sorted ascending — all-int64 numerator/denominator, one final double
+    division, engine-exact. Ties in the sort don't affect the sum (equal
+    counts commute). Percentiles use the exact interpolating
+    ``percentile``, bit-compatible with DuckDB's ``quantile_cont``.
+
+    Plan shape at 100 TB: the raw table reduces map-side to one row per
+    key; every later step is O(distinct keys) — one global sort for the
+    rank (the honest cost of an exact Gini) and scalar aggregates. The
+    raw fact table is scanned once and never re-shuffled.
+    """
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count("*").alias("__c")
+    )
+    w = Window.orderBy(F.asc("__c"), F.asc("__k"))
+    ranked = counts.withColumn("__i", F.row_number().over(w))
+    wd = Window.orderBy(F.desc("__c"), F.asc("__k"))
+    ranked = ranked.withColumn("__rd", F.row_number().over(wd))
+    agg = ranked.agg(
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("__c").cast("bigint").alias("max_count"),
+        F.min(F.when(F.col("__rd") == 1, F.col("__k").cast("string"))).alias(
+            "hottest_key"
+        ),
+        F.sum(F.when(F.col("__rd") <= 10, F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("__top10"),
+        F.sum(F.col("__i").cast("bigint") * F.col("__c").cast("bigint"))
+        .cast("bigint")
+        .alias("__ic"),
+        F.percentile(F.col("__c").cast("double"), F.lit(0.5)).alias(
+            "p50_count"
+        ),
+        F.percentile(F.col("__c").cast("double"), F.lit(0.9)).alias(
+            "p90_count"
+        ),
+        F.percentile(F.col("__c").cast("double"), F.lit(0.99)).alias(
+            "p99_count"
+        ),
+    )
+    n = F.col("n_keys")
+    tot = F.col("n_rows")
+    gini = (
+        (F.lit(2) * F.col("__ic") - (n + 1) * tot).cast("double")
+        / (n * tot).cast("double")
+    )
+    skew_ratio = F.col("max_count").cast("double") * n.cast("double") / tot.cast(
+        "double"
+    )
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "hottest_key",
+        (F.col("__top10").cast("double") / tot.cast("double")).alias(
+            "top10_share"
+        ),
+        (F.col("max_count").cast("double") / tot.cast("double")).alias(
+            "max_share"
+        ),
+        gini.alias("gini"),
+        skew_ratio.alias("skew_ratio"),
+        F.least(
+            F.lit(suggested_salt_cap),
+            F.greatest(F.lit(1), F.ceil(skew_ratio)),
+        )
+        .cast("int")
+        .alias("suggested_salt"),
+        "p50_count",
+        "p90_count",
+        "p99_count",
+    )

@@ -249,3 +249,20 @@ def test_co_occurrence_pairs_matches_bruteforce(spark):
         ).collect()
     }
     assert got_capped == expected_capped
+
+
+def test_skew_profile_hand_checked(spark):
+    """9 rows over 3 keys: a=6, b=2, c=1. Gini over sorted counts
+    [1,2,6]: (2*(1*1+2*2+3*6) - 4*9) / (3*9) = (46-36)/27."""
+    from flux_spark.analytics.operators import skew_profile
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_profile(df, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (9, 3, 6)
+    assert r["hottest_key"] == "a"
+    assert abs(r["gini"] - 10 / 27) < 1e-12
+    assert abs(r["max_share"] - 6 / 9) < 1e-12
+    assert abs(r["skew_ratio"] - 2.0) < 1e-12
+    assert r["suggested_salt"] == 2
+    assert r["p50_count"] == 2.0
