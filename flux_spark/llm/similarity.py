@@ -1699,3 +1699,83 @@ def cluster_quality_report(
         "nearest_cid",
         "centroid_sep",
     )
+
+
+def dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension statistics of an embedding column — the fit half of
+    feature standardization (z-score), and the drift check you run before
+    trusting a PQ codebook or IVF centroids trained on last month's
+    distribution: one row per dimension with n, mean, variance, std,
+    min, max.
+
+    Float sums are ORDER-FREE exact: each value and its square are
+    quantized to int64 (floor(x * 1e9)) before the SUM, so mean/var are
+    derived from exact integers by one deterministic double expression —
+    bit-identical on any engine/partitioning. Plan shape: posexplode
+    fans out dim-per-row but the aggregate is partial map-side into
+    ``dim`` groups (64), so the shuffle carries O(dims x partitions)
+    rows, not the corpus.
+    """
+    ex = df.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim_idx", "__v")
+    )
+    agg = ex.groupBy("dim_idx").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("__v") * F.lit(1e9)).cast("long")).alias("__sq"),
+        F.sum(
+            F.floor(F.col("__v") * F.col("__v") * F.lit(1e9)).cast("long")
+        ).alias("__ssq"),
+        F.min("__v").alias("min_val"),
+        F.max("__v").alias("max_val"),
+    )
+    nd = F.col("n").cast("double") * F.lit(1e9)
+    mean = F.col("__sq").cast("double") / nd
+    var = F.col("__ssq").cast("double") / nd - mean * mean
+    return agg.select(
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        "n",
+        mean.alias("mean"),
+        var.alias("variance"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+        "min_val",
+        "max_val",
+    )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "normalized",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Standardize each embedding dimension to mean 0 / std 1 using
+    :func:`dim_stats` — per-dim constants collect to the driver (a
+    model-sized 64-row table) and the normalization is one zip_with
+    against literal arrays: zero shuffle, zero Python, scan-bandwidth at
+    any corpus size. Constant dimensions (std < ``eps``) pass through
+    centered but unscaled."""
+    stats = {
+        int(r["dim_idx"]): (float(r["mean"]), float(r["std"]))
+        for r in dim_stats(df, vec_col, id_col).collect()
+    }
+    dims = sorted(stats)
+    means = F.array(*[F.lit(stats[d][0]) for d in dims])
+    stds = F.array(
+        *[F.lit(stats[d][1] if stats[d][1] >= eps else 1.0) for d in dims]
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(
+        out_col,
+        F.zip_with(
+            F.zip_with(v, means, lambda a, m: a - m),
+            stds,
+            lambda c, s: c / s,
+        ),
+    )

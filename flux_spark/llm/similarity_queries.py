@@ -1641,3 +1641,44 @@ def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return similarity.cluster_quality_report(e, centroids)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_dim_stats",
+    """
+    WITH ex AS (
+      SELECT CAST(u.i - 1 AS INT) AS dim_idx,
+             CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT CAST(range AS INT) + 1 AS i
+                  FROM range(0, 64)) u),
+    agg AS (
+      SELECT dim_idx,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(v * 1e9) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(SUM(CAST(floor(v * v * 1e9) AS BIGINT)) AS BIGINT) AS ssq,
+             MIN(v) AS min_val,
+             MAX(v) AS max_val
+      FROM ex GROUP BY dim_idx)
+    SELECT dim_idx, n,
+           CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mean,
+           CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)
+             - (CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
+               * (CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)) AS variance,
+           sqrt(greatest(
+             CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)
+             - (CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
+               * (CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)), 0.0)) AS std,
+           min_val, max_val
+    FROM agg
+    """,
+    "per-dimension embedding stats (n/mean/variance/std/min/max) via "
+    "int64-quantized order-free sums — the z-score fit table and "
+    "distribution-drift check; posexplode fans out but the 64-group "
+    "aggregate is partial map-side, so the shuffle is O(dims), not the "
+    "corpus",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.dim_stats(e)

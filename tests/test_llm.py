@@ -1490,3 +1490,24 @@ def test_cluster_quality_report_semantics(spark):
     assert abs(out[0]["mean_cos"] - 1.0) < 1e-8
     assert out[0]["nearest_cid"] == 1 and out[1]["nearest_cid"] == 0
     assert abs(out[0]["centroid_sep"] - math.sqrt(2)) < 1e-12
+
+
+# -- per-dimension stats + z-score (r8) ---------------------------------------
+
+
+def test_zscore_normalize_centers_and_scales(spark):
+    import numpy as np
+
+    rows = [(i, [float(i), 10.0 * i + 5.0, 7.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = np.array(
+        [r["normalized"] for r in
+         similarity.zscore_normalize(df).orderBy("vec_id").collect()]
+    )
+    # dims 0/1 standardized; constant dim 2 centered but unscaled
+    assert abs(out[:, 0].mean()) < 1e-6 and abs(out[:, 0].std() - 1) < 1e-6
+    assert abs(out[:, 1].mean()) < 1e-6 and abs(out[:, 1].std() - 1) < 1e-6
+    assert np.allclose(out[:, 2], 0.0, atol=1e-6)
+    stats = {r["dim_idx"]: r for r in similarity.dim_stats(df).collect()}
+    assert abs(stats[0]["mean"] - 3.5) < 1e-8
+    assert stats[2]["min_val"] == stats[2]["max_val"] == 7.0
