@@ -1132,3 +1132,61 @@ _CHUNK_W, _CHUNK_S = 32, 24
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return text.chunk_windows(d, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_mixture_temperature",
+    """
+    WITH shares AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM shares),
+    q AS (
+      SELECT s.source, s.lang, s.n_docs,
+             CAST(s.n_docs AS DOUBLE) / t.total AS actual_share,
+             CAST(floor(pow(CAST(s.n_docs AS DOUBLE) / t.total,
+                            CAST(7 AS DOUBLE) / CAST(10 AS DOUBLE))
+                        * 1e12) AS BIGINT) AS pq
+      FROM shares s CROSS JOIN tot t
+    ),
+    z AS (SELECT CAST(SUM(pq) AS BIGINT) AS zq FROM q)
+    SELECT q.source, q.lang, q.n_docs, q.actual_share,
+           CAST(q.pq AS DOUBLE) / CAST(z.zq AS DOUBLE) AS temp_share,
+           (CAST(q.pq AS DOUBLE) / CAST(z.zq AS DOUBLE)) / q.actual_share
+             AS sample_weight
+    FROM q CROSS JOIN z
+    """,
+    "temperature-scaled mixture weights (alpha = 0.7, the "
+    "multilingual-LM upsampling rule, XLM-R sec. 3): p_i ~ share_i^alpha "
+    "renormalized, weight = p_i/share_i — the sub-1 exponent lifts "
+    "low-resource domains and shrinks head domains, less aggressively "
+    "than uniform. The pow() terms are int64-quantized "
+    "(floor(x*1e12)) before the normalizing SUM so the renormalization "
+    "is order-free exact; the domain table stays model-sized",
+)
+def doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shares = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    tot = shares.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    q = shares.crossJoin(F.broadcast(tot))
+    actual = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    pq = F.floor(
+        F.pow(actual, F.lit(7.0) / F.lit(10.0)) * F.lit(1e12)
+    ).cast("long")
+    qtab = q.select("source", "lang", "n_docs", actual.alias("actual_share"),
+                    pq.alias("__pq"))
+    z = qtab.agg(F.sum("__pq").cast("bigint").alias("__zq"))
+    j = qtab.crossJoin(F.broadcast(z))
+    p = F.col("__pq").cast("double") / F.col("__zq").cast("double")
+    return j.select(
+        "source",
+        "lang",
+        "n_docs",
+        "actual_share",
+        p.alias("temp_share"),
+        (p / F.col("actual_share")).alias("sample_weight"),
+    )

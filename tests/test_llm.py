@@ -1511,3 +1511,25 @@ def test_zscore_normalize_centers_and_scales(spark):
     stats = {r["dim_idx"]: r for r in similarity.dim_stats(df).collect()}
     assert abs(stats[0]["mean"] - 3.5) < 1e-8
     assert stats[2]["min_val"] == stats[2]["max_val"] == 7.0
+
+
+def test_mixture_temperature_upsamples_tail(spark):
+    """T=0.7 lifts low-resource shares and shrinks head shares, but less
+    than uniform targeting would; shares renormalize to 1."""
+    from flux_spark.llm.queries import LLM_QUERIES
+    import tempfile, os
+    doc_mixture_temperature = LLM_QUERIES["doc_mixture_temperature"].fn
+    rows = [(i, "x", "en", "web", 1) for i in range(90)] + [
+        (100 + i, "x", "sw", "web", 1) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["lang"]: r for r in doc_mixture_temperature(spark, d).collect()}
+    assert abs(sum(r["temp_share"] for r in out.values()) - 1.0) < 1e-9
+    # tail upsampled (weight > 1) but far less than the 5x uniform target
+    assert 1.0 < out["sw"]["sample_weight"] < 5.0
+    assert out["en"]["sample_weight"] < 1.0
+    assert out["sw"]["temp_share"] > out["sw"]["actual_share"]
