@@ -346,3 +346,54 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     resized = multimodal.resize_images(multimodal.with_png_media(d), 10, 7)
     return multimodal.decode_image(resized)
+
+
+def _ahash_sql(grid: int = 8) -> str:
+    cells = grid * grid
+    px = (
+        "((doc_id * 7 + ((((y * h) // {g}) * w + ((x * w) // {g})) * 3 "
+        "+ {{c}})) % 256)"
+    ).format(g=grid)
+    gray = (
+        f"(({px.format(c=0)}) + ({px.format(c=1)}) + ({px.format(c=2)})) // 3"
+    )
+    word = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(g64[{lo}:{hi}], v -> CAST(CASE WHEN v * {cells} "
+        "> gray_sum THEN 1 ELSE 0 END AS BIGINT))), "
+        "(acc, b) -> acc * 2 + b) AS BIGINT)"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                      CAST(3 + doc_id % 4 AS INTEGER) AS h
+               FROM documents),
+    g AS (
+      SELECT doc_id, w, h,
+             flatten(list_transform(generate_series(0, {grid - 1}), y ->
+               list_transform(generate_series(0, {grid - 1}), x ->
+                 {gray}))) AS g64
+      FROM d),
+    s AS (SELECT doc_id, w, h, g64,
+                 CAST(list_sum(g64) AS BIGINT) AS gray_sum FROM g)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           gray_sum,
+           {word.format(lo=1, hi=cells // 2, cells=cells)} AS hash_w0,
+           {word.format(lo=cells // 2 + 1, hi=cells, cells=cells)} AS hash_w1
+    FROM s
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "media_image_ahash",
+    _ahash_sql(),
+    "perceptual average-hash over REAL decoded PNG pixels: integer "
+    "grayscale -> nearest-neighbor 8x8 patch -> strict above-mean bits "
+    "packed MSB-first into two int64 words (all-integer, so the oracle "
+    "recomputes every bit symbolically) — the multimodal SimHash for "
+    "Hamming near-dup image dedup without re-decoding",
+)
+def media_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_ahash(multimodal.with_png_media(d))

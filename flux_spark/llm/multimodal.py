@@ -479,3 +479,74 @@ def transcode_to_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "media").mapInPandas(
         tr, schema=f"{id_col} LONG, media BINARY"
     )
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", grid: int = 8
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels — the multimodal
+    twin of SimHash: decode (PNG or baseline JPEG), integer grayscale
+    ``(sum of channels) // channels``, nearest-neighbor downsample to a
+    ``grid x grid`` patch (same ``(i * src) // dst`` index rule as
+    :func:`resize_images`), then one bit per cell: 1 iff
+    ``cell * grid^2 > patch_sum`` (strict, all-integer — no float mean,
+    so the hash is engine-portable and exactly oracle-checkable). Bits
+    pack MSB-first into two int64 words of 32 bits each (the
+    sign-quantization convention), ready for XOR-popcount Hamming
+    near-dup joins like :func:`~flux_spark.llm.similarity`'s 1-bit path.
+
+    Near-identical images (recompress, small edits, resize) keep most
+    bits; Hamming distance over (hash_w0, hash_w1) buckets or ranks
+    candidates without ever re-decoding pixels. Arrow-batched
+    mapInPandas; one decode per payload, zero shuffle.
+    """
+    from .codecs import image_pixels
+
+    cells = grid * grid
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, sums, w0s, w1s = [], [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf["media"]):
+                w, h, ch, data = image_pixels(bytes(payload))
+                a = (
+                    np.frombuffer(data, dtype=np.uint8)
+                    .reshape(h, w, ch)
+                    .astype(np.int64)
+                )
+                gray = a.sum(axis=2) // ch
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                g = gray[np.ix_(ys, xs)].flatten()
+                s = int(g.sum())
+                bits = (g * cells > s).astype(np.int64)
+                w0 = 0
+                for b in bits[: cells // 2]:
+                    w0 = w0 * 2 + int(b)
+                w1 = 0
+                for b in bits[cells // 2 :]:
+                    w1 = w1 * 2 + int(b)
+                ids.append(int(i))
+                ws.append(w)
+                hs.append(h)
+                sums.append(s)
+                w0s.append(w0)
+                w1s.append(w1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": ws,
+                    "height": hs,
+                    "gray_sum": sums,
+                    "hash_w0": w0s,
+                    "hash_w1": w1s,
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(
+        gen,
+        schema=f"{id_col} LONG, width INT, height INT, gray_sum LONG, "
+        "hash_w0 LONG, hash_w1 LONG",
+    )

@@ -1533,3 +1533,37 @@ def test_mixture_temperature_upsamples_tail(spark):
     assert 1.0 < out["sw"]["sample_weight"] < 5.0
     assert out["en"]["sample_weight"] < 1.0
     assert out["sw"]["temp_share"] > out["sw"]["actual_share"]
+
+
+# -- perceptual image hash (r8) -----------------------------------------------
+
+
+def test_image_ahash_stability_under_brightness_shift(spark):
+    """Identical images hash identically; a global +1 brightness shift
+    (re-encoded as a fresh PNG) moves only boundary cells — small
+    Hamming distance — while a different image is far away."""
+    from flux_spark.llm.codecs import encode_png_bytes, png_pixels, synth_png_bytes
+
+    base = synth_png_bytes(42)
+    w, h, ch, data = png_pixels(base)
+    shifted = encode_png_bytes(
+        bytes(min(b + 1, 255) for b in data), w, h, ch
+    )
+    # reversed gradient: bright rows where base is dark -> near-complement
+    other = encode_png_bytes(data[::-1], w, h, ch)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(base)),
+         (3, bytearray(shifted)), (4, bytearray(other))],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.image_ahash(df).collect()}
+
+    def ham(a, b):
+        return (
+            bin((a["hash_w0"] ^ b["hash_w0"]) & 0xFFFFFFFF).count("1")
+            + bin((a["hash_w1"] ^ b["hash_w1"]) & 0xFFFFFFFF).count("1")
+        )
+
+    assert ham(out[1], out[2]) == 0
+    assert ham(out[1], out[3]) <= 8, "brightness shift must stay near"
+    assert ham(out[1], out[4]) > 32, "reversed image must be far"
