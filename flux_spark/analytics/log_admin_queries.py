@@ -531,3 +531,111 @@ def log_rebalance_cooperative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1]).select(
         "member", "part_id", "resumed_from", "n_consumed", "max_offset"
     )
+
+
+@register(
+    LOG_QUERIES,
+    "log_txn_exactly_once_pipeline",
+    """
+    WITH src AS (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS soff
+      FROM events),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) // 2 AS BIGINT) AS n1 FROM src),
+    recs AS (
+      -- committed batch 1 at dst offsets [0, n1); the aborted attempt
+      -- occupies [n1, n) invisibly; the committed retry lands at
+      -- [n, n + (n - n1))
+      SELECT 'record' AS kind, 0 AS part_id,
+             CASE WHEN soff < t.n1 THEN soff
+                  ELSE t.n + (soff - t.n1) END AS record_offset,
+             CAST(user_id AS VARCHAR) AS rec_key,
+             'etl:' || CAST(event_id AS VARCHAR) AS rec_value
+      FROM src CROSS JOIN tot t)
+    SELECT kind, CAST(part_id AS INT) AS part_id, record_offset,
+           rec_key, rec_value
+    FROM recs
+    UNION ALL
+    SELECT 'resume_after_abort', 0, n1, 'etl', CAST(n1 AS VARCHAR) FROM tot
+    UNION ALL
+    SELECT 'offset', 0, n, 'etl', CAST(n AS VARCHAR) FROM tot
+    """,
+    "EOS consume-transform-produce (Kafka sendOffsetsToTransaction): "
+    "batch 1 commits records + input offsets atomically; the batch-2 "
+    "attempt ABORTS after producing AND sending offsets — its records "
+    "stay invisible to read_committed and the group's resume position "
+    "stays at n1 (the 'resume_after_abort' row is read from the real "
+    "offsets table); the retry re-reads from n1 and commits, so every "
+    "source record appears EXACTLY once in dst (aborted ranges still "
+    "burn offsets, hence the [n1, n) gap) and the final committed "
+    "offset is n",
+)
+def log_txn_exactly_once_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import OffsetStore
+    from ..log import LogStore
+
+    wh = tempfile.mkdtemp(prefix="flux-eos-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("src", 1)
+    store.catalog.create_topic("dst", 1)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+    )
+    store.append("src", e, ordering_col="seq")
+    n = store.read("src").count()
+    n1 = n // 2
+
+    def batch(lo, hi):
+        return (
+            store.read("src")
+            .where((F.col("offset") >= lo) & (F.col("offset") < hi))
+            .select(
+                F.col("offset").alias("seq"),
+                F.lit(0).cast("int").alias("partition"),
+                "timestamp",
+                "key",
+                F.concat(F.lit("etl:"), F.col("value")).alias("value"),
+            )
+        )
+
+    offsets = OffsetStore(store)
+    s = store.init_transactions("etl")
+    s.begin()
+    s.send("dst", batch(0, n1), ordering_col="seq")
+    s.send_offsets_to_transaction("etl", {("src", 0): n1})
+    s.commit()
+
+    resume = offsets.fetch("etl")[("src", 0)]  # n1 — batch 1 landed
+    s.begin()
+    s.send("dst", batch(resume, n), ordering_col="seq")
+    s.send_offsets_to_transaction("etl", {("src", 0): n})
+    s.abort()  # crash simulation: output AND progress must both vanish
+
+    resume2 = offsets.fetch("etl")[("src", 0)]  # still n1, NOT n
+    s.begin()
+    s.send("dst", batch(resume2, n), ordering_col="seq")
+    s.send_offsets_to_transaction("etl", {("src", 0): n})
+    s.commit()
+    final_off = offsets.fetch("etl")[("src", 0)]
+
+    recs = store.read("dst", read_committed=True).select(
+        F.lit("record").alias("kind"),
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("rec_value"),
+    )
+    marks = spark.createDataFrame(
+        [
+            ("resume_after_abort", 0, int(resume2), "etl", str(int(resume2))),
+            ("offset", 0, int(final_off), "etl", str(int(final_off))),
+        ],
+        "kind string, part_id int, record_offset long, rec_key string, "
+        "rec_value string",
+    )
+    return recs.unionByName(marks)

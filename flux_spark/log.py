@@ -100,7 +100,37 @@ class LogStore:
         from .txn import TransactionalSession
 
         epoch = self.txn_log.init_id(transactional_id)
+        # recovery sweep: offsets of committed txns that never reached the
+        # offsets table (crash between commit marker and apply)
+        self.apply_txn_offsets()
         return TransactionalSession(self, transactional_id, epoch)
+
+    def apply_txn_offsets(self) -> int:
+        """Apply consumer offsets bound to COMMITTED transactions
+        (sendOffsetsToTransaction) to the ``_offsets`` table, then mark
+        them applied in the txn log. Idempotent and crash-safe: the txn
+        log entry is the durable record until the apply succeeds (and
+        ``forget_committed`` refuses to GC it before then), so a crash
+        anywhere between the commit marker and the offsets write is
+        healed by the next call — offsets land at least once, and the
+        latest-wins resolution of the offsets table makes re-application
+        harmless. Returns the number of transactions applied."""
+        if not (self.warehouse / "_txns.json").exists():
+            return 0
+        pending = self.txn_log.pending_committed_offsets()
+        if not pending:
+            return 0
+        from .consumer import OffsetStore
+
+        os_ = OffsetStore(self)
+        for key, rows in pending:
+            by_group: dict[str, dict[tuple[str, int], int]] = {}
+            for g, t, p, off in rows:
+                by_group.setdefault(g, {})[(t, int(p))] = int(off)
+            for g, offs in by_group.items():
+                os_.commit(g, offs, metadata=f"txn:{key}")
+            self.txn_log.mark_offsets_applied(key)
+        return len(pending)
 
     # ------------------------------------------------------------------
     def topic_path(self, topic: str) -> str:

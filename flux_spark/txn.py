@@ -150,6 +150,59 @@ class TxnLog:
             txn["ranges"].extend([list(r) for r in ranges])
             self._save(state)
 
+    def add_offsets(
+        self,
+        tid: str,
+        epoch: int,
+        key: str,
+        group_id: str,
+        offsets: dict[tuple[str, int], int],
+    ) -> None:
+        """Attach consumer-group offsets to an ongoing transaction
+        (sendOffsetsToTransaction): they become durable txn metadata now
+        and are applied to the offsets table only when the transaction
+        commits. Re-sending for the same (group, topic, partition)
+        overwrites — last call wins, like Kafka."""
+        with self._xlock():
+            state = self._load()
+            self._check_epoch(state, tid, epoch)
+            txn = self._ongoing(state, key)
+            rows = txn.setdefault("offsets", [])
+            index = {
+                (r[0], r[1], int(r[2])): i
+                for i, r in enumerate(rows)
+            }
+            for (t, p), off in offsets.items():
+                k = (group_id, t, int(p))
+                row = [group_id, t, int(p), int(off)]
+                if k in index:
+                    rows[index[k]] = row
+                else:
+                    rows.append(row)
+            self._save(state)
+
+    def pending_committed_offsets(self) -> list[tuple[str, list]]:
+        """(txn key, offset rows) for committed transactions whose
+        offsets have not been applied to the offsets table yet — the
+        recovery worklist for a crash between the commit marker and the
+        offsets-table write."""
+        state = self._load()
+        return [
+            (key, txn["offsets"])
+            for key, txn in state["txns"].items()
+            if txn["status"] == "committed"
+            and txn.get("offsets")
+            and not txn.get("offsets_applied")
+        ]
+
+    def mark_offsets_applied(self, key: str) -> None:
+        with self._xlock():
+            state = self._load()
+            txn = state["txns"].get(key)
+            if txn is not None and not txn.get("offsets_applied"):
+                txn["offsets_applied"] = True
+                self._save(state)
+
     def finish(self, tid: str, epoch: int, key: str, status: str) -> None:
         assert status in ("committed", "aborted")
         with self._xlock():
@@ -205,7 +258,12 @@ class TxnLog:
         with self._xlock():
             state = self._load()
             done = [
-                k for k, t in state["txns"].items() if t["status"] == "committed"
+                k
+                for k, t in state["txns"].items()
+                if t["status"] == "committed"
+                # never GC a committed txn whose offsets haven't reached
+                # the offsets table — it is the recovery record
+                and (not t.get("offsets") or t.get("offsets_applied"))
             ]
             for k in done:
                 del state["txns"][k]
@@ -252,6 +310,26 @@ class TransactionalSession:
         )
         return stats
 
+    def send_offsets_to_transaction(
+        self, group_id: str, offsets: dict[tuple[str, int], int]
+    ) -> None:
+        """Kafka's sendOffsetsToTransaction: bind consumer progress to
+        this transaction's fate. The offsets reach the ``_offsets`` table
+        only if the transaction commits — an aborted attempt leaves the
+        group's resume position untouched, so the consume-transform-
+        produce loop re-reads exactly the batch whose output was hidden.
+        This is the EOS pipeline primitive: output records and input
+        progress succeed or fail as one unit."""
+        if self._current is None:
+            raise InvalidTransactionStateError("send_offsets outside begin()")
+        self._store.txn_log.add_offsets(
+            self.transactional_id,
+            self.epoch,
+            self._current,
+            group_id,
+            offsets,
+        )
+
     def commit(self) -> None:
         if self._current is None:
             raise InvalidTransactionStateError("commit outside begin()")
@@ -259,6 +337,12 @@ class TransactionalSession:
             self.transactional_id, self.epoch, self._current, "committed"
         )
         self._current = None
+        # apply any txn-bound consumer offsets now that the commit marker
+        # is durable; a crash before this line is healed by the
+        # pending_committed_offsets recovery sweep (LogStore init /
+        # explicit apply_txn_offsets) — the txn log entry is retained
+        # until applied
+        self._store.apply_txn_offsets()
 
     def abort(self) -> None:
         if self._current is None:

@@ -128,3 +128,48 @@ def test_read_committed_pushes_offset_predicates(spark, store):
     s.abort()
     plan = store.read("t", read_committed=True)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+# -- sendOffsetsToTransaction (r8) -------------------------------------------
+
+
+def test_offsets_follow_transaction_fate(spark, store):
+    from flux_spark.consumer import OffsetStore
+
+    store.catalog.create_topic("t2", 1)
+    offsets = OffsetStore(store)
+    s = store.init_transactions("eos")
+    s.begin()
+    s.send("t2", _df(spark, ["a", "b"]))
+    s.send_offsets_to_transaction("g", {("src", 0): 2})
+    s.abort()
+    assert offsets.fetch("g") == {}, "aborted txn must not move the group"
+
+    s.begin()
+    s.send("t2", _df(spark, ["a", "b"]))
+    s.send_offsets_to_transaction("g", {("src", 0): 1})
+    s.send_offsets_to_transaction("g", {("src", 0): 2})  # last wins
+    s.commit()
+    assert offsets.fetch("g") == {("src", 0): 2}
+
+
+def test_offsets_crash_between_marker_and_apply_recovers(spark, store):
+    """Commit marker durable, offsets not yet applied (crash window):
+    the txn log keeps the entry (forget_committed refuses to GC it) and
+    the next recovery sweep applies it."""
+    from flux_spark.consumer import OffsetStore
+
+    store.catalog.create_topic("t3", 1)
+    s = store.init_transactions("eos2")
+    s.begin()
+    s.send("t3", _df(spark, ["x"]))
+    s.send_offsets_to_transaction("g2", {("src", 0): 7})
+    # crash simulation: write only the commit marker, skip the apply
+    store.txn_log.finish(s.transactional_id, s.epoch, s._current, "committed")
+    assert OffsetStore(store).fetch("g2") == {}
+    assert store.txn_log.forget_committed() == 0, "recovery record retained"
+    assert store.apply_txn_offsets() == 1
+    assert OffsetStore(store).fetch("g2") == {("src", 0): 7}
+    # applied entry is now GC-able, and re-running the sweep is a no-op
+    assert store.apply_txn_offsets() == 0
+    assert store.txn_log.forget_committed() == 1
