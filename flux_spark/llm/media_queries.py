@@ -397,3 +397,96 @@ def _ahash_sql(grid: int = 8) -> str:
 def media_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.image_ahash(multimodal.with_png_media(d))
+
+
+def _ahash_words_sql(shifted: bool, id_expr: str, grid: int = 8) -> str:
+    """One SELECT producing (id, hash_w0, hash_w1) for the %29 gate
+    subset — `shifted` applies the +1-clamp brightness edit to every
+    sample before grayscale, mirroring multimodal.shift_brightness."""
+    cells = grid * grid
+    px = (
+        "((doc_id * 7 + ((((y * h) // {g}) * w + ((x * w) // {g})) * 3 "
+        "+ {{c}})) % 256)"
+    ).format(g=grid)
+    if shifted:
+        px = f"least({px} + 1, 255)"
+    gray = (
+        f"((({px.format(c=0)}) + ({px.format(c=1)}) + ({px.format(c=2)}))"
+        " // 3)"
+    )
+    word = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(g64[{lo}:{hi}], v -> CAST(CASE WHEN v * {cells} "
+        "> gray_sum THEN 1 ELSE 0 END AS BIGINT))), "
+        "(acc, b) -> acc * 2 + b) AS BIGINT)"
+    )
+    return f"""
+      SELECT {id_expr} AS id,
+             {word.format(lo=1, hi=cells // 2, cells=cells)} AS hash_w0,
+             {word.format(lo=cells // 2 + 1, hi=cells, cells=cells)} AS hash_w1
+      FROM (
+        SELECT doc_id, g64, CAST(list_sum(g64) AS BIGINT) AS gray_sum
+        FROM (
+          SELECT doc_id,
+                 flatten(list_transform(generate_series(0, {grid - 1}), y ->
+                   list_transform(generate_series(0, {grid - 1}), x ->
+                     {gray}))) AS g64
+          FROM (SELECT doc_id,
+                       CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                       CAST(3 + doc_id % 4 AS INTEGER) AS h
+                FROM documents WHERE doc_id % 29 = 0)))
+    """
+
+
+def _image_near_dup_sql(max_hamming: int = 6) -> str:
+    band_case = " ".join(
+        f"WHEN k = {k} THEN (hash_w{0 if k < 4 else 1} // {256 ** (k % 4)}) % 256"
+        for k in range(8)
+    )
+    return f"""
+    WITH hs AS (
+      {_ahash_words_sql(False, "doc_id")}
+      UNION ALL
+      {_ahash_words_sql(True, "doc_id + 3000000000")}
+    ),
+    bands AS (
+      SELECT id, hash_w0, hash_w1, r.k,
+             CAST(CASE {band_case} END AS INTEGER) AS bv
+      FROM hs CROSS JOIN (SELECT CAST(range AS INT) AS k
+                          FROM range(0, 8)) r),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.hash_w0 AS a0, a.hash_w1 AS a1,
+             b.hash_w0 AS b0, b.hash_w1 AS b1
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.bv = b.bv AND a.id < b.id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= {max_hamming}
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "media_image_near_dup",
+    _image_near_dup_sql(),
+    "image near-dup pairs by perceptual hash: %29 subset + a +1-clamp "
+    "brightness variant per image; aHash -> 8 byte-bands -> bucket join "
+    "-> exact XOR-popcount Hamming <= 6 (pigeonhole: <= 7 differing "
+    "bits always share a band, MinHash-LSH's guarantee at image scale). "
+    "GATE-ONLY SCALE POSTURE like doc_containment: the synthetic "
+    "gradient family is one big near-dup clique, so the gate fixture is "
+    "output-bound by construction; production corpora are diverse and "
+    "the operator carries the standard max_bucket_size skew guard",
+)
+def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 29 == 0
+    )
+    orig = multimodal.with_png_media(d)
+    shifted = multimodal.shift_brightness(orig, 1).select(
+        (F.col("doc_id") + 3000000000).alias("doc_id"), "media"
+    )
+    return multimodal.image_near_dup_pairs(orig.unionByName(shifted))

@@ -550,3 +550,107 @@ def image_ahash(
         schema=f"{id_col} LONG, width INT, height INT, gray_sum LONG, "
         "hash_w0 LONG, hash_w1 LONG",
     )
+
+
+def shift_brightness(
+    df: DataFrame, delta: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode -> clamp-add ``delta`` to every sample -> PNG re-encode:
+    the controlled perturbation used to exercise perceptual-hash
+    stability (a recompress/brightness edit must stay Hamming-near its
+    source). Arrow-batched; output schema matches the payload producers
+    ((id, media))."""
+    from .codecs import encode_png_bytes, image_pixels
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["media"]:
+                w, h, ch, data = image_pixels(bytes(payload))
+                a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                a = np.clip(a + delta, 0, 255).astype(np.uint8)
+                out.append(encode_png_bytes(a.tobytes(), w, h, ch))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "media": out}
+            )
+
+    return df.select(id_col, "media").mapInPandas(
+        gen, schema=f"{id_col} LONG, media BINARY"
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    grid: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: aHash each payload
+    (:func:`image_ahash`), band the 64 bits into 8 bytes, bucket-join on
+    (band, value), verify with the exact XOR-popcount Hamming distance.
+    Pigeonhole: a pair within ``max_hamming`` <= 7 differing bits MUST
+    share at least one of the 8 byte-bands, so banding has perfect
+    recall at the default threshold — same guarantee structure as
+    MinHash-LSH, at image scale one decode per payload then pure integer
+    Catalyst (band extraction is arithmetic ``(w // 256^k) % 256``,
+    engine-portable; no Python after the hash).
+
+    ``max_bucket_size`` drops degenerate bands (a constant-background
+    corpus puts everything in one bucket, the usual LSH skew guard; off
+    by default for oracle parity). Returns (id_a, id_b, hamming) with
+    id_a < id_b, hamming <= ``max_hamming``.
+    """
+    h = image_ahash(df, id_col, grid).select(
+        F.col(id_col).alias("__id"), "hash_w0", "hash_w1"
+    )
+    band_vals = F.array(
+        *[
+            (F.floor(F.col("hash_w0") / F.lit(256 ** k)) % 256).cast("int")
+            for k in range(4)
+        ],
+        *[
+            (F.floor(F.col("hash_w1") / F.lit(256 ** k)) % 256).cast("int")
+            for k in range(4)
+        ],
+    )
+    b = h.select(
+        "__id",
+        "hash_w0",
+        "hash_w1",
+        F.posexplode(band_vals).alias("band", "bval"),
+    )
+    if max_bucket_size is not None:
+        sizes = b.groupBy("band", "bval").agg(F.count("*").alias("__n"))
+        b = b.join(
+            sizes.where(F.col("__n") <= max_bucket_size).drop("__n"),
+            ["band", "bval"],
+        )
+    left = b.select(
+        F.col("band"), F.col("bval"),
+        F.col("__id").alias("id_a"),
+        F.col("hash_w0").alias("__a0"), F.col("hash_w1").alias("__a1"),
+    )
+    right = b.select(
+        F.col("band"), F.col("bval"),
+        F.col("__id").alias("id_b"),
+        F.col("hash_w0").alias("__b0"), F.col("hash_w1").alias("__b1"),
+    )
+    cand = (
+        left.hint("shuffle_hash")
+        .join(right, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__a0", "__a1", "__b0", "__b1")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("__a0").bitwiseXOR(F.col("__b0")))
+        + F.bit_count(F.col("__a1").bitwiseXOR(F.col("__b1")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

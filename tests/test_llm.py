@@ -1567,3 +1567,32 @@ def test_image_ahash_stability_under_brightness_shift(spark):
     assert ham(out[1], out[2]) == 0
     assert ham(out[1], out[3]) <= 8, "brightness shift must stay near"
     assert ham(out[1], out[4]) > 32, "reversed image must be far"
+
+
+def test_image_near_dup_pairs_banding_and_cap(spark):
+    """A brightness-shifted copy pairs with its source at small Hamming;
+    the reversed-gradient image pairs with neither; the bucket cap drops
+    a mega-band when enabled."""
+    from flux_spark.llm.codecs import encode_png_bytes, png_pixels, synth_png_bytes
+
+    base = synth_png_bytes(7)
+    w, h, ch, data = png_pixels(base)
+    near = encode_png_bytes(
+        bytes(min(b + 1, 255) for b in data), w, h, ch
+    )
+    far = encode_png_bytes(data[::-1], w, h, ch)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(near)), (3, bytearray(far))],
+        "doc_id long, media binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(df).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert all(3 not in p for p in pairs)
+    # cap: with max_bucket_size=1 every band bucket holding >1 row drops,
+    # so no pairs survive
+    assert (
+        multimodal.image_near_dup_pairs(df, max_bucket_size=1).count() == 0
+    )
