@@ -1458,3 +1458,85 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ordering_col="seq")
     stream_export(agg(), out, ckpt)
     return spark.read.parquet(out)
+
+
+@register(
+    LOG_QUERIES,
+    "stream_left_outer_join",
+    _ROUTED_CTE
+    + """
+    , evens AS (SELECT rec_key, rec_value, event_ts FROM routed
+                WHERE CAST(rec_value AS BIGINT) % 2 = 0),
+    odds AS (SELECT rec_key, rec_value, event_ts FROM routed
+             WHERE CAST(rec_value AS BIGINT) % 2 = 1),
+    wm AS (
+      -- the GLOBAL watermark is the min over both input streams'
+      -- (max event time - delay), each tracked at ms precision
+      SELECT make_timestamp((least(
+               (SELECT epoch_us(MAX(event_ts)) FROM evens),
+               (SELECT epoch_us(MAX(event_ts)) FROM odds)) // 1000) * 1000)
+             - INTERVAL 30 MINUTE AS w),
+    matches AS (
+      SELECT a.rec_key, a.rec_value AS value_a, b.rec_value AS value_b,
+             epoch_us(b.event_ts) - epoch_us(a.event_ts) AS gap_us
+      FROM evens a JOIN odds b
+        ON a.rec_key = b.rec_key
+       AND b.event_ts >= a.event_ts
+       AND b.event_ts <= a.event_ts + INTERVAL 30 MINUTE),
+    unmatched AS (
+      SELECT a.rec_key, a.rec_value AS value_a,
+             CAST(NULL AS VARCHAR) AS value_b,
+             CAST(NULL AS BIGINT) AS gap_us
+      FROM evens a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM odds b
+        WHERE b.rec_key = a.rec_key
+          AND b.event_ts >= a.event_ts
+          AND b.event_ts <= a.event_ts + INTERVAL 30 MINUTE)
+        AND a.event_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+    SELECT rec_key, value_a, value_b, gap_us FROM matches
+    UNION ALL
+    SELECT rec_key, value_a, value_b, gap_us FROM unmatched
+    """,
+    "stream-stream LEFT OUTER join with watermark-driven NULL emission: "
+    "even-id records left-join odd-id records of the same key within a "
+    "forward 30-minute interval; a left row with no partner emits "
+    "null-padded ONLY once the watermark passes its horizon (state "
+    "eviction = no future match possible), and too-recent unmatched "
+    "rows are withheld — the oracle re-derives matches, the eviction "
+    "cutoff, and the withheld set symbolically",
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import drain_available_now, stream_topic
+
+    store = _ingest_events(spark, sf_dir)
+    a = stream_topic(store, "events").where(
+        F.col("value").cast("long") % 2 == 0
+    ).select(
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("value_a"),
+        F.col("timestamp").alias("ts_a"),
+    )
+    b = stream_topic(store, "events").where(
+        F.col("value").cast("long") % 2 == 1
+    ).select(
+        F.col("key").alias("b_key"),
+        F.col("value").alias("value_b"),
+        F.col("timestamp").alias("ts_b"),
+    )
+    aw = a.withWatermark("ts_a", "30 minutes")
+    bw = b.withWatermark("ts_b", "30 minutes")
+    joined = aw.join(
+        bw,
+        (F.col("rec_key") == F.col("b_key"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
+        how="leftOuter",
+    )
+    out = drain_available_now(joined, output_mode="append")
+    return out.select(
+        "rec_key",
+        "value_a",
+        "value_b",
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+    )

@@ -239,8 +239,9 @@ def stream_stream_join(
     within: str = "1 hour",
     watermark: str = "2 hours",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: pairs of records sharing a key
+    """Watermarked stream-stream join: pairs of records sharing a key
     whose event times lie within ``within`` of each other.
 
     Both sides carry watermarks and the join condition is equi-key plus a
@@ -250,6 +251,14 @@ def stream_stream_join(
     bound — the difference between a demo and an operator that survives a
     continuous 100 TB/day feed. Right-side columns are prefixed to keep the
     output schema unambiguous.
+
+    ``how="leftOuter"`` adds watermark-driven NULL emission: a left row
+    that found no partner is emitted null-padded only once the watermark
+    proves no future right row can match (its state eviction point) —
+    attribution's "click that never converted" row, produced by the
+    engine exactly once instead of by a second reconciliation job. Rows
+    still inside the horizon are withheld, not emitted as false
+    negatives.
     """
     r = right.select(
         F.col(key).alias(f"{right_prefix}{key}"),
@@ -272,7 +281,7 @@ def stream_stream_join(
             <= F.expr(f"timestamp + INTERVAL {within}")
         )
     )
-    return lw.join(rw, cond)
+    return lw.join(rw, cond, how=how)
 
 
 def stream_static_enrich(

@@ -339,3 +339,42 @@ def test_late_data_dropped_across_checkpointed_runs(store, spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {10: 2, 11: 1, 12: 1}, got
+
+
+def test_left_outer_join_emits_nulls_after_watermark(store, spark):
+    """Left row with no partner emits null-padded once BOTH streams'
+    watermarks pass its match horizon; a too-recent unmatched left row
+    is withheld; matches emit normally."""
+    from datetime import datetime
+
+    def ts(h, m):
+        return datetime(2024, 5, 1, h, m)
+
+    store.catalog.create_topic("attr", 1)
+    rows = [
+        (0, 0, ts(10, 0), "k1", "0"),    # left, matched by value 1
+        (1, 0, ts(10, 10), "k1", "1"),   # right partner
+        (2, 0, ts(10, 0), "k2", "2"),    # left, no partner -> NULL row
+        (4, 0, ts(13, 0), "k3", "4"),    # left tail: advances left wm; withheld
+        (5, 0, ts(13, 0), "k4", "5"),    # right tail: advances right wm
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, partition int, timestamp timestamp, key string, value string"
+    )
+    store.append("attr", df, ordering_col="seq")
+    left = streaming.stream_topic(store, "attr").where(
+        F.col("value").cast("long") % 2 == 0
+    )
+    right = streaming.stream_topic(store, "attr").where(
+        F.col("value").cast("long") % 2 == 1
+    )
+    joined = streaming.stream_stream_join(
+        left, right, key="key", within="30 minutes",
+        watermark="30 minutes", how="leftOuter",
+    )
+    out = {
+        (r["key"], r["value"]): r["r_value"]
+        for r in streaming.drain_available_now(joined).collect()
+    }
+    # wm = min(13:00, 13:00) - 30min = 12:30 > 10:30 horizon of k2's row
+    assert out == {("k1", "0"): "1", ("k2", "2"): None}, out
