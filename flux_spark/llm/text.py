@@ -595,3 +595,54 @@ def chunk_windows(
         )
         .withColumn("n_chunk_chars", F.length("chunk_text").cast("int"))
     )
+
+
+def markup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Markup/boilerplate signals (the C4 'remove pages with code or
+    markup' heuristics, Raffel et al. 2020 sec. 2.2): URL and HTML-tag
+    counts, code-brace and table-pipe density, digit ratio, ALL-CAPS
+    token ratio, and a composite ``looks_markup`` flag. Complements
+    :func:`filter_report` (token-shape rules) with the source-cleanliness
+    rules — together they are the full pre-training page filter.
+
+    Pure per-row regexp/char expressions inside codegen — no UDF, no
+    shuffle; at 100 TB this runs at parquet scan bandwidth.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    def char_count(c: str) -> Column:
+        return (n_chars - F.length(F.replace(t, F.lit(c), F.lit("")))).cast(
+            "int"
+        )
+
+    tk = F.filter(F.split(t, " "), lambda x: x != "")
+    n_tokens = F.size(tk)
+    n_caps = F.size(F.filter(tk, lambda x: x.rlike("^[A-Z]{2,}$")))
+    n_urls = F.regexp_count(t, F.lit(r"https?://[^ ]+")).cast("int")
+    n_tags = F.regexp_count(t, F.lit(r"<[a-zA-Z][^>]*>")).cast("int")
+    n_digits = F.regexp_count(t, F.lit(r"[0-9]")).cast("int")
+    digit_ratio = n_digits.cast("double") / n_chars.cast("double")
+    caps_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        n_caps.cast("double") / n_tokens.cast("double")
+    )
+    n_braces = char_count("{") + char_count("}")
+    n_pipes = char_count("|")
+    return df.select(
+        id_col,
+        n_urls.alias("n_urls"),
+        n_tags.alias("n_tags"),
+        n_braces.cast("int").alias("n_braces"),
+        n_pipes.alias("n_pipes"),
+        n_digits.alias("n_digits"),
+        digit_ratio.alias("digit_ratio"),
+        n_caps.cast("int").alias("n_caps_tokens"),
+        caps_ratio.alias("caps_ratio"),
+        (
+            (n_tags >= 2)
+            | (n_urls >= 3)
+            | (n_braces >= 4)
+            | (digit_ratio > 0.3)
+        ).alias("looks_markup"),
+    )

@@ -1190,3 +1190,63 @@ def doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("temp_share"),
         (p / F.col("actual_share")).alias("sample_weight"),
     )
+
+
+_MARKUP_SUFFIX = (
+    ' <div class="x"> <span id="y"> {a} {b} {c} {d} '
+    "https://example.org/a https://example.org/b https://example.org/c "
+    "| 12345 HTML TABLE"
+)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_markup_stats",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000000 AS doc_id,
+             text || '{_MARKUP_SUFFIX.replace("'", "''")}' AS text
+      FROM documents WHERE doc_id % 31 = 0),
+    feat AS (
+      SELECT doc_id, text,
+        CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER)
+          AS n_urls,
+        CAST(len(regexp_extract_all(text, '<[a-zA-Z][^>]*>')) AS INTEGER)
+          AS n_tags,
+        CAST((length(text) - length(replace(text, '{{', '')))
+           + (length(text) - length(replace(text, '}}', ''))) AS INTEGER)
+          AS n_braces,
+        CAST(length(text) - length(replace(text, '|', '')) AS INTEGER)
+          AS n_pipes,
+        CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digits,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM corpus)
+    SELECT doc_id, n_urls, n_tags, n_braces, n_pipes, n_digits,
+      CAST(n_digits AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+      CAST(len(list_filter(toks,
+        x -> regexp_full_match(x, '[A-Z]{{2,}}'))) AS INTEGER)
+        AS n_caps_tokens,
+      CASE WHEN len(toks) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(toks,
+                  x -> regexp_full_match(x, '[A-Z]{{2,}}'))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) END AS caps_ratio,
+      (n_tags >= 2 OR n_urls >= 3 OR n_braces >= 4
+       OR CAST(n_digits AS DOUBLE) / CAST(length(text) AS DOUBLE) > 0.3)
+        AS looks_markup
+    FROM feat
+    """,
+    "markup/boilerplate signals (C4 page-cleanliness rules): URL/tag "
+    "counts, code-brace + table-pipe density, digit ratio, ALL-CAPS "
+    "token ratio, composite looks_markup flag — gate corpus overlays a "
+    "markup-heavy variant per 31st doc so the flag discriminates; pure "
+    "per-row regexp/char codegen, zero shuffle",
+)
+def doc_markup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 4000000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_MARKUP_SUFFIX)).alias("text"),
+    )
+    return text.markup_stats(d.unionByName(aug))

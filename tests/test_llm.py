@@ -1596,3 +1596,21 @@ def test_image_near_dup_pairs_banding_and_cap(spark):
     assert (
         multimodal.image_near_dup_pairs(df, max_bucket_size=1).count() == 0
     )
+
+
+def test_markup_stats_flags_boilerplate(spark):
+    rows = [
+        (1, "plain prose about nothing much at all"),
+        (2, '<div id="a"> <b>bold</b> see https://x.org/1 https://x.org/2 '
+            "https://x.org/3 {code} {more} {yet} {four} | 99 HTML OK"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.markup_stats(df).collect()}
+    clean, markup = out[1], out[2]
+    assert not clean["looks_markup"]
+    assert clean["n_urls"] == clean["n_tags"] == clean["n_braces"] == 0
+    assert markup["looks_markup"]
+    assert markup["n_urls"] == 3
+    assert markup["n_tags"] == 2  # <div>, <b>; </b> excluded (starts with /)
+    assert markup["n_braces"] == 8
+    assert markup["n_caps_tokens"] == 2  # HTML, OK
