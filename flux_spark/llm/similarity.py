@@ -1779,3 +1779,40 @@ def zscore_normalize(
             lambda c, s: c / s,
         ),
     )
+
+
+def mutual_topk_pairs(
+    topk: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    score_col: str = "cos_sim",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal (mutual) k-NN pairs from ANY top-k table: (a, b) kept
+    only if b is in a's top-k AND a is in b's top-k. One-directional
+    nearest-neighbor edges are asymmetric in dense regions (a hub is
+    everyone's neighbor but reciprocates few); the mutual filter is the
+    standard robustness step before near-dup clustering or kNN-graph
+    community detection. Composes with any retrieval backend — brute,
+    IVF, IVF-PQ, int8 or 1-bit Hamming — since it only consumes the
+    (query, neighbor, score, rank) shape; cost is one self-join of the
+    top-k table (O(n*k) rows, never the corpus).
+
+    Returns (id_a, id_b, score, rank_ab, rank_ba) with id_a < id_b.
+    """
+    a = topk.select(
+        F.col(query_col).alias("id_a"),
+        F.col(neighbor_col).alias("id_b"),
+        F.col(score_col).alias("score"),
+        F.col(rank_col).alias("rank_ab"),
+    )
+    b = topk.select(
+        F.col(neighbor_col).alias("id_a"),
+        F.col(query_col).alias("id_b"),
+        F.col(rank_col).alias("rank_ba"),
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), ["id_a", "id_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "score", "rank_ab", "rank_ba")
+    )

@@ -1682,3 +1682,41 @@ def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.dim_stats(e)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_mutual_knn",
+    f"""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 5 = 0),
+    scored AS (
+      SELECT a.vec_id AS q, b.vec_id AS n,
+             {similarity.sql_cosine("a.embedding", "b.embedding", _DIM)}
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {similarity.sql_cosine("a.embedding", "b.embedding",
+                                               _DIM)} DESC,
+                        b.vec_id ASC) AS r
+      FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+    topk AS (SELECT * FROM scored WHERE r <= 5)
+    SELECT a.q AS id_a, a.n AS id_b, a.cos_sim AS score,
+           CAST(a.r AS INT) AS rank_ab, CAST(b.r AS INT) AS rank_ba
+    FROM topk a JOIN topk b ON a.q = b.n AND a.n = b.q
+    WHERE a.q < a.n
+    """,
+    "reciprocal (mutual) k-NN pairs: an edge survives only if each "
+    "endpoint is in the other's top-5 — the hub-suppressing robustness "
+    "filter before near-dup clustering; composes with any retrieval "
+    "backend, cost one O(n*k) self-join of the top-k table (gate uses "
+    "the %5 corpus subset with brute scoring; the scale path feeds it "
+    "IVF/IVF-PQ top-k instead)",
+)
+def emb_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 5 == 0
+    )
+    return similarity.mutual_topk_pairs(
+        similarity.brute_force_topk(e, e, k=5)
+    )

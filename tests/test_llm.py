@@ -1614,3 +1614,23 @@ def test_markup_stats_flags_boilerplate(spark):
     assert markup["n_tags"] == 2  # <div>, <b>; </b> excluded (starts with /)
     assert markup["n_braces"] == 8
     assert markup["n_caps_tokens"] == 2  # HTML, OK
+
+
+def test_mutual_topk_pairs_drops_one_directional_edges(spark):
+    """Hand fixture: a hub everyone ranks first but which reciprocates
+    only its true neighbor — only the reciprocated edge survives."""
+    topk = spark.createDataFrame(
+        [
+            # hub 0 reciprocates only 1
+            (0, 1, 0.9, 1),
+            # 1 and 2 both rank the hub first
+            (1, 0, 0.9, 1), (1, 2, 0.5, 2),
+            (2, 0, 0.8, 1), (2, 1, 0.5, 2),
+        ],
+        "query_id long, neighbor_id long, cos_sim double, rank int",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["rank_ab"], r["rank_ba"])
+        for r in similarity.mutual_topk_pairs(topk).collect()
+    }
+    assert out == {(0, 1): (1, 1), (1, 2): (2, 2)}, out
