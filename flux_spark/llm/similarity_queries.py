@@ -1720,3 +1720,54 @@ def emb_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mutual_topk_pairs(
         similarity.brute_force_topk(e, e, k=5)
     )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_ivf_pq_recall",
+    f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM ({_brute_topk_sql()}) x),
+    approx AS (
+      SELECT query_id, neighbor_id
+      FROM ({similarity.sql_ivf_pq_topk()}) y)
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    "recall@5 of composed IVF-PQ against the exact ranking, per query — "
+    "closes the recall-gate matrix (IVF, int8, 1-bit, matryoshka, now "
+    "IVFADC): the two-stage approximation (bucket pruning x residual "
+    "codes) is itself oracle-measured, not assumed",
+)
+def emb_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    codebook = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    approx = (
+        similarity.ivf_pq_topk(e, q, centroids, codebook, k=5, nprobe=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            (F.count("__hit").cast("double") / F.lit(5)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
