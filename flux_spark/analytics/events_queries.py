@@ -1450,3 +1450,86 @@ def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return skew_profile(e, "user_id")
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_seasonal_anomaly",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2, 3),
+    spine AS (
+      SELECT t.event_type, d.day, h.hr
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS hr FROM range(0, 24)) h),
+    full_c AS (
+      SELECT s.event_type, s.day, s.hr,
+             COALESCE(c.n_events, 0) AS n_events
+      FROM spine s LEFT JOIN c
+        ON c.event_type = s.event_type AND c.day = s.day AND c.hr = s.hr),
+    stats AS (
+      SELECT event_type, hr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_events) AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS q
+      FROM full_c GROUP BY 1, 2)
+    SELECT f.event_type, f.day, CAST(f.hr AS INT) AS hr, f.n_events,
+           CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS baseline_mean,
+           CASE WHEN t.n * t.q - t.s * t.s = 0 THEN NULL
+                ELSE CAST(f.n_events * t.n - t.s AS DOUBLE)
+                     / sqrt(CAST(t.n * t.q - t.s * t.s AS DOUBLE)) END
+             AS zscore,
+           (f.n_events * t.n - t.s) * (f.n_events * t.n - t.s)
+             > 9 * (t.n * t.q - t.s * t.s) AS is_anomaly
+    FROM full_c f JOIN stats t
+      ON t.event_type = f.event_type AND t.hr = f.hr
+    """,
+    "seasonal (hour-of-day) anomaly detection: per (event_type, hour) "
+    "baseline over a full day-spine (absent hours count as zero, not "
+    "dropped), anomaly iff (c*n - S)^2 > 9*(n*Q - S^2) — the 3-sigma "
+    "rule in EXACT integer arithmetic so the boolean is engine-exact "
+    "even at variance boundaries; zero-variance buckets flag any "
+    "deviation and carry NULL zscore. One map-side count agg + an "
+    "O(types x 24) stats table; the fact stream is never re-shuffled",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    spine = (
+        e.select("event_type").distinct()
+        .crossJoin(e.select(F.to_date("ts").alias("day")).distinct())
+        .crossJoin(spark.range(24).select(F.col("id").alias("hr")))
+    )
+    full = spine.join(c, ["event_type", "day", "hr"], "left").fillna(
+        0, subset=["n_events"]
+    )
+    stats = full.groupBy("event_type", "hr").agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("n_events").cast("bigint").alias("__s"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .cast("bigint")
+        .alias("__q"),
+    )
+    j = full.join(stats, ["event_type", "hr"])
+    dev = F.col("n_events") * F.col("__n") - F.col("__s")
+    varn = F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+    return j.select(
+        "event_type",
+        "day",
+        F.col("hr").cast("int").alias("hr"),
+        "n_events",
+        (F.col("__s").cast("double") / F.col("__n").cast("double")).alias(
+            "baseline_mean"
+        ),
+        F.when(varn == 0, F.lit(None).cast("double"))
+        .otherwise(dev.cast("double") / F.sqrt(varn.cast("double")))
+        .alias("zscore"),
+        (dev * dev > F.lit(9) * varn).alias("is_anomaly"),
+    )

@@ -266,3 +266,43 @@ def test_skew_profile_hand_checked(spark):
     assert abs(r["skew_ratio"] - 2.0) < 1e-12
     assert r["suggested_salt"] == 2
     assert r["p50_count"] == 2.0
+
+
+def test_seasonal_anomaly_integer_three_sigma(spark):
+    """Controlled seasonality: hour 10 is 4/day for 20 days plus one
+    40-spike — the spike must flag (note: with the outlier inside its own
+    baseline, max attainable z is sqrt(n-1), so 3-sigma needs n >= ~10
+    days; 4 days can never flag — the masking property this fixture
+    documents); hour 11 constant (zero variance, NULL z, no flag); hours
+    with no events appear on the spine as zeros."""
+    import datetime
+    import os
+    import tempfile
+
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    rows = []
+    eid = 0
+    for d in range(1, 22):
+        n10 = 40 if d == 4 else 4
+        for i in range(n10):
+            rows.append((eid, datetime.datetime(2024, 6, d, 10, 5 + i % 50),
+                         1, "click", 1.0, "{}")); eid += 1
+        for i in range(3):
+            rows.append((eid, datetime.datetime(2024, 6, d, 11, i + 1),
+                         1, "click", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = ANALYTICS_QUERIES["events_seasonal_anomaly"].fn(spark, d)
+    rows10 = {r["day"].day: r for r in out.where("hr = 10").collect()}
+    assert rows10[4]["is_anomaly"] and rows10[4]["n_events"] == 40
+    assert not rows10[1]["is_anomaly"]
+    rows11 = out.where("hr = 11").collect()
+    assert all(r["zscore"] is None and not r["is_anomaly"] for r in rows11)
+    # spine: hour 9 exists for every day with zero events, zero variance
+    rows9 = out.where("hr = 9").collect()
+    assert len(rows9) == 21 and all(r["n_events"] == 0 for r in rows9)
