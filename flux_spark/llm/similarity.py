@@ -1816,3 +1816,84 @@ def mutual_topk_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "score", "rank_ab", "rank_ba")
     )
+
+
+def power_iteration_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iterations: int = 4,
+) -> DataFrame:
+    """Top singular direction of the embedding matrix by distributed
+    power iteration — the "common discourse component" whose removal
+    sharpens sentence embeddings (Arora et al. 2017 SIF), and the
+    dominant-drift axis a monitoring pipeline tracks. Never materializes
+    the covariance: each iteration is one corpus pass computing
+    ``X^T (X v)`` as a per-row dot (codegen fold) followed by a per-dim
+    sum, with the driver holding only the 64-value iterate.
+
+    Engine-exact across iterations: per-dim sums quantize each row's
+    contribution to int64 (``floor(x * s * 1e6)``) so the reduce is
+    order-free, and the next iterate is ``S_j / max|S_j|`` — an
+    int64-by-int64 double division both engines round identically, so
+    after any number of iterations the direction is bit-identical to
+    the DuckDB oracle's unrolled recomputation.
+
+    Plan shape at 100 TB: ``iterations`` corpus scans (cache the
+    projected column to pay I/O once), each reducing map-side into 64
+    groups; driver state is 64 numbers. Returns one row per dimension:
+    (dim_idx, u_q int64 raw sum, u_val double in [-1, 1] scaled by the
+    max-abs component).
+    """
+    v = [1.0] * dim
+    last = None
+    for _ in range(iterations):
+        varr = F.array(*[F.lit(float(x)) for x in v])
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        s = F.aggregate(
+            F.zip_with(vd, varr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        contrib = F.transform(
+            vd, lambda x: F.floor(x * s * F.lit(1e6)).cast("long")
+        )
+        sums = (
+            df.select(F.posexplode(contrib).alias("dim_idx", "__q"))
+            .groupBy("dim_idx")
+            .agg(F.sum("__q").cast("bigint").alias("__sq"))
+            .collect()
+        )
+        last = {int(r["dim_idx"]): int(r["__sq"]) for r in sums}
+        m = max(abs(x) for x in last.values())
+        v = [last[j] / m if m else 0.0 for j in range(dim)]
+    out = [(j, last[j], v[j]) for j in range(dim)]
+    return df.sparkSession.createDataFrame(
+        out, "dim_idx int, u_q long, u_val double"
+    )
+
+
+def remove_top_component(
+    df: DataFrame,
+    component: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "residual",
+) -> DataFrame:
+    """SIF post-processing: subtract each vector's projection onto the
+    (unnormalized) top component u — ``x - (x.u / u.u) u``. Pure
+    zip_with/aggregate codegen against literal arrays; zero shuffle."""
+    u = F.array(*[F.lit(float(x)) for x in component])
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    xu = F.aggregate(
+        F.zip_with(vd, u, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    uu = F.aggregate(
+        F.zip_with(u, u, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    coef = xu / uu
+    return df.withColumn(
+        out_col, F.zip_with(vd, u, lambda a, b: a - coef * b)
+    )

@@ -1771,3 +1771,57 @@ def emb_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _power_iter_sql(dim: int = 64, iterations: int = 4) -> str:
+    parts = [
+        "WITH corp AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x "
+        "FROM embeddings)",
+        f"v0 AS (SELECT list_transform(range(1, {dim + 1}), "
+        "i -> CAST(1.0 AS DOUBLE)) AS v)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(f"""sc{t} AS (
+          SELECT c.x, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, {dim + 1}), j -> c.x[j] * p.v[j])),
+            (acc, y) -> acc + y) AS s
+          FROM corp c CROSS JOIN v{t - 1} p)""")
+        parts.append(f"""q{t} AS (
+          SELECT CAST(u.j - 1 AS INT) AS dim_idx,
+                 CAST(floor((x[u.j] * s) * 1e6) AS BIGINT) AS q
+          FROM sc{t} CROSS JOIN (SELECT CAST(range AS INT) + 1 AS j
+                                FROM range(0, {dim})) u)""")
+        parts.append(
+            f"ps{t} AS (SELECT dim_idx, CAST(SUM(q) AS BIGINT) AS sq "
+            f"FROM q{t} GROUP BY dim_idx)"
+        )
+        parts.append(f"mx{t} AS (SELECT MAX(abs(sq)) AS m FROM ps{t})")
+        if t < iterations:
+            parts.append(
+                f"v{t} AS (SELECT list(CAST(sq AS DOUBLE) / CAST(m AS DOUBLE)"
+                f" ORDER BY dim_idx) AS v FROM ps{t} CROSS JOIN mx{t})"
+            )
+    body = ", ".join(parts[1:])
+    return (
+        parts[0] + ", " + body
+        + f""" SELECT dim_idx, sq AS u_q,
+                 CAST(sq AS DOUBLE) / CAST(m AS DOUBLE) AS u_val
+           FROM ps{iterations} CROSS JOIN mx{iterations}"""
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_top_component",
+    _power_iter_sql(),
+    "top singular direction by distributed power iteration (4 corpus "
+    "passes, SIF common-component, Arora et al. 2017): X^T(Xv) per pass "
+    "with int64-quantized order-free per-dim sums and an int/int double "
+    "renormalization, so the direction is BIT-IDENTICAL to the oracle's "
+    "unrolled recomputation after every iteration; covariance never "
+    "materializes, driver holds 64 numbers",
+)
+def emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.power_iteration_top_component(e)

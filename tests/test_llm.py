@@ -1634,3 +1634,32 @@ def test_mutual_topk_pairs_drops_one_directional_edges(spark):
         for r in similarity.mutual_topk_pairs(topk).collect()
     }
     assert out == {(0, 1): (1, 1), (1, 2): (2, 2)}, out
+
+
+# -- power iteration / SIF (r8) -----------------------------------------------
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    import numpy as np
+
+    rows = []
+    for i in range(40):
+        v = [0.0] * 8
+        v[2] = 5.0 + (i % 3)          # dominant axis
+        v[5] = 0.3 * ((i % 7) - 3)    # minor noise axis
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["dim_idx"]: r["u_val"]
+        for r in similarity.power_iteration_top_component(
+            df, dim=8, iterations=4
+        ).collect()
+    }
+    assert abs(out[2]) == max(abs(v) for v in out.values()) == 1.0
+    assert all(abs(out[j]) < 0.2 for j in out if j not in (2, 5))
+
+    u = [out[j] for j in range(8)]
+    res = similarity.remove_top_component(df, u, out_col="res").collect()
+    U = np.array(u)
+    for r in res:
+        assert abs(np.dot(np.array(r["res"]), U)) < 1e-6
