@@ -1,0 +1,291 @@
+"""Distribution-drift detection and interval-overlap joins over `events`.
+
+Two late-round-8 operators a production data pipeline runs continuously:
+
+* ``events_distribution_drift`` — exact two-sample drift report (KS
+  statistic + total-variation distance) between the early and late half
+  of the stream, per event_type. This is the batch form of the "did my
+  feature distribution move?" check that gates model retraining.
+* ``events_interval_overlap_join`` — a range/interval join (events whose
+  timestamp falls inside another user's session window) executed as a
+  bucketed EQUI-join, the strategy that survives 100 TB where a naive
+  range predicate degenerates into BroadcastNestedLoopJoin.
+
+Both follow the registry float-determinism contract (``registry.py``):
+integer counts and IEEE double division only — no transcendental
+functions, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import ANALYTICS_QUERIES, load_table, register
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_distribution_drift",
+    """
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_type, value,
+             CASE WHEN epoch_us(ts) > (SELECT mid_us FROM bounds)
+                  THEN 1 ELSE 0 END AS is_late
+      FROM events
+    ),
+    per_value AS (
+      SELECT event_type, value,
+             CAST(SUM(1 - is_late) AS BIGINT) AS cnt_a,
+             CAST(SUM(is_late) AS BIGINT) AS cnt_b
+      FROM flagged
+      GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type, value, cnt_a, cnt_b,
+        CAST(SUM(cnt_a) OVER w AS BIGINT) AS cum_a,
+        CAST(SUM(cnt_b) OVER w AS BIGINT) AS cum_b,
+        CAST(SUM(cnt_a) OVER t AS BIGINT) AS n_a,
+        CAST(SUM(cnt_b) OVER t AS BIGINT) AS n_b
+      FROM per_value
+      WINDOW
+        w AS (PARTITION BY event_type ORDER BY value
+              ROWS UNBOUNDED PRECEDING),
+        t AS (PARTITION BY event_type)
+    )
+    SELECT
+      event_type,
+      MAX(n_a) AS n_a,
+      MAX(n_b) AS n_b,
+      CAST(MAX(ABS(CAST(cum_a AS DECIMAL(38,0)) * n_b
+                   - CAST(cum_b AS DECIMAL(38,0)) * n_a)) AS DOUBLE)
+        / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)) AS ks_stat,
+      0.5 * CAST(SUM(ABS(CAST(cnt_a AS DECIMAL(38,0)) * n_b
+                         - CAST(cnt_b AS DECIMAL(38,0)) * n_a)) AS DOUBLE)
+        / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)) AS tvd
+    FROM cum
+    GROUP BY event_type
+    """,
+    "exact two-sample drift per event_type: split the stream at the "
+    "midpoint timestamp, then Kolmogorov-Smirnov statistic "
+    "(max |CDF_early - CDF_late|) and total-variation distance over the "
+    "`value` distribution. Scale shape: one groupBy(event_type, value) "
+    "map-side-combines the raw stream down to distinct values; the "
+    "window sort then ranks only O(distinct values) rows per type — the "
+    "same partial-aggregate-then-rank shape as the skew profiler. No "
+    "transcendentals (KS/TVD are counts + IEEE division), so the gate "
+    "is value-hash exact, unlike PSI whose ln() would diverge in ULPs "
+    "between engines.",
+)
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    # midpoint of the observed time range: two scalar aggregates, broadcast
+    # back as a literal-sized 1-row frame (integer floor-div is exact)
+    mid = e.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    flagged = e.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "value",
+        F.when(F.unix_micros("ts") > F.col("mid_us"), 1)
+        .otherwise(0)
+        .alias("is_late"),
+    )
+    per_value = flagged.groupBy("event_type", "value").agg(
+        F.sum(F.lit(1) - F.col("is_late")).cast("bigint").alias("cnt_a"),
+        F.sum("is_late").cast("bigint").alias("cnt_b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("event_type")
+    cum = per_value.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(w).cast("bigint").alias("cum_a"),
+        F.sum("cnt_b").over(w).cast("bigint").alias("cum_b"),
+        F.sum("cnt_a").over(t).cast("bigint").alias("n_a"),
+        F.sum("cnt_b").over(t).cast("bigint").alias("n_b"),
+    )
+    # float-determinism: the numerators are EXACT integer cross-products
+    # (|cum_a*n_b - cum_b*n_a| in DECIMAL(38,0) so 1e13-row halves can't
+    # overflow); max/sum over integers is order-independent, and the one
+    # double division at the end rounds identically in both engines. A
+    # naive SUM(ABS(p_a - p_b)) of doubles would be summation-order
+    # nondeterministic and fail the value hash.
+    dec = "decimal(38,0)"
+    ks_num = F.abs(
+        F.col("cum_a").cast(dec) * F.col("n_b")
+        - F.col("cum_b").cast(dec) * F.col("n_a")
+    )
+    tvd_num = F.abs(
+        F.col("cnt_a").cast(dec) * F.col("n_b")
+        - F.col("cnt_b").cast(dec) * F.col("n_a")
+    )
+    denom = F.max("n_a").cast("double") * F.max("n_b").cast("double")
+    return cum.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        (F.max(ks_num).cast("double") / denom).alias("ks_stat"),
+        (F.lit(0.5) * F.sum(tvd_num).cast("double") / denom).alias("tvd"),
+    )
+
+
+# interval-join bucket width: 1 hour. Sessions are gap-30-min so they are
+# short; a session spans ~1-3 buckets and each probe event lives in
+# exactly ONE bucket, so the equi-join on bucket produces each
+# (session, event) candidate exactly once — no post-join dedup needed.
+_BUCKET_US = 3_600_000_000
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_interval_overlap_join",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+               OR LAG(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, event_id, ts,
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS session_id
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+        COUNT(*) AS n_events,
+        epoch_us(MIN(ts)) AS start_us,
+        epoch_us(MAX(ts)) AS end_us
+      FROM tagged
+      GROUP BY user_id, session_id
+      HAVING COUNT(*) >= 3
+    ),
+    hits AS (
+      SELECT s.user_id, s.session_id,
+        COUNT(*) AS n_overlap,
+        COUNT(DISTINCT e.user_id) AS n_other_users
+      FROM sessions s
+      JOIN events e
+        ON epoch_us(e.ts) BETWEEN s.start_us AND s.end_us
+       AND e.user_id <> s.user_id
+      GROUP BY s.user_id, s.session_id
+    )
+    SELECT
+      s.user_id, s.session_id, s.n_events,
+      s.end_us - s.start_us AS duration_us,
+      COALESCE(h.n_overlap, 0) AS n_overlap,
+      COALESCE(h.n_other_users, 0) AS n_other_users
+    FROM sessions s
+    LEFT JOIN hits h
+      ON s.user_id = h.user_id AND s.session_id = h.session_id
+    """,
+    "interval-overlap join: for every heavy session (>=3 events), count "
+    "how many events from OTHER users fall inside its [start, end] time "
+    "window (concurrency audit / interference detection). The oracle "
+    "states it as the natural range-predicate join (DuckDB IEJoin); the "
+    "engine refuses that plan — a ts-range theta-join in Spark "
+    "degenerates to BroadcastNestedLoopJoin, O(sessions x events) at "
+    "scale — and instead buckets time into 1 h cells: sessions explode "
+    "to the few cells they span (sequence + explode), probes map to "
+    "exactly one cell, and the join becomes a shuffle EQUI-join on the "
+    "cell key followed by the exact range filter. Each candidate pair "
+    "appears once (probe cell is unique), so no dedup pass. "
+    "Plan-asserted: tests/test_plans.py rejects nested-loop joins here.",
+)
+def events_interval_overlap_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > gap_us
+        ),
+        1,
+    ).otherwise(0)
+    sessions = (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .where(F.col("n_events") >= 3)
+    )
+    # sessions fan out to the hour-cells they span (short sessions -> 1-3
+    # rows each); probe events land in exactly one cell
+    s_cells = sessions.select(
+        F.col("user_id").alias("s_user"),
+        "session_id",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                (F.col("start_us") / F.lit(_BUCKET_US)).cast("bigint"),
+                (F.col("end_us") / F.lit(_BUCKET_US)).cast("bigint"),
+            )
+        ).alias("cell"),
+    )
+    probes = e.select(
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") / F.lit(_BUCKET_US)).cast("bigint").alias(
+            "cell"
+        ),
+    )
+    hits = (
+        s_cells.join(probes, "cell")
+        .where(
+            (F.col("e_user") != F.col("s_user"))
+            & F.col("ts_us").between(F.col("start_us"), F.col("end_us"))
+        )
+        .groupBy(
+            "s_user", F.col("session_id").alias("h_session_id")
+        )
+        .agg(
+            F.count("*").alias("n_overlap"),
+            F.countDistinct("e_user").alias("n_other_users"),
+        )
+    )
+    return (
+        sessions.join(
+            hits,
+            (sessions.user_id == hits.s_user)
+            & (sessions.session_id == hits.h_session_id),
+            "left",
+        )
+        .select(
+            sessions.user_id,
+            sessions.session_id,
+            "n_events",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce("n_other_users", F.lit(0)).alias("n_other_users"),
+        )
+    )

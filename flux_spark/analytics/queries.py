@@ -1318,6 +1318,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # on import (kept at the bottom so `from .queries import ANALYTICS_QUERIES`
 # always sees the full registry; registry.py holds the dict itself)
+from . import drift_queries  # noqa: E402,F401
 from . import events_queries  # noqa: E402,F401
 from . import graph_queries  # noqa: E402,F401
 from . import sketch_queries  # noqa: E402,F401

@@ -1250,3 +1250,74 @@ def doc_markup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(_MARKUP_SUFFIX)).alias("text"),
     )
     return text.markup_stats(d.unionByName(aug))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_epoch_shuffle",
+    """
+    WITH epochs AS (
+      SELECT CAST(unnest([0, 1]) AS BIGINT) AS epoch
+    ),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+        md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':'
+            || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents d CROSS JOIN epochs e
+    ),
+    sharded AS (
+      SELECT epoch, doc_id, shuffle_key,
+        CAST(('0x' || substring(shuffle_key, 1, 15)) AS BIGINT) % 8 AS shard
+      FROM keyed
+    )
+    SELECT epoch, doc_id, shard,
+      CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                              ORDER BY shuffle_key, doc_id) AS BIGINT) - 1
+        AS pos
+    FROM sharded
+    """,
+    "deterministic multi-epoch training shuffle: every doc gets, per "
+    "epoch, a salted md5 shuffle key -> shard (key % 8) and an exact "
+    "position within the shard (rank by key). Reproducible byte-for-byte "
+    "across reruns, retries, and engines — the property rand()-based "
+    "shuffles lack — and epochs are independent permutations (the salt "
+    "includes the epoch). Scale shape: shard assignment is per-row "
+    "codegen (no shuffle); the only exchange is the window's "
+    "hash-partition on (epoch, shard), whose parallelism is "
+    "epochs x n_shards — at 100 TB you raise n_shards into the "
+    "thousands so every sort fits one task's spill budget, exactly how "
+    "production sharded-shuffle writers (WebDataset/Megatron) lay out "
+    "epochs. Deliberately NOT a single global row_number per epoch: "
+    "that would funnel the corpus through one task.",
+)
+def doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("epoch"),
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
+            F.lit(8),
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
+    return sharded.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        (F.row_number().over(w).cast("bigint") - 1).alias("pos"),
+    )

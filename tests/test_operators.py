@@ -306,3 +306,117 @@ def test_seasonal_anomaly_integer_three_sigma(spark):
     # spine: hour 9 exists for every day with zero events, zero variance
     rows9 = out.where("hr = 9").collect()
     assert len(rows9) == 21 and all(r["n_events"] == 0 for r in rows9)
+
+
+def test_distribution_drift_ks_tvd_extremes(spark):
+    """Type 'a' swaps its whole distribution between halves (KS = TVD = 1);
+    type 'b' keeps it identical (KS = TVD = 0). The midpoint split is
+    global, so both types share the same early/late boundary."""
+    import datetime
+    import os
+    import tempfile
+
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    base = datetime.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for i in range(20):
+        late = i >= 10
+        # type a: all 1.0 early, all 2.0 late
+        rows.append((eid, base + datetime.timedelta(hours=i), 1, "a",
+                     2.0 if late else 1.0, "{}")); eid += 1
+        # type b: same 1.0/2.0 mix in both halves
+        rows.append((eid, base + datetime.timedelta(hours=i), 1, "b",
+                     2.0 if i % 2 else 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in ANALYTICS_QUERIES["events_distribution_drift"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert out["a"]["n_a"] == 10 and out["a"]["n_b"] == 10
+    assert out["a"]["ks_stat"] == 1.0 and out["a"]["tvd"] == 1.0
+    assert out["b"]["ks_stat"] == 0.0 and out["b"]["tvd"] == 0.0
+
+
+def test_interval_overlap_join_counts_other_users_inside_window(spark):
+    """One heavy session (user 1, 3 events over 20 min); user 2 has two
+    events inside the window and one far outside, user 3 one inside —
+    n_overlap = 3 from 2 distinct other users. Light sessions drop."""
+    import datetime
+    import os
+    import tempfile
+
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (0, at(0), 1, "click", 1.0, "{}"),
+        (1, at(10), 1, "click", 1.0, "{}"),
+        (2, at(20), 1, "click", 1.0, "{}"),
+        (3, at(5), 2, "view", 1.0, "{}"),
+        (4, at(19), 2, "view", 1.0, "{}"),
+        (5, at(600), 2, "view", 1.0, "{}"),   # outside
+        (6, at(20), 3, "view", 1.0, "{}"),    # boundary-inclusive
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = (
+        ANALYTICS_QUERIES["events_interval_overlap_join"]
+        .fn(spark, d)
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1 and r["n_events"] == 3
+    assert r["duration_us"] == 20 * 60 * 1_000_000
+    assert r["n_overlap"] == 3 and r["n_other_users"] == 2
+
+
+def test_epoch_shuffle_reproducible_independent_permutations(spark):
+    """Every (epoch, shard) position range is contiguous from 0; the two
+    epochs order the corpus differently (independent permutations); a
+    second invocation reproduces the assignment byte-for-byte."""
+    import os
+    import tempfile
+
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    df = spark.range(1, 65).selectExpr("id AS doc_id", "'x' AS text")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    fn = LLM_QUERIES["doc_epoch_shuffle"].fn
+    rows = fn(spark, d).collect()
+    assert len(rows) == 128
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r["epoch"], r["shard"]), []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    order = {
+        ep: [
+            r["doc_id"]
+            for r in sorted(rows, key=lambda r: (r["shard"], r["pos"]))
+            if r["epoch"] == ep
+        ]
+        for ep in (0, 1)
+    }
+    assert order[0] != order[1]
+    again = {(r["epoch"], r["doc_id"]): (r["shard"], r["pos"])
+             for r in fn(spark, d).collect()}
+    assert again == {(r["epoch"], r["doc_id"]): (r["shard"], r["pos"])
+                     for r in rows}

@@ -606,3 +606,50 @@ def test_binary_hamming_stays_jvm_side(spark):
     )
     assert "PythonEval" not in plan and "ArrowEval" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_interval_overlap_join_is_bucketed_equi_join(spark, sf):
+    """The session-window interval join must run as an equi-join on the
+    time-cell key (explode + shuffle join), never as a raw range
+    theta-join — Spark plans those as BroadcastNestedLoopJoin, which is
+    O(sessions x events) at 100 TB."""
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["events_interval_overlap_join"].fn(spark, sf)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the cell fan-out feeding the equi-join
+    assert "Generate explode" in plan or "explode" in plan
+
+
+def test_distribution_drift_ranks_distinct_values_only(spark, sf):
+    """KS/TVD must partial-aggregate the raw stream down to distinct
+    (event_type, value) rows BEFORE the window sort — the window input
+    carrying raw events would global-sort the whole table per type."""
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["events_distribution_drift"].fn(spark, sf)
+    )
+    # an aggregate must sit BELOW the window in the tree (plan strings
+    # print root-first, so "below" = a later occurrence in the string).
+    # The only nested-loop join allowed is the 1-row midpoint scalar
+    # broadcast (IdentityBroadcastMode), never a row-level join.
+    assert plan.rindex("HashAggregate") > plan.index("Window")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "IdentityBroadcastMode" in plan
+
+
+def test_epoch_shuffle_sorts_per_shard_not_globally(spark, sf):
+    """The epoch shuffle's only exchange must be the hash partition on
+    (epoch, shard) for the per-shard rank — a single global sort per
+    epoch (rangepartitioning on epoch alone) would funnel the corpus
+    through one task."""
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_epoch_shuffle"].fn(spark, sf))
+    assert "hashpartitioning(epoch" in plan
+    assert "rangepartitioning" not in plan
