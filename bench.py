@@ -102,6 +102,23 @@ ANALYTICS_HEADLINE = [
     # composed IVF-PQ: corpus scanned once into codes (Arrow kernels,
     # zero shuffle), per-probe LUTs broadcast — linear in the corpus
     "emb_ivf_pq_topk",
+    # late-r8 additions: chunking + markup are scan-bandwidth codegen;
+    # skew profile is O(distinct keys) after a map-side reduce; the
+    # power iteration is 4 corpus passes with 64-group partial aggs;
+    # edit-verify is the post-LSH candidate-bounded Levenshtein pass
+    "doc_chunk_windows",
+    "doc_markup_stats",
+    "events_skew_profile",
+    "emb_top_component",
+    "doc_dedup_edit_verify",
+    "events_seasonal_anomaly",
+    # drift report ranks only distinct (type, value) rows after a
+    # map-side combine; the interval join is the bucketed equi-join
+    # form (1 h cells), never a range theta-join; the epoch shuffle's
+    # only exchange is the (epoch, shard) hash partition
+    "events_distribution_drift",
+    "events_interval_overlap_join",
+    "doc_epoch_shuffle",
 ]
 
 

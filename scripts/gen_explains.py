@@ -99,6 +99,45 @@ SHOWCASE = [
         "broadcast; both ranking channels and the fusion window key on "
         "query_id so the exchanges line up; embeddings never shuffle",
     ),
+    (
+        "emb_ivf_pq_topk",
+        "composed IVF-PQ (late r8, FAISS IVFADC): corpus assignment + "
+        "residual encoding are per-row Arrow kernels (scan once, reduce "
+        "to 8-byte codes, zero corpus shuffle); the per-(query, probe) "
+        "LUT side broadcasts into the bucket join; only the top-k "
+        "window shuffles",
+    ),
+    (
+        "doc_chunk_windows",
+        "RAG chunk windows (late r8): split/sequence/posexplode/slice "
+        "— pure codegen, no Exchange anywhere; output fan-out "
+        "~n_tokens/stride per doc at parquet scan bandwidth",
+    ),
+    (
+        "events_skew_profile",
+        "key-skew profiler (late r8): the fact table reduces map-side "
+        "to one row per key; the global sort for the exact Gini ranks "
+        "only O(distinct keys) rows",
+    ),
+    (
+        "emb_top_component",
+        "distributed power iteration (late r8): per pass one corpus "
+        "scan -> 64-group partial aggregate; covariance never "
+        "materializes and the iterate lives on the driver",
+    ),
+    (
+        "events_interval_overlap_join",
+        "interval-overlap join (late r8): sessions explode to the 1 h "
+        "time cells they span, probes map to exactly one cell, and the "
+        "range join becomes a shuffle EQUI-join on the cell key + exact "
+        "range filter — never BroadcastNestedLoopJoin",
+    ),
+    (
+        "events_distribution_drift",
+        "KS/TVD drift report (late r8): the raw stream map-side-combines "
+        "to distinct (type, value) rows before the window rank; the "
+        "statistics are integer cross-products so the gate is bit-exact",
+    ),
 ]
 
 
