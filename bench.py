@@ -119,6 +119,11 @@ ANALYTICS_HEADLINE = [
     "events_distribution_drift",
     "events_interval_overlap_join",
     "doc_epoch_shuffle",
+    # MERGE reduces both sides to one row/key before the single key
+    # shuffle; the IVF lifecycle pays the build once then reads only
+    # probed bucket partitions (timed together: build + pruned query)
+    "events_cdc_merge",
+    "emb_ivf_index_persist",
 ]
 
 

@@ -289,3 +289,115 @@ def events_interval_overlap_join(
             F.coalesce("n_other_users", F.lit(0)).alias("n_other_users"),
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_cdc_merge",
+    """
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    base AS (
+      SELECT user_id, value AS base_value, n_base FROM (
+        SELECT user_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS r,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_base
+        FROM events
+        WHERE epoch_us(ts) <= (SELECT mid_us FROM bounds))
+      WHERE r = 1
+    ),
+    chg AS (
+      SELECT user_id,
+        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        value AS new_value, n_late
+      FROM (
+        SELECT user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS r,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_late
+        FROM events
+        WHERE epoch_us(ts) > (SELECT mid_us FROM bounds))
+      WHERE r = 1
+    )
+    SELECT
+      COALESCE(b.user_id, c.user_id) AS user_id,
+      CASE WHEN c.user_id IS NULL THEN 'kept'
+           WHEN b.user_id IS NULL THEN 'inserted'
+           ELSE 'updated' END AS action,
+      CASE WHEN c.user_id IS NULL THEN b.base_value
+           ELSE c.new_value END AS value,
+      COALESCE(b.n_base, 0) + COALESCE(c.n_late, 0) AS version
+    FROM base b
+    FULL OUTER JOIN chg c ON b.user_id = c.user_id
+    WHERE COALESCE(c.op, '') <> 'D'
+    """,
+    "lakehouse MERGE (upsert + delete): the early half of the stream "
+    "snapshots per-user state (latest value + version count); the late "
+    "half becomes a CDC changeset (latest late event per user; "
+    "event_type = 'error' interpreted as DELETE, anything else UPSERT). "
+    "One full-outer join on the key applies inserts, updates, deletes "
+    "and keeps untouched rows, tagging each with its action. Scale "
+    "shape: both sides reduce to one row per key via window-rank "
+    "(map-side partial for the counts), then a single key-hash shuffle "
+    "join — the exact MERGE INTO plan Delta/Iceberg run; skewed keys "
+    "fall to AQE skew-join handling.",
+)
+def events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    mid = e.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    tagged = e.crossJoin(F.broadcast(mid))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    t = Window.partitionBy("user_id")
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("r", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(t))
+            .where(F.col("r") == 1)
+        )
+
+    base = latest(
+        tagged.where(F.unix_micros("ts") <= F.col("mid_us"))
+    ).select(
+        F.col("user_id").alias("b_user"),
+        F.col("value").alias("base_value"),
+        F.col("n").alias("n_base"),
+    )
+    chg = latest(tagged.where(F.unix_micros("ts") > F.col("mid_us"))).select(
+        F.col("user_id").alias("c_user"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value").alias("new_value"),
+        F.col("n").alias("n_late"),
+    )
+    merged = base.join(
+        chg, base.b_user == chg.c_user, "full_outer"
+    ).where(F.coalesce(F.col("op"), F.lit("")) != F.lit("D"))
+    return merged.select(
+        F.coalesce("b_user", "c_user").alias("user_id"),
+        F.when(F.col("c_user").isNull(), F.lit("kept"))
+        .when(F.col("b_user").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+        F.when(F.col("c_user").isNull(), F.col("base_value"))
+        .otherwise(F.col("new_value"))
+        .alias("value"),
+        (
+            F.coalesce("n_base", F.lit(0)) + F.coalesce("n_late", F.lit(0))
+        ).alias("version"),
+    )

@@ -1897,3 +1897,116 @@ def remove_top_component(
     return df.withColumn(
         out_col, F.zip_with(vd, u, lambda a, b: a - coef * b)
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build once, query many (partition-pruned reads)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> None:
+    """Materialize an IVF index on disk: ``centroids/`` (the model, K
+    rows) and ``postings/`` — every corpus vector assigned to its
+    max-cosine centroid, written **partitionBy(bucket)** so query-time
+    reads prune to the probed buckets' directories only.
+
+    This is the build-once half of the FAISS IVF lifecycle: at 100 TB the
+    assignment scan runs once, and every later query batch touches
+    ``nprobe/K`` of the postings bytes via partition pruning instead of
+    re-scanning (and re-shuffling) the corpus. Vectors are stored inline
+    in the postings (what IndexIVFFlat does); the 8-byte-code variant is
+    ``ivf_pq_topk``. Assignment ties break on ascending centroid id, so
+    the index is deterministic and the query path stays oracle-exact.
+    """
+    from pyspark.sql import Window
+
+    cen = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(
+        F.broadcast(cen)
+    ).withColumn("__ccos", cosine(F.col(vec_col), F.col("__cvec")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("__cid"))
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(id_col, vec_col, F.col("__cid").alias("bucket"))
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Query a persisted IVF index (``build_ivf_index``): probe each
+    query's ``nprobe`` closest centroids, then rank exact cosine over the
+    probed buckets only.
+
+    The probed bucket set is model-sized (<= n_queries x nprobe distinct
+    ids), so it is collected and inlined as an ``isin`` literal — which
+    turns into **PartitionFilters on the postings scan** (plan-asserted):
+    Spark lists only the probed ``bucket=…`` directories and never reads
+    the rest of the index. Results are identical to the in-memory
+    ``ivf_topk`` on the same centroids, which is exactly what the gate
+    checks (persistence must not change answers).
+    """
+    from pyspark.sql import Window
+
+    cen = spark.read.parquet(f"{index_dir}/centroids").select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    probe_scored = queries.select(id_col, vec_col).crossJoin(
+        F.broadcast(cen)
+    ).withColumn("__ccos", cosine(F.col(vec_col), F.col("__cvec")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("__cid"))
+    probes = (
+        probe_scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__cid").cast("bigint").alias("bucket"),
+        )
+    )
+    bucket_ids = sorted(
+        r["bucket"] for r in probes.select("bucket").distinct().collect()
+    )
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("bucket").cast("bigint").isin(bucket_ids))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+        )
+    )
+    scored = (
+        probes.join(postings, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

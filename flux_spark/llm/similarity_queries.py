@@ -1825,3 +1825,36 @@ def _power_iter_sql(dim: int = 64, iterations: int = 4) -> str:
 def emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.power_iteration_top_component(e)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_ivf_index_persist",
+    _ivf_sql(),
+    "persisted-IVF lifecycle: build the index ONCE on disk (centroids + "
+    "postings partitioned by bucket), then answer the query batch from "
+    "the index alone — the probed buckets inline as an isin literal, so "
+    "the postings scan partition-prunes to nprobe/K of the index bytes "
+    "(plan-asserted). Results must equal the in-memory IVF path: the "
+    "oracle is the same 8-centroid nprobe=2 derivation, so a persistence "
+    "bug (dropped bucket dir, wrong pruning) fails the value hash",
+)
+def emb_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="flux-ivfidx-")
+    try:
+        similarity.build_ivf_index(e, centroids, root)
+        out = similarity.ivf_index_topk(
+            spark, root, e.where(F.col("vec_id") < 5), k=5, nprobe=2
+        )
+        # materialize before deleting the index files (same eager-cleanup
+        # pattern as doc_dedup_incremental; result is queries x k rows)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

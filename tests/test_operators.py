@@ -420,3 +420,79 @@ def test_epoch_shuffle_reproducible_independent_permutations(spark):
              for r in fn(spark, d).collect()}
     assert again == {(r["epoch"], r["doc_id"]): (r["shard"], r["pos"])
                      for r in rows}
+
+
+def test_cdc_merge_upsert_delete_semantics(spark):
+    """u1 early-only -> kept; u2 early+late click -> updated with the
+    late value; u3 early + late 'error' -> deleted (absent); u4 late-only
+    click -> inserted; u5 late-only error -> absent; version counts both
+    halves' events."""
+    import datetime
+    import os
+    import tempfile
+
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    t = lambda h: datetime.datetime(2024, 6, 1, h)  # noqa: E731
+    rows = [
+        (0, t(0), 1, "click", 10.0, "{}"),
+        (1, t(1), 1, "view", 11.0, "{}"),    # u1 base value 11.0, n=2
+        (2, t(0), 2, "click", 20.0, "{}"),
+        (3, t(20), 2, "click", 21.0, "{}"),  # u2 updated -> 21.0
+        (4, t(0), 3, "click", 30.0, "{}"),
+        (5, t(20), 3, "error", 31.0, "{}"),  # u3 deleted
+        (6, t(20), 4, "click", 40.0, "{}"),  # u4 inserted
+        (7, t(20), 5, "error", 50.0, "{}"),  # u5 never lands
+        (8, t(23), 9, "view", 0.0, "{}"),    # stretch the range late
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["user_id"]: r
+        for r in ANALYTICS_QUERIES["events_cdc_merge"].fn(spark, d).collect()
+    }
+    assert set(out) == {1, 2, 4, 9}
+    assert out[1]["action"] == "kept" and out[1]["value"] == 11.0
+    assert out[1]["version"] == 2
+    assert out[2]["action"] == "updated" and out[2]["value"] == 21.0
+    assert out[2]["version"] == 2
+    assert out[4]["action"] == "inserted" and out[4]["value"] == 40.0
+    assert out[4]["version"] == 1
+
+
+def test_ivf_index_persist_matches_in_memory_ivf(spark, sf_dir):
+    """The persisted-index query path must return exactly what the
+    in-memory ivf_topk returns on the same centroids."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flux_spark.analytics.registry import load_table
+    from flux_spark.llm import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    mem = similarity.ivf_topk(
+        e, e.where("vec_id < 5"), cen, k=5, nprobe=2
+    ).collect()
+    root = tempfile.mkdtemp()
+    try:
+        similarity.build_ivf_index(e, cen, root)
+        disk = similarity.ivf_index_topk(
+            spark, root, e.where("vec_id < 5"), k=5, nprobe=2
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in mem]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in disk]
+    )

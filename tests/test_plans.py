@@ -653,3 +653,50 @@ def test_epoch_shuffle_sorts_per_shard_not_globally(spark, sf):
     plan = executed_plan(LLM_QUERIES["doc_epoch_shuffle"].fn(spark, sf))
     assert "hashpartitioning(epoch" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_ivf_index_query_partition_prunes_to_probed_buckets(spark, tmp_path):
+    """Querying the persisted IVF index must read ONLY the probed
+    bucket=… directories: the probed-bucket isin literal has to land in
+    the postings scan's PartitionFilters, not a post-scan Filter."""
+    from flux_spark.llm import similarity
+
+    e = spark.range(40).selectExpr(
+        "id AS vec_id",
+        "array(cast(id % 7 as double) + 1.0, cast(id % 3 as double), 1.0)"
+        " AS embedding",
+    )
+    cen = spark.range(4).selectExpr(
+        "id AS centroid_id",
+        "array(cast(id as double) + 1.0, cast(3 - id as double), 1.0)"
+        " AS embedding",
+    )
+    similarity.build_ivf_index(e, cen, str(tmp_path / "idx"))
+    out = similarity.ivf_index_topk(
+        spark, str(tmp_path / "idx"), e.where("vec_id < 2"), k=3, nprobe=1
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    plan = executed_plan(out)
+    # some FileScan must carry a non-empty bucket PartitionFilter
+    pfs = [
+        seg[:300]
+        for seg in plan.split("PartitionFilters: [")[1:]
+        if seg.strip() and not seg.startswith("]")
+    ]
+    assert any(
+        "bucket" in pf and ("IN" in pf or "in(" in pf.lower()) for pf in pfs
+    ), plan
+    assert out.count() > 0
+
+
+def test_cdc_merge_reduces_to_one_row_per_key_before_join(spark, sf):
+    """MERGE must rank each side down to one row per key BEFORE the
+    full-outer key join — the join inputs are per-key states, not raw
+    events (a raw-events join would explode at 100 TB)."""
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_cdc_merge"].fn(spark, sf))
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    # both window-rank reductions sit below the outer join
+    join_at = plan.lower().index("fullouter")
+    assert plan.count("Window", join_at) >= 2
