@@ -1259,6 +1259,10 @@ def doc_markup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH epochs AS (
       SELECT CAST(unnest([0, 1]) AS BIGINT) AS epoch
     ),
+    shards AS (
+      SELECT GREATEST(8, (COUNT(*) + 4095) // 4096) AS n_shards
+      FROM documents
+    ),
     keyed AS (
       SELECT e.epoch, d.doc_id,
         md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':'
@@ -1267,7 +1271,8 @@ def doc_markup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sharded AS (
       SELECT epoch, doc_id, shuffle_key,
-        CAST(('0x' || substring(shuffle_key, 1, 15)) AS BIGINT) % 8 AS shard
+        CAST(('0x' || substring(shuffle_key, 1, 15)) AS BIGINT)
+          % (SELECT n_shards FROM shards) AS shard
       FROM keyed
     )
     SELECT epoch, doc_id, shard,
@@ -1277,25 +1282,37 @@ def doc_markup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sharded
     """,
     "deterministic multi-epoch training shuffle: every doc gets, per "
-    "epoch, a salted md5 shuffle key -> shard (key % 8) and an exact "
-    "position within the shard (rank by key). Reproducible byte-for-byte "
-    "across reruns, retries, and engines — the property rand()-based "
-    "shuffles lack — and epochs are independent permutations (the salt "
-    "includes the epoch). Scale shape: shard assignment is per-row "
-    "codegen (no shuffle); the only exchange is the window's "
-    "hash-partition on (epoch, shard), whose parallelism is "
-    "epochs x n_shards — at 100 TB you raise n_shards into the "
-    "thousands so every sort fits one task's spill budget, exactly how "
-    "production sharded-shuffle writers (WebDataset/Megatron) lay out "
-    "epochs. Deliberately NOT a single global row_number per epoch: "
-    "that would funnel the corpus through one task.",
+    "epoch, a salted md5 shuffle key -> shard (key % n_shards) and an "
+    "exact position within the shard (rank by key). Reproducible "
+    "byte-for-byte across reruns, retries, and engines — the property "
+    "rand()-based shuffles lack — and epochs are independent "
+    "permutations (the salt includes the epoch). n_shards derives from "
+    "COUNT(*) in pure integer arithmetic (max(8, ceil(n/4096)), the "
+    "fixed-config law): target ~4096 docs per shard so every per-shard "
+    "sort fits one task at ANY scale — 100 TB just means more shards, "
+    "exactly how production sharded-shuffle writers (WebDataset/"
+    "Megatron) lay out epochs. Shard assignment is per-row codegen; the "
+    "only exchange is the (epoch, shard) hash partition. Deliberately "
+    "NOT a single global row_number per epoch: that would funnel the "
+    "corpus through one task.",
 )
 def doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     epochs = spark.range(2).select(F.col("id").alias("epoch"))
-    keyed = d.crossJoin(F.broadcast(epochs)).select(
+    # fixed-config law: shard count derives from the corpus size in pure
+    # integer arithmetic (identical on both engines); ~4096 docs/shard
+    n_shards = d.agg(
+        F.greatest(
+            F.lit(8).cast("bigint"),
+            ((F.count("*") + F.lit(4095)) / F.lit(4096)).cast("bigint"),
+        ).alias("n_shards")
+    )
+    keyed = d.crossJoin(F.broadcast(epochs)).crossJoin(
+        F.broadcast(n_shards)
+    ).select(
+        "n_shards",
         "epoch",
         "doc_id",
         F.md5(
@@ -1311,7 +1328,7 @@ def doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.pmod(
             F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
-            F.lit(8),
+            F.col("n_shards"),
         ),
     )
     w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
