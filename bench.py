@@ -124,6 +124,8 @@ ANALYTICS_HEADLINE = [
     # probed bucket partitions (timed together: build + pruned query)
     "events_cdc_merge",
     "emb_ivf_index_persist",
+    # 2 x 4 corpus passes (deflation); driver holds 2 x 64 numbers
+    "emb_top2_components",
 ]
 
 

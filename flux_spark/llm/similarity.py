@@ -2010,3 +2010,45 @@ def ivf_index_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def power_iteration_top2(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iterations: int = 4,
+) -> DataFrame:
+    """Top TWO singular directions by power iteration + deflation: find
+    u1 on the raw vectors, project it out of every row
+    (``remove_top_component`` — zero-shuffle codegen), then find u2 on
+    the residuals. The classic Hotelling deflation, distributed: each
+    component costs ``iterations`` corpus passes and the driver only
+    ever holds 2 x 64 numbers — the covariance never materializes.
+
+    Engine-exact end to end: u1 is bit-identical to the oracle (int64
+    per-dim sums, int/int renormalization); the residual
+    ``x - (x.u1/u1.u1) u1`` is per-row double arithmetic against exact
+    literal components (left-fold dots, same association as the
+    oracle's list_reduce); u2 then re-quantizes, so BOTH directions
+    hash-match the DuckDB unrolled recomputation. Output: one row per
+    (component, dim_idx).
+    """
+    c1 = power_iteration_top_component(
+        df, vec_col=vec_col, dim=dim, iterations=iterations
+    )
+    rows = sorted(c1.collect(), key=lambda r: r["dim_idx"])
+    u1 = [r["u_val"] for r in rows]
+    res = remove_top_component(df, u1, vec_col=vec_col, out_col="__res")
+    c2 = power_iteration_top_component(
+        res, vec_col="__res", dim=dim, iterations=iterations
+    )
+    return c1.select(
+        F.lit(1).cast("int").alias("component"), "dim_idx", "u_q", "u_val"
+    ).unionByName(
+        c2.select(
+            F.lit(2).cast("int").alias("component"),
+            "dim_idx",
+            "u_q",
+            "u_val",
+        )
+    )

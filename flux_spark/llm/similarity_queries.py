@@ -1811,6 +1811,84 @@ def _power_iter_sql(dim: int = 64, iterations: int = 4) -> str:
     )
 
 
+def _pi_block(prefix: str, corp: str, dim: int, iterations: int) -> list[str]:
+    """Unrolled power-iteration CTE chain over the ``corp`` CTE, with all
+    intermediate names prefixed (so two chains can coexist in one query).
+    Mirrors _power_iter_sql's arithmetic exactly."""
+    parts = [
+        f"{prefix}v0 AS MATERIALIZED (SELECT list_transform(range(1, {dim + 1}), "
+        "i -> CAST(1.0 AS DOUBLE)) AS v)"
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(f"""{prefix}sc{t} AS MATERIALIZED (
+          SELECT c.x, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, {dim + 1}), j -> c.x[j] * p.v[j])),
+            (acc, y) -> acc + y) AS s
+          FROM {corp} c CROSS JOIN {prefix}v{t - 1} p)""")
+        parts.append(f"""{prefix}q{t} AS MATERIALIZED (
+          SELECT CAST(u.j - 1 AS INT) AS dim_idx,
+                 CAST(floor((x[u.j] * s) * 1e6) AS BIGINT) AS q
+          FROM {prefix}sc{t} CROSS JOIN (SELECT CAST(range AS INT) + 1 AS j
+                                FROM range(0, {dim})) u)""")
+        parts.append(
+            f"{prefix}ps{t} AS MATERIALIZED (SELECT dim_idx, CAST(SUM(q) AS BIGINT) AS sq "
+            f"FROM {prefix}q{t} GROUP BY dim_idx)"
+        )
+        parts.append(
+            f"{prefix}mx{t} AS MATERIALIZED (SELECT MAX(abs(sq)) AS m FROM {prefix}ps{t})"
+        )
+        if t < iterations:
+            parts.append(
+                f"{prefix}v{t} AS MATERIALIZED (SELECT list(CAST(sq AS DOUBLE) / "
+                f"CAST(m AS DOUBLE) ORDER BY dim_idx) AS v "
+                f"FROM {prefix}ps{t} CROSS JOIN {prefix}mx{t})"
+            )
+    return parts
+
+
+def _power_iter2_sql(dim: int = 64, iterations: int = 4) -> str:
+    """Two components by deflation: the first chain runs on the raw
+    vectors, the residual projection x - (x.u/u.u) u is per-row double
+    arithmetic (division-then-multiply, the exact expression the engine
+    codegens), and the second chain runs on the residuals."""
+    n = iterations
+    parts = [
+        "WITH corp AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x "
+        "FROM embeddings)"
+    ]
+    parts += _pi_block("a", "corp", dim, n)
+    parts.append(
+        f"au AS MATERIALIZED (SELECT list(CAST(sq AS DOUBLE) / CAST(m AS DOUBLE) "
+        f"ORDER BY dim_idx) AS v FROM aps{n} CROSS JOIN amx{n})"
+    )
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), j -> {{a}}[j] * {{b}}[j])), "
+        "(acc, y) -> acc + y)"
+    )
+    parts.append(f"""proj AS MATERIALIZED (
+      SELECT c.vec_id, c.x, u.v,
+        {dot.format(a="c.x", b="u.v")} AS xu,
+        {dot.format(a="u.v", b="u.v")} AS uu
+      FROM corp c CROSS JOIN au u)""")
+    parts.append(
+        f"corp2 AS MATERIALIZED (SELECT vec_id, list_transform(range(1, {dim + 1}), "
+        "j -> x[j] - (xu / uu) * v[j]) AS x FROM proj)"
+    )
+    parts += _pi_block("b", "corp2", dim, n)
+    return (
+        ", ".join(parts)
+        + f""" SELECT CAST(1 AS INT) AS component, dim_idx, sq AS u_q,
+                 CAST(sq AS DOUBLE) / CAST(m AS DOUBLE) AS u_val
+           FROM aps{n} CROSS JOIN amx{n}
+           UNION ALL
+           SELECT CAST(2 AS INT), dim_idx, sq,
+                 CAST(sq AS DOUBLE) / CAST(m AS DOUBLE)
+           FROM bps{n} CROSS JOIN bmx{n}"""
+    )
+
+
 @register(
     LLM_QUERIES,
     "emb_top_component",
@@ -1858,3 +1936,19 @@ def emb_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_top2_components",
+    _power_iter2_sql(),
+    "top-2 singular directions by power iteration + Hotelling deflation: "
+    "u1 on the raw vectors, the zero-shuffle residual projection "
+    "x - (x.u1/u1.u1) u1, then u2 on the residuals; 2 x 4 corpus passes, "
+    "driver holds 2 x 64 numbers, covariance never materializes. Both "
+    "directions BIT-IDENTICAL to the oracle's unrolled recomputation "
+    "(int64-quantized order-free sums + per-row double projection)",
+)
+def emb_top2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.power_iteration_top2(e)

@@ -496,3 +496,29 @@ def test_ivf_index_persist_matches_in_memory_ivf(spark, sf_dir):
     ) == sorted(
         [(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in disk]
     )
+
+
+def test_top2_components_deflation_orthogonal(spark, sf_dir):
+    """Component 1 equals the single-component op bit-for-bit; component
+    2 is (near-)orthogonal to it — the deflation guarantee, up to the
+    int64 quantization of the per-dim sums."""
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    out = LLM_QUERIES["emb_top2_components"].fn(spark, sf_dir).collect()
+    u = {}
+    for c in (1, 2):
+        rows = sorted(
+            (r for r in out if r["component"] == c),
+            key=lambda r: r["dim_idx"],
+        )
+        u[c] = [r["u_val"] for r in rows]
+        assert len(u[c]) == 64
+    one = {
+        r["dim_idx"]: r["u_val"]
+        for r in LLM_QUERIES["emb_top_component"].fn(spark, sf_dir).collect()
+    }
+    assert u[1] == [one[j] for j in range(64)]
+    dot = sum(a * b for a, b in zip(u[1], u[2]))
+    n1 = sum(a * a for a in u[1]) ** 0.5
+    n2 = sum(b * b for b in u[2]) ** 0.5
+    assert abs(dot) / (n1 * n2) < 1e-3
