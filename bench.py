@@ -255,18 +255,19 @@ def main() -> None:
     )
     sys.stdout.flush()
     # compact summary LAST: this is the line the driver parses. "queries"
-    # stays min-of-N (comparable to every prior round) but rounded to 2 dp
+    # stays min-of-N (comparable to every prior round) but rounded to 1 dp
     # (full precision is on the detail line); medians collapse to one
-    # jitter-robust scalar.
+    # jitter-robust scalar. 1 dp (r8, 56 entries): at 2 dp a worst-case
+    # all-three-digit run is 1916 chars — over the window.
     summary_line = json.dumps(
         {
             "metric": "ingest_consume_and_headline_queries_total",
             "value": total,
             "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "queries": {k: round(v, 1) for k, v in timings.items()},
             "medians_total": round(sum(medians.values()), 2),
             "sf": sf_val,
-            "records_per_s": rates,
+            "records_per_s": {k: int(v) for k, v in rates.items()},
         }
     )
     # self-enforcing parse contract: the driver tail-captures 2000 chars

@@ -401,3 +401,142 @@ def events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_base", F.lit(0)) + F.coalesce("n_late", F.lit(0))
         ).alias("version"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "stream_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS r,
+        COUNT(*) OVER (PARTITION BY user_id) AS version
+      FROM events)
+    SELECT user_id, value, version, event_id AS last_event_id
+    FROM ranked WHERE r = 1
+    """,
+    "streaming upsert sink (the Delta/Iceberg `foreachBatch` MERGE "
+    "pattern): the stream arrives as two file-source microbatches "
+    "(maxFilesPerTrigger=1 over the time-split halves); each batch "
+    "reduces to one row per key, then merges into the running state "
+    "table with a LAST-WRITER-BY-EVENT-TIME rule — max (ts, event_id) "
+    "wins, version counts accumulate — so the final state is "
+    "independent of microbatch boundaries and replay order (the "
+    "idempotence a crash-recovering sink needs; the oracle states it as "
+    "the batch latest-per-key, which sequential application must equal "
+    "exactly). State localCheckpoints per batch: lineage stays one "
+    "batch deep, never the whole stream's.",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    mid = e.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2))
+        .cast("bigint")
+        .alias("m")
+    ).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="flux-cdcstream-")
+    indir, ck = f"{root}/in", f"{root}/ck"
+    os.makedirs(indir)
+    try:
+        # two deterministic microbatches: one file per time half, mtimes
+        # forced so the file source's oldest-first order is stable (the
+        # merge rule makes the RESULT order-independent anyway)
+        for i, half in enumerate(
+            (e.where(F.col("ts_us") <= mid), e.where(F.col("ts_us") > mid))
+        ):
+            stage = f"{root}/stage{i}"
+            half.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = f"{indir}/batch-{i}.parquet"
+            shutil.move(f"{stage}/{part}", dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+        state = {"df": None}
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        t = Window.partitionBy("user_id")
+
+        def apply_batch(batch_df, batch_id):
+            inc = (
+                batch_df.withColumn("r", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(t))
+                .where(F.col("r") == 1)
+                .select(
+                    F.col("user_id").alias("i_user"),
+                    F.col("value").alias("i_value"),
+                    F.col("n").alias("i_version"),
+                    F.col("event_id").alias("i_eid"),
+                    F.col("ts_us").alias("i_ts"),
+                )
+            )
+            if state["df"] is None:
+                merged = inc.select(
+                    F.col("i_user").alias("user_id"),
+                    F.col("i_value").alias("value"),
+                    F.col("i_version").alias("version"),
+                    F.col("i_eid").alias("last_event_id"),
+                    F.col("i_ts").alias("last_ts"),
+                )
+            else:
+                s = state["df"]
+                newer = (F.col("i_ts") > F.col("last_ts")) | (
+                    (F.col("i_ts") == F.col("last_ts"))
+                    & (F.col("i_eid") > F.col("last_event_id"))
+                )
+                merged = s.join(
+                    inc, s.user_id == inc.i_user, "full_outer"
+                ).select(
+                    F.coalesce("user_id", "i_user").alias("user_id"),
+                    F.when(
+                        F.col("user_id").isNull()
+                        | (F.col("i_user").isNotNull() & newer),
+                        F.col("i_value"),
+                    )
+                    .otherwise(F.col("value"))
+                    .alias("value"),
+                    (
+                        F.coalesce("version", F.lit(0))
+                        + F.coalesce("i_version", F.lit(0))
+                    ).alias("version"),
+                    F.when(
+                        F.col("user_id").isNull()
+                        | (F.col("i_user").isNotNull() & newer),
+                        F.col("i_eid"),
+                    )
+                    .otherwise(F.col("last_event_id"))
+                    .alias("last_event_id"),
+                    F.greatest(
+                        F.coalesce("last_ts", F.lit(-1)),
+                        F.coalesce("i_ts", F.lit(-1)),
+                    ).alias("last_ts"),
+                )
+            # lineage stays one batch deep; at scale this is a MERGE INTO
+            # a keyed table instead of an in-memory frame
+            state["df"] = merged.localCheckpoint()
+
+        src = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        q = (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return state["df"].select(
+            "user_id", "value", "version", "last_event_id"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

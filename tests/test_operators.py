@@ -522,3 +522,40 @@ def test_top2_components_deflation_orthogonal(spark, sf_dir):
     n1 = sum(a * a for a in u[1]) ** 0.5
     n2 = sum(b * b for b in u[2]) ** 0.5
     assert abs(dot) / (n1 * n2) < 1e-3
+
+
+def test_stream_cdc_apply_last_writer_wins_and_versions_accumulate(spark):
+    """The streaming upsert's final state: per key, the latest event's
+    value with version = total events across ALL microbatches — keys
+    seen only in the late batch insert, keys in both batches carry the
+    late value with the accumulated count."""
+    import datetime
+    import os
+    import tempfile
+
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    t = lambda h: datetime.datetime(2024, 6, 1, h)  # noqa: E731
+    rows = [
+        (0, t(0), 1, "click", 10.0, "{}"),
+        (1, t(1), 1, "view", 11.0, "{}"),
+        (2, t(0), 2, "click", 20.0, "{}"),
+        (3, t(20), 2, "click", 21.0, "{}"),
+        (4, t(20), 4, "click", 40.0, "{}"),
+        (5, t(23), 9, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["user_id"]: r
+        for r in ANALYTICS_QUERIES["stream_cdc_apply"].fn(spark, d).collect()
+    }
+    assert set(out) == {1, 2, 4, 9}
+    assert out[1]["value"] == 11.0 and out[1]["version"] == 2
+    assert out[2]["value"] == 21.0 and out[2]["version"] == 2
+    assert out[2]["last_event_id"] == 3
+    assert out[4]["value"] == 40.0 and out[4]["version"] == 1
