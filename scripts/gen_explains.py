@@ -138,6 +138,19 @@ SHOWCASE = [
         "to distinct (type, value) rows before the window rank; the "
         "statistics are integer cross-products so the gate is bit-exact",
     ),
+    (
+        "events_cdc_merge",
+        "lakehouse MERGE (late r8): both the snapshot and the changeset "
+        "window-rank to ONE row per key before the single full-outer "
+        "key-hash join — the exact MERGE INTO shape Delta/Iceberg run",
+    ),
+    (
+        "emb_ivf_index_persist",
+        "persisted IVF lifecycle (late r8): postings written "
+        "partitionBy(bucket); the probed-bucket set inlines as an isin "
+        "literal so the query-time scan partition-prunes to nprobe/K of "
+        "the index bytes",
+    ),
 ]
 
 
