@@ -1846,28 +1846,38 @@ def power_iteration_top_component(
     (dim_idx, u_q int64 raw sum, u_val double in [-1, 1] scaled by the
     max-abs component).
     """
-    v = [1.0] * dim
-    last = None
-    for _ in range(iterations):
-        varr = F.array(*[F.lit(float(x)) for x in v])
-        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        s = F.aggregate(
-            F.zip_with(vd, varr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        contrib = F.transform(
-            vd, lambda x: F.floor(x * s * F.lit(1e6)).cast("long")
-        )
-        sums = (
-            df.select(F.posexplode(contrib).alias("dim_idx", "__q"))
-            .groupBy("dim_idx")
-            .agg(F.sum("__q").cast("bigint").alias("__sq"))
-            .collect()
-        )
-        last = {int(r["dim_idx"]): int(r["__sq"]) for r in sums}
-        m = max(abs(x) for x in last.values())
-        v = [last[j] / m if m else 0.0 for j in range(dim)]
+    # pay the scan/decode once: the double-cast projection is cached and
+    # every iteration reads the in-memory column (the docstring's
+    # "cache the projected column" — at 100 TB this is the difference
+    # between 1 and `iterations` parquet passes)
+    proj = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xd")
+    ).persist()
+    try:
+        v = [1.0] * dim
+        last = None
+        for _ in range(iterations):
+            varr = F.array(*[F.lit(float(x)) for x in v])
+            s = F.aggregate(
+                F.zip_with(F.col("__xd"), varr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            contrib = F.transform(
+                F.col("__xd"),
+                lambda x: F.floor(x * s * F.lit(1e6)).cast("long"),
+            )
+            sums = (
+                proj.select(F.posexplode(contrib).alias("dim_idx", "__q"))
+                .groupBy("dim_idx")
+                .agg(F.sum("__q").cast("bigint").alias("__sq"))
+                .collect()
+            )
+            last = {int(r["dim_idx"]): int(r["__sq"]) for r in sums}
+            m = max(abs(x) for x in last.values())
+            v = [last[j] / m if m else 0.0 for j in range(dim)]
+    finally:
+        proj.unpersist()
     out = [(j, last[j], v[j]) for j in range(dim)]
     return df.sparkSession.createDataFrame(
         out, "dim_idx int, u_q long, u_val double"
