@@ -1540,3 +1540,82 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_b",
         (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
     )
+
+
+@register(
+    LOG_QUERIES,
+    "log_dlq_route",
+    """
+    WITH base AS (
+      SELECT event_id, user_id,
+        CASE WHEN event_id % 13 = 0 THEN NULL
+             WHEN event_id % 17 = 0 THEN repeat('x', 600)
+             ELSE CAST(event_id AS VARCHAR) END AS value
+      FROM events),
+    flagged AS (
+      SELECT event_id, user_id, value,
+        CASE WHEN value IS NULL THEN 'null_value'
+             WHEN length(value) > 512 THEN 'oversized' END AS reason
+      FROM base),
+    main AS (
+      SELECT 'ev' AS stream,
+        CAST(event_id % 3 AS INTEGER) AS part_id,
+        ROW_NUMBER() OVER (PARTITION BY event_id % 3 ORDER BY event_id) - 1
+          AS record_offset,
+        CAST(user_id AS VARCHAR) AS rec_key,
+        CAST(NULL AS VARCHAR) AS reason
+      FROM flagged WHERE reason IS NULL),
+    dlq AS (
+      SELECT 'ev.dlq' AS stream,
+        CAST(0 AS INTEGER) AS part_id,
+        ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS record_offset,
+        CAST(user_id AS VARCHAR) AS rec_key,
+        reason
+      FROM flagged WHERE reason IS NOT NULL)
+    SELECT * FROM main UNION ALL SELECT * FROM dlq
+    """,
+    "dead-letter-queue ingest (Kafka Connect errors.tolerance=all): a "
+    "batch with deterministic poison rows (every 13th value NULL, every "
+    "17th oversized past the 512 B limit) routes valid records to the "
+    "topic and quarantines the rest in <topic>.dlq with a reason header "
+    "— offsets on BOTH streams must be contiguous and in arrival order, "
+    "which the oracle re-derives symbolically. The batch is classified "
+    "once (persisted split, one scan at 100 TB, not one per sink)",
+)
+def log_dlq_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..log import LogStore
+    from ..producer import route_to_dlq
+
+    wh = tempfile.mkdtemp(prefix="flux-dlq-")
+    store = LogStore(spark, wh)
+    store.catalog.create_topic("ev", 3)
+    store.catalog.create_topic("ev.dlq", 1)
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("partition"),
+        F.col("user_id").cast("string").alias("key"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 17 == 0, F.lit("x" * 600))
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("value"),
+    )
+    route_to_dlq(store, "ev", e, max_value_bytes=512, ordering_col="seq")
+    main = store.read("ev").select(
+        F.lit("ev").alias("stream"),
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("key").alias("rec_key"),
+        F.lit(None).cast("string").alias("reason"),
+    )
+    dlq = store.read("ev.dlq").select(
+        F.lit("ev.dlq").alias("stream"),
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("key").alias("rec_key"),
+        F.element_at(
+            F.filter("headers", lambda h: h["key"] == F.lit("reason")), 1
+        )["value"]
+        .cast("string")
+        .alias("reason"),
+    )
+    return main.unionByName(dlq)

@@ -176,3 +176,59 @@ def producer_from_properties(
             compression=kwargs.get("compression", "zstd"),
         )
     return FluxProducer(store, batch_size=kwargs.get("batch_size", 100_000))
+
+
+def route_to_dlq(
+    store: LogStore,
+    topic: str,
+    df: DataFrame,
+    max_value_bytes: int = 512,
+    dlq_topic: str | None = None,
+    ordering_col: str | None = None,
+) -> dict[str, dict[int, tuple[int, int]]]:
+    """Validate-and-split ingest with a dead-letter queue (the Kafka
+    Connect ``errors.tolerance=all`` + ``errors.deadletterqueue.*``
+    pattern): rows that fail validation — NULL value, or value longer
+    than ``max_value_bytes`` — are appended to ``<topic>.dlq`` instead
+    of poisoning the batch, each carrying a ``reason`` header; valid
+    rows append to ``topic`` unchanged. Returns the per-topic offset
+    ranges from both appends.
+
+    The input is classified ONCE (persisted across the two appends, so
+    at 100 TB the batch is scanned a single time, not per sink); DLQ
+    records keep the original key/ordering and store ``coalesce(value,
+    '')`` so the quarantined payload stays inspectable. The DLQ topic
+    must exist (create it alongside the main topic — a DLQ that
+    auto-appears hides misconfiguration).
+    """
+    dlq_topic = dlq_topic or f"{topic}.dlq"
+    reason = F.when(F.col("value").isNull(), F.lit("null_value")).when(
+        F.length("value") > max_value_bytes, F.lit("oversized")
+    )
+    flagged = df.withColumn("__reason", reason).persist()
+    try:
+        valid = flagged.where(F.col("__reason").isNull()).drop("__reason")
+        bad = flagged.where(F.col("__reason").isNotNull())
+        cols = [
+            F.lit(0).cast("int").alias("partition"),
+            F.coalesce(F.col("value"), F.lit("")).alias("value"),
+            F.array(
+                F.struct(
+                    F.lit("reason").alias("key"),
+                    F.col("__reason").alias("value"),
+                )
+            ).alias("headers"),
+        ]
+        if "key" in df.columns:
+            cols.insert(1, F.col("key"))
+        if ordering_col:
+            cols.append(F.col(ordering_col))
+        ranges = {
+            topic: store.append(topic, valid, ordering_col=ordering_col),
+            dlq_topic: store.append(
+                dlq_topic, bad.select(*cols), ordering_col=ordering_col
+            ),
+        }
+        return ranges
+    finally:
+        flagged.unpersist()

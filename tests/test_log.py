@@ -895,3 +895,54 @@ def test_multiprocess_ingest_hammer(spark, store):
         for b in range(n_batches):
             parts = {rows_by_val[f"p{c}-b{b}-r{r}"][0] for r in range(rows)}
             assert len(parts) <= 3
+
+
+def test_route_to_dlq_quarantines_with_reason_and_contiguous_offsets(
+    store, spark
+):
+    """Poison rows (null / oversized value) land in <topic>.dlq with a
+    reason header and contiguous offsets; valid rows reach the topic
+    untouched; the quarantined payload stays inspectable ('' for NULL)."""
+    from pyspark.sql import functions as F
+
+    from flux_spark.producer import route_to_dlq
+
+    store.catalog.create_topic("d", 2)
+    store.catalog.create_topic("d.dlq", 1)
+    rows = [
+        (0, 0, "k0", "ok-0"),
+        (1, 1, "k1", None),
+        (2, 0, "k2", "x" * 600),
+        (3, 1, "k3", "ok-3"),
+        (4, 0, "k4", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, partition int, key string, value string"
+    )
+    ranges = route_to_dlq(store, "d", df, max_value_bytes=512,
+                          ordering_col="seq")
+    assert set(ranges) == {"d", "d.dlq"}
+    main = {
+        r["key"]: r for r in store.read("d").select("key", "value").collect()
+    }
+    assert set(main) == {"k0", "k3"} and main["k0"]["value"] == "ok-0"
+    dlq = sorted(
+        store.read("d.dlq")
+        .select(
+            "offset",
+            "key",
+            "value",
+            F.element_at(
+                F.filter("headers", lambda h: h["key"] == F.lit("reason")), 1
+            )["value"].cast("string").alias("reason"),
+        )
+        .collect(),
+        key=lambda r: r["offset"],
+    )
+    assert [r["offset"] for r in dlq] == [0, 1, 2]
+    assert [(r["key"], r["reason"]) for r in dlq] == [
+        ("k1", "null_value"),
+        ("k2", "oversized"),
+        ("k4", "null_value"),
+    ]
+    assert dlq[0]["value"] == "" and dlq[1]["value"] == "x" * 600
