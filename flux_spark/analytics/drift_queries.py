@@ -540,3 +540,150 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_gapfill_interpolate",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+        date_trunc('hour', ts) AS hr,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS avg_value
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly
+    ),
+    spine AS (
+      SELECT t.event_type, s.hr
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        FROM bounds) s
+    ),
+    joined AS (
+      SELECT s.event_type, s.hr,
+        COALESCE(h.n_events, 0) AS n_events,
+        h.avg_value,
+        h.avg_value IS NULL AS is_gap
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hr = h.hr
+    ),
+    bracketed AS (
+      SELECT event_type, hr, n_events, avg_value, is_gap,
+        LAST_VALUE(avg_value IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hr
+          ROWS UNBOUNDED PRECEDING) AS prev_v,
+        LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN hr END
+                   IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hr
+          ROWS UNBOUNDED PRECEDING) AS prev_h,
+        FIRST_VALUE(avg_value IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN hr END
+                    IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM joined
+    )
+    SELECT event_type, hr, n_events, is_gap,
+      CASE
+        WHEN NOT is_gap THEN avg_value
+        WHEN prev_v IS NULL THEN next_v
+        WHEN next_v IS NULL THEN prev_v
+        ELSE prev_v + (next_v - prev_v)
+          * (CAST(epoch_us(hr) - epoch_us(prev_h) AS DOUBLE)
+             / CAST(epoch_us(next_h) - epoch_us(prev_h) AS DOUBLE))
+      END AS filled_value
+    FROM bracketed
+    """,
+    "time-series gap fill with linear interpolation (TimescaleDB "
+    "time_bucket_gapfill + interpolate): the hourly per-type series is "
+    "densified onto the full hour spine; missing hours get "
+    "prev + (next - prev) * dt-fraction between the bracketing observed "
+    "hours (nearest-value fill at the edges), observed hours pass "
+    "through. Exactness: hourly means are DECIMAL-sum / count, the "
+    "interpolation is one double expression both engines evaluate "
+    "identically. Scale shape: the raw stream reduces map-side to "
+    "O(types x hours) rows; the spine join and the two bracketing "
+    "window passes run on the tiny densified series, never the facts.",
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import _DEC
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.sum(F.col("value").cast(_DEC)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_value"),
+    )
+    bounds = hourly.agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+        F.col("avg_value").isNull().alias("is_gap"),
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("avg_value").isNotNull(), F.col("hr"))
+    b = joined.select(
+        "event_type",
+        "hr",
+        "n_events",
+        "avg_value",
+        "is_gap",
+        F.last("avg_value", ignorenulls=True).over(back).alias("prev_v"),
+        F.last(obs_hr, ignorenulls=True).over(back).alias("prev_h"),
+        F.first("avg_value", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first(obs_hr, ignorenulls=True).over(fwd).alias("next_h"),
+    )
+    frac = F.unix_micros("hr") - F.unix_micros("prev_h")
+    span = F.unix_micros("next_h") - F.unix_micros("prev_h")
+    return b.select(
+        "event_type",
+        "hr",
+        "n_events",
+        "is_gap",
+        F.when(~F.col("is_gap"), F.col("avg_value"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (frac.cast("double") / span.cast("double"))
+        )
+        .alias("filled_value"),
+    )

@@ -559,3 +559,39 @@ def test_stream_cdc_apply_last_writer_wins_and_versions_accumulate(spark):
     assert out[2]["value"] == 21.0 and out[2]["version"] == 2
     assert out[2]["last_event_id"] == 3
     assert out[4]["value"] == 40.0 and out[4]["version"] == 1
+
+
+def test_gapfill_linear_interpolation_and_edge_fill(spark):
+    """Type 'a' observed at hours 0 (1.0) and 4 (5.0): interior gaps fill
+    2.0/3.0/4.0 (linear); hours 5-6 (past the last observation, on the
+    spine stretched by type 'b') fill with the nearest value 5.0."""
+    import datetime
+    import os
+    import tempfile
+
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    t = lambda h: datetime.datetime(2024, 6, 1, h)  # noqa: E731
+    rows = [
+        (0, t(0), 1, "a", 1.0, "{}"),
+        (1, t(4), 1, "a", 5.0, "{}"),
+        (2, t(0), 1, "b", 7.0, "{}"),
+        (3, t(6), 1, "b", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r["event_type"], r["hr"].hour): r
+        for r in ANALYTICS_QUERIES["events_gapfill_interpolate"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert len(out) == 14  # 2 types x 7 spine hours
+    a = [out[("a", h)]["filled_value"] for h in range(7)]
+    assert a == [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0]
+    assert out[("a", 2)]["is_gap"] and not out[("a", 0)]["is_gap"]
+    assert out[("b", 3)]["filled_value"] == 8.0
