@@ -2062,3 +2062,68 @@ def power_iteration_top2(
             "u_val",
         )
     )
+
+
+def uncertainty_margin(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = 5,
+    select_n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Active-learning acquisition by vote margin: kNN-vote every
+    unlabeled vector against the labeled pool, then surface the
+    ``select_n`` points whose top-two label vote counts are closest —
+    the classic uncertainty-sampling rule for "what should a human
+    label next" in a data-curation loop.
+
+    Plan shape: the exact top-k scoring broadcasts the unlabeled batch
+    over one labeled-pool pass (:func:`brute_force_topk`); everything
+    after — votes, top-two margin, the global priority rank — runs on
+    O(k x unlabeled) then O(unlabeled) rows, so the final unpartitioned
+    rank window is model-sized, never corpus-sized. Integer votes and
+    total-ordered ties (margin ASC, query_id ASC) keep the selection
+    engine-exact.
+    """
+    from pyspark.sql import Window
+
+    nn = brute_force_topk(
+        labeled, unlabeled, k=k, id_col=id_col, vec_col=vec_col
+    )
+    lab = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        lab.join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("__nl")
+    )
+    ranked = votes.withColumn("vr", F.row_number().over(w))
+    agg = ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("vr") == 1, F.col("__nl"))).alias(
+            "predicted_label"
+        ),
+        F.max(F.when(F.col("vr") == 1, F.col("n_votes"))).alias("n_top"),
+        F.coalesce(
+            F.max(F.when(F.col("vr") == 2, F.col("n_votes"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_second"),
+    )
+    sel = agg.withColumn(
+        "margin", (F.col("n_top") - F.col("n_second")).cast("bigint")
+    ).withColumn(
+        "priority",
+        F.row_number()
+        .over(Window.orderBy(F.asc("margin"), F.asc("query_id")))
+        .cast("int"),
+    )
+    return sel.where(F.col("priority") <= select_n).select(
+        "query_id", "predicted_label", "n_top", "n_second", "margin",
+        "priority",
+    )

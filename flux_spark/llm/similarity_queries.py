@@ -1952,3 +1952,63 @@ def emb_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_top2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.power_iteration_top2(e)
+
+
+def _uncertainty_margin_sql(k: int = 5, select_n: int = 20) -> str:
+    cos = similarity.sql_cosine("q.qv", "l.lv", _DIM)
+    return f"""
+    WITH lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
+                 FROM embeddings WHERE vec_id % 4 <> 0),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id % 4 = 0),
+    scored AS (
+      SELECT q.query_id, l.neighbor_id, l.nl, {cos} AS cos_sim
+      FROM q CROSS JOIN lab l WHERE l.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC)
+             AS rnk
+      FROM scored),
+    votes AS (
+      SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rnk <= {k} GROUP BY query_id, nl),
+    win AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nl ASC) AS vr
+      FROM votes),
+    agg AS (
+      SELECT query_id,
+        MAX(CASE WHEN vr = 1 THEN nl END) AS predicted_label,
+        MAX(CASE WHEN vr = 1 THEN n_votes END) AS n_top,
+        CAST(COALESCE(MAX(CASE WHEN vr = 2 THEN n_votes END), 0) AS BIGINT)
+          AS n_second
+      FROM win GROUP BY query_id),
+    sel AS (
+      SELECT *, CAST(n_top - n_second AS BIGINT) AS margin,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_top - n_second ASC,
+                                query_id ASC) AS INTEGER) AS priority
+      FROM agg)
+    SELECT query_id, predicted_label, n_top, n_second, margin, priority
+    FROM sel WHERE priority <= {select_n}
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "emb_active_learning_margin",
+    _uncertainty_margin_sql(),
+    "active-learning acquisition (uncertainty sampling by vote margin): "
+    "kNN-vote every unlabeled vector against the labeled pool, then "
+    "surface the 20 points whose top-two label votes are closest — the "
+    "'what to label next' primitive of a curation loop. Votes are "
+    "integers and ties total-ordered, so the selection is engine-exact; "
+    "the global priority rank runs on O(unlabeled) rows only",
+)
+def emb_active_learning_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.uncertainty_margin(
+        e.where(F.col("vec_id") % 4 != 0),
+        e.where(F.col("vec_id") % 4 == 0),
+        k=5,
+        select_n=20,
+    )

@@ -595,3 +595,31 @@ def test_gapfill_linear_interpolation_and_edge_fill(spark):
     assert a == [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0]
     assert out[("a", 2)]["is_gap"] and not out[("a", 0)]["is_gap"]
     assert out[("b", 3)]["filled_value"] == 8.0
+
+
+def test_uncertainty_margin_ranks_boundary_points_first(spark):
+    """A point between the two label clusters has the smallest top-two
+    vote margin and gets priority 1; a point deep inside a cluster has a
+    decisive margin and ranks after it."""
+    from flux_spark.llm import similarity
+
+    lab_rows = [
+        (i, [1.0, 0.01 * i, 0.0], "a") for i in range(1, 5)
+    ] + [(10 + i, [0.01 * i, 1.0, 0.0], "b") for i in range(1, 5)]
+    labeled = spark.createDataFrame(
+        lab_rows, "vec_id long, embedding array<double>, label string"
+    )
+    unlabeled = spark.createDataFrame(
+        [(100, [0.7, 0.7, 0.0]), (101, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["query_id"]: r
+        for r in similarity.uncertainty_margin(
+            labeled, unlabeled, k=5, select_n=2
+        ).collect()
+    }
+    assert out[100]["priority"] == 1  # boundary point: 3-2 vote, margin 1
+    assert out[100]["margin"] == 1
+    assert out[101]["priority"] == 2 and out[101]["margin"] == 3
+    assert out[101]["predicted_label"] == "a"
