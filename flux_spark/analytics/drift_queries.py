@@ -687,3 +687,105 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("filled_value"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_trend_ols",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+    ),
+    spine AS (
+      SELECT t.event_type, s.day,
+        CAST(s.day - (SELECT d0 FROM bounds) AS BIGINT) AS x
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds) s
+    ),
+    series AS (
+      SELECT s.event_type, s.x, COALESCE(d.n, 0) AS y
+      FROM spine s LEFT JOIN daily d
+        ON s.event_type = d.event_type AND s.day = d.day
+    ),
+    sums AS (
+      SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM series GROUP BY event_type
+    )
+    SELECT event_type, k AS n_days,
+      CAST(k * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        / CAST(k * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS slope,
+      (CAST(sy AS DOUBLE)
+       - CAST(k * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         / CAST(k * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+         * CAST(sx AS DOUBLE))
+        / CAST(k AS DOUBLE) AS intercept
+    FROM sums
+    """,
+    "per-type traffic trend by exact closed-form OLS over ZERO-FILLED "
+    "daily counts (absent days are real zeros, not holes — a trend over "
+    "only-observed days flatters decay): slope/intercept from the "
+    "classic normal equations with every cross-product in DECIMAL(38,0) "
+    "integer arithmetic, so the only doubles are the two final "
+    "divisions — bit-exact on both engines. Scale shape: the fact "
+    "stream reduces map-side to O(types x days) rows; everything after "
+    "is model-sized.",
+)
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+            F.col("d0"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.datediff("day", "d0").cast("bigint").alias("x"),
+        )
+    )
+    series = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "x", F.coalesce("n", F.lit(0)).alias("y")
+    )
+    dec = "decimal(38,0)"
+    sums = series.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return sums.select(
+        "event_type",
+        F.col("k").alias("n_days"),
+        slope.alias("slope"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("k").cast("double")
+        ).alias("intercept"),
+    )

@@ -623,3 +623,38 @@ def test_uncertainty_margin_ranks_boundary_points_first(spark):
     assert out[100]["margin"] == 1
     assert out[101]["priority"] == 2 and out[101]["margin"] == 3
     assert out[101]["predicted_label"] == "a"
+
+
+def test_trend_ols_recovers_exact_line_and_zero_fills(spark):
+    """y = 2x + 3 daily counts recover slope 2 / intercept 3 exactly;
+    a type observed only on the first and last day (zeros between, on
+    the shared spine) gets the zero-filled trend, not a 2-point line."""
+    import datetime
+    import os
+    import tempfile
+
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    rows, eid = [], 0
+    for d in range(5):
+        for _ in range(2 * d + 3):  # type a: exactly 2d+3 events on day d
+            rows.append((eid, datetime.datetime(2024, 6, 1 + d, 12),
+                         1, "a", 1.0, "{}")); eid += 1
+    for d in (0, 4):  # type b: 5 events on day 0 and day 4 only
+        for _ in range(5):
+            rows.append((eid, datetime.datetime(2024, 6, 1 + d, 12),
+                         1, "b", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in ANALYTICS_QUERIES["events_trend_ols"].fn(spark, d).collect()
+    }
+    assert out["a"]["n_days"] == 5
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 3.0
+    # type b zero-filled: sums over y=(5,0,0,0,5) -> slope 0, mean 2
+    assert out["b"]["slope"] == 0.0 and out["b"]["intercept"] == 2.0
