@@ -1960,7 +1960,7 @@ def _uncertainty_margin_sql(k: int = 5, select_n: int = 20) -> str:
     WITH lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
                  FROM embeddings WHERE vec_id % 4 <> 0),
     q AS (SELECT vec_id AS query_id, embedding AS qv
-          FROM embeddings WHERE vec_id % 4 = 0),
+          FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 4000),
     scored AS (
       SELECT q.query_id, l.neighbor_id, l.nl, {cos} AS cos_sim
       FROM q CROSS JOIN lab l WHERE l.neighbor_id <> q.query_id),
@@ -1998,17 +1998,23 @@ def _uncertainty_margin_sql(k: int = 5, select_n: int = 20) -> str:
     "emb_active_learning_margin",
     _uncertainty_margin_sql(),
     "active-learning acquisition (uncertainty sampling by vote margin): "
-    "kNN-vote every unlabeled vector against the labeled pool, then "
-    "surface the 20 points whose top-two label votes are closest — the "
-    "'what to label next' primitive of a curation loop. Votes are "
-    "integers and ties total-ordered, so the selection is engine-exact; "
-    "the global priority rank runs on O(unlabeled) rows only",
+    "kNN-vote a BOUNDED acquisition batch (vec_id % 4 = 0 and < 4000 — "
+    "a per-round labeling budget is bounded by the human loop, so the "
+    "query side must NOT scale with the corpus; unbounded %4 measured "
+    "161 s at sf1, the quadratic the fixed-config law exists to catch) "
+    "against the labeled pool, then surface the 20 points whose top-two "
+    "label votes are closest — the 'what to label next' primitive of a "
+    "curation loop. Votes are integers and ties total-ordered, so the "
+    "selection is engine-exact",
 )
 def emb_active_learning_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.uncertainty_margin(
         e.where(F.col("vec_id") % 4 != 0),
-        e.where(F.col("vec_id") % 4 == 0),
+        # bounded acquisition batch: the labeling budget per round is a
+        # human-loop constant, so the brute-scored query side stays
+        # O(batch x pool), linear in the corpus, at every sf
+        e.where((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 4000)),
         k=5,
         select_n=20,
     )
