@@ -653,10 +653,15 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward bracket is a RUNNING frame over the reversed order, not
+    # first(...) over [current, unbounded following]: Spark evaluates
+    # unbounded-FOLLOWING frames by rescanning to the partition end for
+    # every row — O(n^2) per partition, measured 64 s on a 21.6k-hour
+    # spine at sf3; the reversed running frame is O(n) (1.5 s)
     fwd = (
         Window.partitionBy("event_type")
-        .orderBy("hr")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_hr = F.when(F.col("avg_value").isNotNull(), F.col("hr"))
     b = joined.select(
@@ -667,8 +672,8 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         F.last("avg_value", ignorenulls=True).over(back).alias("prev_v"),
         F.last(obs_hr, ignorenulls=True).over(back).alias("prev_h"),
-        F.first("avg_value", ignorenulls=True).over(fwd).alias("next_v"),
-        F.first(obs_hr, ignorenulls=True).over(fwd).alias("next_h"),
+        F.last("avg_value", ignorenulls=True).over(fwd).alias("next_v"),
+        F.last(obs_hr, ignorenulls=True).over(fwd).alias("next_h"),
     )
     frac = F.unix_micros("hr") - F.unix_micros("prev_h")
     span = F.unix_micros("next_h") - F.unix_micros("prev_h")
