@@ -1717,8 +1717,12 @@ def emb_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") % 5 == 0
     )
+    # self-retrieval is n^2/25 scored pairs -> Arrow kernel (bit-identical
+    # to the fold; 44 s -> 17 s at sf1, remainder is the top-k window
+    # shuffle, not scoring). The mutual filter itself stays
+    # O(n*k) regardless of backend.
     return similarity.mutual_topk_pairs(
-        similarity.brute_force_topk(e, e, k=5)
+        similarity.brute_force_topk(e, e, k=5, use_arrow=True)
     )
 
 
