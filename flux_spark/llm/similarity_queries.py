@@ -724,7 +724,10 @@ def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_vote_ivf_sql(
-    k: int = 5, nprobe: int = 2, cen_pred: str = "vec_id < 8"
+    k: int = 5,
+    nprobe: int = 2,
+    cen_pred: str = "vec_id < 8",
+    q_pred: str = "vec_id % 4 = 0",
 ) -> str:
     """DuckDB twin of the IVF-backed label vote: same centroid set
     (``cen_pred``, default the gate-pinned vec_id < 8), same
@@ -737,7 +740,7 @@ def _knn_vote_ivf_sql(
     lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
             FROM embeddings WHERE vec_id % 4 <> 0),
     q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-          FROM embeddings WHERE vec_id % 4 = 0),
+          FROM embeddings WHERE {q_pred}),
     lasg AS (
       SELECT neighbor_id, lv, nl, cid AS bucket FROM (
         SELECT l.*, c.cid,
@@ -839,11 +842,13 @@ def emb_knn_label_vote_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     LLM_QUERIES,
     "emb_label_vote_ivf_recall",
     f"""
-    WITH ivf AS ({_knn_vote_ivf_sql().replace(chr(10), chr(10) + '    ')}),
+    WITH ivf AS ({_knn_vote_ivf_sql(
+        q_pred="vec_id % 4 = 0 AND vec_id < 4000"
+    ).replace(chr(10), chr(10) + '    ')}),
     lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
             FROM embeddings WHERE vec_id % 4 <> 0),
     q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-          FROM embeddings WHERE vec_id % 4 = 0),
+          FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 4000),
     scored AS (
       SELECT q.query_id, l.neighbor_id, l.nl,
              {similarity.sql_cosine("q.qv", "l.lv", _DIM)} AS cos_sim
@@ -884,7 +889,12 @@ def emb_knn_label_vote_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_label_vote_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     labeled = e.where(F.col("vec_id") % 4 != 0)
-    unlabeled = e.where(F.col("vec_id") % 4 == 0)
+    # the recall AUDIT probes a bounded deterministic sample, not every
+    # unlabeled vector: the brute twin is O(|probe| x corpus), so an
+    # unbounded probe set makes the audit quadratic in the corpus
+    # (measured 64 s at sf1; the production op emb_knn_label_vote_ivf
+    # itself stays unbounded — it's bucket-pruned, the audit is not)
+    unlabeled = e.where((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 4000))
     centroids = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
