@@ -1338,3 +1338,119 @@ def doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         (F.row_number().over(w).cast("bigint") - 1).alias("pos"),
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_pii_card_luhn",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' pay 4111111111111111 now' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' ref 4111111111111112 held' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' acct ' || lpad(CAST((doc_id * 7919) % 10000000000000
+                                           AS VARCHAR), 13, '0') || ' end'
+                ELSE '' END AS text
+      FROM documents),
+    runs AS (
+      SELECT doc_id,
+        list_filter(regexp_extract_all(text, '[0-9]+'),
+                    r -> length(r) BETWEEN 13 AND 19) AS cands
+      FROM aug),
+    judged AS (
+      SELECT doc_id, cands,
+        list_filter(cands, c ->
+          list_reduce(list_prepend(0, list_transform(range(1, length(c)+1),
+            i -> CASE WHEN i % 2 = 0 THEN
+                   CASE WHEN CAST(substring(reverse(c), i, 1) AS INTEGER)*2 > 9
+                        THEN CAST(substring(reverse(c), i, 1) AS INTEGER)*2 - 9
+                        ELSE CAST(substring(reverse(c), i, 1) AS INTEGER)*2 END
+                 ELSE CAST(substring(reverse(c), i, 1) AS INTEGER) END)),
+            (a, x) -> a + x) % 10 = 0) AS valid_cands
+      FROM runs)
+    SELECT doc_id,
+      CAST(len(cands) AS INTEGER) AS n_card_like,
+      CAST(len(valid_cands) AS INTEGER) AS n_valid_cards,
+      CAST(len(cands) - len(valid_cands) AS INTEGER) AS n_invalid_cards
+    FROM judged
+    WHERE len(cands) > 0
+    """,
+    "credit-card PII detection with Luhn verification: 13-19 digit runs "
+    "are candidates, the Luhn mod-10 checksum separates real card "
+    "numbers from random digit strings (the precision step naive "
+    "regex-only scrubbers lack). Gate corpus plants a valid card "
+    "(every 11th doc), a near-miss invalid (13th), and a VARYING "
+    "13-digit account number (7th) whose validity differs per doc — so "
+    "the checksum arithmetic itself is value-hashed, not just the "
+    "regex. Pure per-row codegen (higher-order fold over <=19 digits), "
+    "zero shuffle.",
+)
+def doc_pii_card_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 11 == 0, F.lit(" pay 4111111111111111 now")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0, F.lit(" ref 4111111111111112 held")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" acct "),
+                    F.lpad(
+                        ((did * 7919) % F.lit(10_000_000_000_000)).cast(
+                            "string"
+                        ),
+                        13,
+                        "0",
+                    ),
+                    F.lit(" end"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cands = F.filter(
+        F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0),
+        lambda r: F.length(r).between(13, 19),
+    )
+
+    def luhn_valid(c):
+        digits = F.filter(
+            F.split(F.reverse(c), ""), lambda ch: ch != F.lit("")
+        )
+        terms = F.transform(
+            digits,
+            lambda ch, i: F.when(
+                i % 2 == 1,
+                F.when(
+                    ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9
+                ).otherwise(ch.cast("int") * 2),
+            ).otherwise(ch.cast("int")),
+        )
+        return F.aggregate(terms, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+    judged = aug.select(
+        "doc_id",
+        cands.alias("cands"),
+    ).select(
+        "doc_id",
+        "cands",
+        F.filter(F.col("cands"), luhn_valid).alias("valid_cands"),
+    )
+    return judged.where(F.size("cands") > 0).select(
+        "doc_id",
+        F.size("cands").cast("int").alias("n_card_like"),
+        F.size("valid_cands").cast("int").alias("n_valid_cards"),
+        (F.size("cands") - F.size("valid_cands"))
+        .cast("int")
+        .alias("n_invalid_cards"),
+    )

@@ -658,3 +658,31 @@ def test_trend_ols_recovers_exact_line_and_zero_fills(spark):
     assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 3.0
     # type b zero-filled: sums over y=(5,0,0,0,5) -> slope 0, mean 2
     assert out["b"]["slope"] == 0.0 and out["b"]["intercept"] == 2.0
+
+
+def test_pii_card_luhn_separates_valid_from_near_miss(spark):
+    """A doc carrying a Luhn-valid card, a near-miss (last digit off by
+    one), and a short digit run: 2 candidates, exactly 1 valid; leading
+    zeros don't change the checksum (zero terms)."""
+    import os
+    import tempfile
+
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    rows = [
+        # doc 1: %7/%11/%13 all miss -> only the inline numbers below
+        (1, "pay 4111111111111111 or 4111111111111112 ref 555 12"),
+        (2, "padded 0000079927398713 run"),  # classic 79927398713, padded
+        (3, "no cards here 123456789012"),   # 12 digits: below threshold
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in LLM_QUERIES["doc_pii_card_luhn"].fn(spark, d).collect()
+    }
+    assert out[1]["n_card_like"] == 2
+    assert out[1]["n_valid_cards"] == 1 and out[1]["n_invalid_cards"] == 1
+    assert out[2]["n_valid_cards"] == 1  # leading zeros preserve validity
+    assert 3 not in out
