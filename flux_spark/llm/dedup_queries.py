@@ -882,3 +882,139 @@ def doc_duplication_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_verified_pairs(dup_corpus(spark, sf_dir))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_method_eval",
+    f"""
+    WITH mh AS ({_minhash_lsh_sql()}),
+    sh AS ({_simhash_pairs_sql()}),
+    ng AS ({_ngram_jaccard_sql()}),
+    detected AS (
+      SELECT 'minhash_lsh' AS method, id_a, id_b FROM mh
+      UNION ALL SELECT 'simhash', id_a, id_b FROM sh
+      UNION ALL SELECT 'ngram_jaccard', id_a, id_b FROM ng),
+    truth AS (
+      SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b, 'exact' AS kind
+      FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id, doc_id + 2000000000, 'near'
+      FROM documents WHERE doc_id % 23 = 0),
+    methods AS (SELECT unnest(['minhash_lsh', 'simhash', 'ngram_jaccard'])
+                AS method),
+    hits AS (
+      SELECT m.method, t.kind,
+        CAST(COUNT(*) AS BIGINT) AS n_truth,
+        CAST(SUM(CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit
+      FROM methods m
+      CROSS JOIN truth t
+      LEFT JOIN detected d
+        ON d.method = m.method AND d.id_a = t.id_a AND d.id_b = t.id_b
+      GROUP BY m.method, t.kind),
+    totals AS (
+      SELECT method, CAST(COUNT(*) AS BIGINT) AS n_detected
+      FROM detected GROUP BY method)
+    SELECT h.method,
+      COALESCE(t.n_detected, 0) AS n_detected,
+      MAX(CASE WHEN kind = 'exact' THEN n_truth END) AS n_exact_truth,
+      MAX(CASE WHEN kind = 'exact' THEN n_hit END) AS n_exact_hit,
+      MAX(CASE WHEN kind = 'near' THEN n_truth END) AS n_near_truth,
+      MAX(CASE WHEN kind = 'near' THEN n_hit END) AS n_near_hit,
+      CAST(MAX(CASE WHEN kind = 'exact' THEN n_hit END) AS DOUBLE)
+        / CAST(MAX(CASE WHEN kind = 'exact' THEN n_truth END) AS DOUBLE)
+        AS recall_exact,
+      CAST(MAX(CASE WHEN kind = 'near' THEN n_hit END) AS DOUBLE)
+        / CAST(MAX(CASE WHEN kind = 'near' THEN n_truth END) AS DOUBLE)
+        AS recall_near
+    FROM hits h LEFT JOIN totals t USING (method)
+    GROUP BY h.method, t.n_detected
+    """,
+    "dedup method scorecard against PLANTED ground truth: the gate "
+    "corpus plants exact copies (every 17th doc) and suffix near-dups "
+    "(every 23rd); each method's detected pairs join the truth set and "
+    "report per-kind recall plus total detections (organic synthetic-"
+    "vocabulary dups inflate n_detected, so planted recall — not "
+    "precision — is the honest cross-method metric). Closes the dedup "
+    "recall matrix the way emb_*_recall closes retrieval's: the "
+    "approximation quality of every production dedup path is itself "
+    "oracle-gated. Scale: sums three bucket-joined pair sets; the truth "
+    "join is O(planted), model-sized.",
+)
+def doc_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir)
+    detected = (
+        dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+        .select(F.lit("minhash_lsh").alias("method"), "id_a", "id_b")
+        .unionByName(
+            dedup.simhash_pairs(corpus).select(
+                F.lit("simhash").alias("method"), "id_a", "id_b"
+            )
+        )
+        .unionByName(
+            dedup.ngram_jaccard_pairs(corpus, threshold=0.5).select(
+                F.lit("ngram_jaccard").alias("method"), "id_a", "id_b"
+            )
+        )
+    )
+    base = load_table(spark, sf_dir, "documents").select("doc_id")
+    truth = (
+        base.where(F.col("doc_id") % 17 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000000).alias("id_b"),
+            F.lit("exact").alias("kind"),
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 23 == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 2000000000).alias("id_b"),
+                F.lit("near").alias("kind"),
+            )
+        )
+    )
+    methods = spark.createDataFrame(
+        [("minhash_lsh",), ("simhash",), ("ngram_jaccard",)], "method string"
+    )
+    d_hit = detected.select("method", "id_a", "id_b").withColumn(
+        "hit", F.lit(1)
+    )
+    hits = (
+        methods.crossJoin(truth)
+        .join(F.broadcast(d_hit), ["method", "id_a", "id_b"], "left")
+        .groupBy("method", "kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+    )
+    totals = detected.groupBy("method").agg(
+        F.count("*").cast("bigint").alias("n_detected")
+    )
+    ex = F.max(F.when(F.col("kind") == "exact", F.col("n_hit")))
+    ext = F.max(F.when(F.col("kind") == "exact", F.col("n_truth")))
+    nr = F.max(F.when(F.col("kind") == "near", F.col("n_hit")))
+    nrt = F.max(F.when(F.col("kind") == "near", F.col("n_truth")))
+    return (
+        hits.groupBy("method")
+        .agg(
+            ext.alias("n_exact_truth"),
+            ex.alias("n_exact_hit"),
+            nrt.alias("n_near_truth"),
+            nr.alias("n_near_hit"),
+            (ex.cast("double") / ext.cast("double")).alias("recall_exact"),
+            (nr.cast("double") / nrt.cast("double")).alias("recall_near"),
+        )
+        .join(totals, "method", "left")
+        .select(
+            "method",
+            F.coalesce("n_detected", F.lit(0)).alias("n_detected"),
+            "n_exact_truth",
+            "n_exact_hit",
+            "n_near_truth",
+            "n_near_hit",
+            "recall_exact",
+            "recall_near",
+        )
+    )
