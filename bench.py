@@ -130,6 +130,20 @@ ANALYTICS_HEADLINE = [
     # / O(types x days) before any window or join
     "events_gapfill_interpolate",
     "events_trend_ols",
+    # r8 session-4 additions: JL projection + code detect are single
+    # codegen corpus passes; line dedup shuffles 32 B md5 fingerprints;
+    # association rules reuse the capped pair build + broadcast supports;
+    # CUSUM and bot-regularity reduce map-side to O(types x days) /
+    # O(users) before their windows
+    "emb_rp_topk",
+    "doc_line_dedup",
+    "doc_code_detect",
+    "orders_association_rules",
+    "events_cusum_changepoint",
+    "events_bot_regularity",
+    # bloom build is one explode into <= 4163 words; probes join the
+    # broadcast filter — history is never joined row-vs-row
+    "doc_dedup_bloom",
 ]
 
 

@@ -794,3 +794,86 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("k").cast("double")
         ).alias("intercept"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    acc AS (
+      SELECT event_type, day,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+        CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(COUNT(*) OVER p AS BIGINT) AS n,
+        CAST(SUM(x) OVER p AS BIGINT) AS tot
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day),
+             p AS (PARTITION BY event_type)),
+    s AS (
+      SELECT event_type, day, n, tot, n * cum - t * tot AS s_t
+      FROM acc),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY abs(s_t) DESC, day ASC) AS rnk
+      FROM s)
+    SELECT event_type, n AS n_days, tot AS total_events, day AS cp_day,
+           CAST(abs(s_t) AS BIGINT) AS cusum_stat,
+           CAST(abs(s_t) AS DOUBLE) / CAST(n * tot AS DOUBLE) AS cusum_norm
+    FROM ranked WHERE rnk = 1
+    """,
+    "offline CUSUM mean-change detection over per-type daily counts "
+    "(Page 1954 / the standard at-most-one-changepoint scan statistic): "
+    "the classic statistic max_t |cumsum_t(x - mean)| is rescaled by n "
+    "to the all-integer form |n*cumsum_t(x) - t*total|, so the argmax "
+    "day and the statistic itself are exact BIGINT arithmetic — the "
+    "only double is the final normalization division. This is the 'did "
+    "traffic shift, and WHEN?' companion to events_distribution_drift "
+    "(which answers 'did the value distribution move?'). Scale shape: "
+    "the fact stream reduces map-side to O(types x days) rows before "
+    "any window; the three windows then run inside one partition-sorted "
+    "pass per type.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    acc = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.sum("x")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+        F.sum("x").over(wp).cast("bigint").alias("tot"),
+    )
+    s = acc.withColumn(
+        "s_t", F.col("n") * F.col("cum") - F.col("t") * F.col("tot")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_t")).desc(), F.asc("day")
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("tot").alias("total_events"),
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("s_t")).cast("bigint").alias("cusum_stat"),
+            (
+                F.abs(F.col("s_t")).cast("double")
+                / (F.col("n") * F.col("tot")).cast("double")
+            ).alias("cusum_norm"),
+        )
+    )

@@ -1533,3 +1533,78 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("zscore"),
         (dev * dev > F.lit(9) * varn).alias("is_anomaly"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_bot_regularity",
+    """
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    gaps AS (
+      SELECT user_id, us - prev_us AS g
+      FROM ordered WHERE prev_us IS NOT NULL),
+    agg AS (
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(CAST(g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg,
+        CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS sg2
+      FROM gaps GROUP BY user_id)
+    SELECT user_id, k AS n_gaps,
+      CAST(sg AS DOUBLE) / CAST(k AS DOUBLE) AS mean_gap_us,
+      CAST(k * sg2 - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE) AS cv2,
+      k >= 5 AND sg > 0
+        AND CAST(k * sg2 - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE)
+            < 0.1
+        AS is_bot_like
+    FROM agg
+    WHERE sg > 0
+    """,
+    "bot/automation detection by inter-event cadence regularity: per "
+    "user, the squared coefficient of variation of inter-event gaps — "
+    "cv² = (k·Σg² − (Σg)²)/(Σg)², the scale-free regularity measure "
+    "(humans are bursty, cv² ≳ 1; schedulers fire near-constant gaps, "
+    "cv² ≈ 0). The numerator/denominator are exact DECIMAL(38,0) "
+    "integer cross-products of microsecond gaps, so the statistic is "
+    "ONE double division and oracle-checks exactly. Scale shape: the "
+    "lag window sorts inside the per-user hash partition (one shuffle "
+    "of (user, ts) pairs), then the moment sums partial-aggregate "
+    "map-side — no join, state is 3 numbers per user",
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = "decimal(38,0)"
+    gaps = (
+        e.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+        )
+        .where(F.col("prev_us").isNotNull())
+        .select("user_id", (F.col("us") - F.col("prev_us")).alias("g"))
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("g").cast(dec)).cast(dec).alias("sg"),
+        F.sum(F.col("g").cast(dec) * F.col("g")).cast(dec).alias("sg2"),
+    )
+    num = F.col("k") * F.col("sg2") - F.col("sg") * F.col("sg")
+    den = F.col("sg") * F.col("sg")
+    cv2 = num.cast("double") / den.cast("double")
+    return agg.where(F.col("sg") > 0).select(
+        "user_id",
+        F.col("k").alias("n_gaps"),
+        (F.col("sg").cast("double") / F.col("k").cast("double")).alias(
+            "mean_gap_us"
+        ),
+        cv2.alias("cv2"),
+        ((F.col("k") >= 5) & (F.col("sg") > 0) & (cv2 < 0.1)).alias(
+            "is_bot_like"
+        ),
+    )

@@ -1039,6 +1039,100 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    ANALYTICS_QUERIES,
+    "orders_association_rules",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM op GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total
+      FROM op),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT p.part_a, p.part_b, p.n_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(p.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+             AS conf_a_to_b,
+           CAST(p.n_pair AS DOUBLE) / CAST(ib.n_item AS DOUBLE)
+             AS conf_b_to_a,
+           CAST(p.n_pair * t.n_orders_total AS DOUBLE)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN tot t
+    """,
+    "association rules on the market-basket pairs: confidence in both "
+    "directions (P(b|a), P(a|b)) and lift (observed co-occurrence over "
+    "the independence expectation) — the rule-quality metrics that turn "
+    "raw pair counts into rankable recommendations. All three are exact "
+    "integer ratios evaluated as ONE double division each (the BIGINT "
+    "cross-products stay integer), so they oracle-check bit-for-bit. "
+    "Plan shape: pairs reuse the capped co_occurrence_pairs build (key- "
+    "co-partitioned, never parts x parts); the per-item support table is "
+    "dimension-sized and BROADCAST to both sides of the rule join; the "
+    "grand total is a 1-row broadcast — the only corpus-scaled shuffle "
+    "is the pair count itself",
+)
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import co_occurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    item = op.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    tot = op.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders_total")
+    )
+    pairs = (
+        co_occurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select(
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
+            F.col("n_keys").alias("n_pair"),
+        )
+        .where(F.col("n_pair") >= 2)
+    )
+    ia = F.broadcast(
+        item.select(
+            F.col("l_partkey").alias("__pa"), F.col("n_item").alias("n_a")
+        )
+    )
+    ib = F.broadcast(
+        item.select(
+            F.col("l_partkey").alias("__pb"), F.col("n_item").alias("n_b")
+        )
+    )
+    return (
+        pairs.join(ia, F.col("part_a") == F.col("__pa"))
+        .join(ib, F.col("part_b") == F.col("__pb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (F.col("n_pair").cast("double") / F.col("n_a").cast("double"))
+            .alias("conf_a_to_b"),
+            (F.col("n_pair").cast("double") / F.col("n_b").cast("double"))
+            .alias("conf_b_to_a"),
+            (
+                (F.col("n_pair") * F.col("n_orders_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
 _LATERAL_SQL = """
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
 FROM customer c, LATERAL (

@@ -985,3 +985,67 @@ def edit_verified_pairs(
         edit_sim.alias("edit_sim"),
         (edit_sim >= F.lit(edit_threshold)).alias("verified"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """CCNet-style corpus-level boilerplate line removal (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): a LINE is dropped iff its fingerprint occurs in >=
+    ``min_docs`` DISTINCT documents — the filter that strips "all rights
+    reserved" / cookie banners / nav menus from web text. Distinct from
+    :func:`dup_span_dedup` (Lee et al. token k-grams) on three axes: the
+    unit is the natural newline-delimited line, the threshold counts
+    DOCUMENTS (not occurrences — within-document repetition of a
+    corpus-rare line is preserved), and removal is line-aligned, never
+    mid-span.
+
+    Plan shape at 100 TB: lines explode map-side off the text scan; the
+    duplicate-count groupBy keys on the 32-char md5 hex of the line (a
+    fixed-width fingerprint, not the line text) so the corpus-scaled
+    shuffle carries ~32 B/line regardless of line length; the surviving
+    boilerplate set is tiny (lines crossing the doc threshold) and AQE
+    plans the left-anti join as a broadcast; reassembly is one
+    sorted-struct collect per document — deterministic, no window.
+
+    Returns (id, clean_text, n_lines, n_kept_lines); a document that was
+    ALL boilerplate survives as an empty string.
+    """
+    nl = "\n"
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), nl)).alias("__ln", "__line"),
+    ).withColumn("__lh", F.md5("__line"))
+    boiler = (
+        lines.groupBy("__lh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= int(min_docs))
+        .select("__lh")
+    )
+    kept = lines.join(boiler, "__lh", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ln", "__line"))),
+                lambda s: s["__line"],
+            ),
+            nl,
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_kept_lines"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), nl)).cast("bigint").alias("n_lines"),
+    )
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce(F.col("n_kept_lines"), F.lit(0))
+        .cast("bigint")
+        .alias("n_kept_lines"),
+    )

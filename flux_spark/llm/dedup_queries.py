@@ -1018,3 +1018,255 @@ def doc_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_near",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style boilerplate line removal (r8 session 4)
+# ---------------------------------------------------------------------------
+
+# word-soup documents are single-line, so the gate query appends
+# deterministic boilerplate lines in BOTH engines (same trick as
+# _PII_AUG_CTE): two high-frequency footers that MUST be removed (every
+# 3rd / 5th doc) and one rare sponsor line (every 251st doc — 2 docs at
+# sf0.01, under the min_docs=3 threshold) that MUST survive.
+_LINE_B1 = "subscribe to our newsletter for weekly updates"
+_LINE_B2 = "all rights reserved contact us for licensing"
+_LINE_RARE = "rare sponsor note kept below the dedup threshold"
+
+_LINE_AUG_CTE = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_LINE_B1}' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_LINE_B2}' ELSE '' END
+    || CASE WHEN doc_id % 251 = 0 THEN chr(10) || '{_LINE_RARE}' ELSE '' END
+    AS text
+  FROM documents)
+"""
+
+
+def _line_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit("\n" + _LINE_B1)).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 5 == 0, F.lit("\n" + _LINE_B2)).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 251 == 0, F.lit("\n" + _LINE_RARE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_line_dedup",
+    _LINE_AUG_CTE
+    + """
+    , lx AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+    lines AS (
+      SELECT doc_id, i - 1 AS ln, l[i] AS line
+      FROM lx, unnest(generate_series(1, len(l))) AS t(i)),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 3),
+    kept AS (
+      SELECT * FROM lines
+      WHERE line NOT IN (SELECT line FROM boiler)),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept_lines
+      FROM kept GROUP BY doc_id)
+    SELECT x.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(x.l) AS BIGINT) AS n_lines,
+           CAST(COALESCE(a.n_kept_lines, 0) AS BIGINT) AS n_kept_lines
+    FROM lx x LEFT JOIN agg a USING (doc_id)
+    """,
+    "CCNet-style boilerplate line removal (Wenzek et al. 2020): a line "
+    "is dropped iff it occurs in >= 3 DISTINCT documents — the web-text "
+    "filter that strips repeated footers/banners while keeping "
+    "corpus-rare lines (the every-251st-doc sponsor line survives, the "
+    "every-3rd/5th-doc footers do not). Complements doc_dup_span_removal "
+    "(token k-grams, occurrence-counted): unit = natural line, threshold "
+    "= document frequency, removal is line-aligned. The oracle rebuilds "
+    "the identical line partition + document-frequency filter in SQL, so "
+    "the cleaned text matches byte-for-byte. The engine groups on the "
+    "md5 line fingerprint (32 B/line shuffle regardless of line length); "
+    "the oracle groups on the raw line — identical partitions either way",
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.line_dedup(
+        _line_augmented(spark, sf_dir), min_docs=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup against a historical corpus (r8 session 4)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 262144  # filter bits (2^18 for the gate; size ~1.2n*k at scale)
+_BLOOM_K = 4  # probes per digest: 4 disjoint 5-hex-digit slices of md5
+_BLOOM_WORD = 63  # bits per packed word (63 keeps 1<<bit positive in int64)
+
+
+def _sql_hex_int(h_expr: str, start: int, n: int) -> str:
+    """SQL int value of ``n`` hex digits of ``h_expr`` from 1-based
+    ``start`` (DuckDB twin of Spark's conv(substring(...), 16, 10))."""
+    return (
+        "("
+        + " + ".join(
+            f"{_hexval(f'substr({h_expr}, {start + i}, 1)')} * {16 ** (n - 1 - i)}"
+            for i in range(n)
+        )
+        + ")"
+    )
+
+
+def _bloom_pos_sql(digest: str) -> str:
+    return ", ".join(
+        f"({_sql_hex_int(digest, 1 + 5 * i, 5)} % {_BLOOM_M})"
+        for i in range(_BLOOM_K)
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_bloom",
+    f"""
+    WITH hist AS (
+      SELECT doc_id, text, md5(text) AS digest
+      FROM documents WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT b.doc_id,
+             md5(CASE WHEN b.doc_id % 7 = 0 AND h.text IS NOT NULL
+                      THEN h.text ELSE b.text END) AS digest
+      FROM documents b LEFT JOIN documents h ON h.doc_id = b.doc_id - 1
+      WHERE b.doc_id % 2 = 1),
+    hpos AS (
+      SELECT p FROM hist, unnest([{_bloom_pos_sql("digest")}]) AS t(p)),
+    words AS (
+      SELECT p // {_BLOOM_WORD} AS w,
+             CAST(bit_or(1::BIGINT << CAST(p % {_BLOOM_WORD} AS INT))
+                  AS BIGINT) AS bits
+      FROM hpos GROUP BY p // {_BLOOM_WORD}),
+    bpos AS (
+      SELECT doc_id, digest, p
+      FROM batch, unnest([{_bloom_pos_sql("digest")}]) AS t(p)),
+    probe AS (
+      SELECT b.doc_id, b.digest,
+             CASE WHEN w.bits IS NOT NULL
+                       AND ((w.bits >> CAST(b.p % {_BLOOM_WORD} AS INT))
+                            & 1) = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM bpos b LEFT JOIN words w ON w.w = b.p // {_BLOOM_WORD}),
+    agg AS (
+      SELECT doc_id, digest, CAST(SUM(hit) AS BIGINT) AS n_hits
+      FROM probe GROUP BY 1, 2),
+    truth AS (SELECT DISTINCT digest FROM hist)
+    SELECT a.doc_id, a.n_hits,
+           a.n_hits = {_BLOOM_K} AS may_contain,
+           t.digest IS NOT NULL AS is_true_dup,
+           a.n_hits = {_BLOOM_K} AND t.digest IS NULL AS false_positive
+    FROM agg a LEFT JOIN truth t ON t.digest = a.digest
+    """,
+    "Bloom-filter dedup of an incoming batch against a HISTORICAL corpus "
+    "— the ~1.2-byte/doc alternative to the 200 B/doc signature store "
+    "(doc_dedup_incremental) when only exact-dup suppression is needed: "
+    "history digests set k=4 md5-slice positions in a 2^18-bit filter "
+    "packed as 63-bit words (a DataFrame of (word, bits) rows — the "
+    "representation that shards by digest prefix when one executor's "
+    "filter no longer fits); the batch probes via a broadcast word join. "
+    "The gate plants true dups (every odd doc_id divisible by 7 copies "
+    "its even predecessor's text) and oracle-checks the filter VERDICT "
+    "per doc — may_contain, ground truth, and the false_positive flag — "
+    "so a mis-set or mis-probed bit fails the gate, not just a stat. "
+    "Scale shape: build is one explode + 4-per-doc shuffle into <= 4163 "
+    "words; probes join the broadcast filter, never the history table; "
+    "the truth join exists only for the audit columns",
+)
+def doc_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    hist = d.where(did % 2 == 0).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    donor = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("__ht")
+    )
+    batch = (
+        d.where(did % 2 == 1)
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    (did % 7 == 0) & F.col("__ht").isNotNull(),
+                    F.col("__ht"),
+                ).otherwise(F.col("text"))
+            ).alias("digest"),
+        )
+    )
+
+    def positions(col: str) -> list:
+        return [
+            F.conv(F.substring(col, 1 + 5 * i, 5), 16, 10).cast("long")
+            % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+
+    hpos = hist.select(F.explode(F.array(*positions("digest"))).alias("p"))
+    words = (
+        hpos.select(
+            F.expr(f"p div {_BLOOM_WORD}").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(p % {_BLOOM_WORD} AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    bpos = batch.select(
+        "doc_id",
+        "digest",
+        F.explode(F.array(*positions("digest"))).alias("p"),
+    )
+    probe = bpos.join(
+        F.broadcast(words),
+        F.expr(f"p div {_BLOOM_WORD}") == F.col("w"),
+        "left",
+    )
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (
+            F.expr(
+                f"shiftright(bits, CAST(p % {_BLOOM_WORD} AS INT)) & 1"
+            )
+            == 1
+        ),
+        1,
+    ).otherwise(0)
+    agg = probe.groupBy("doc_id", "digest").agg(
+        F.sum(hit).cast("bigint").alias("n_hits")
+    )
+    truth = hist.select("digest").distinct().withColumn(
+        "__seen", F.lit(True)
+    )
+    may = F.col("n_hits") == _BLOOM_K
+    return (
+        agg.join(truth, "digest", "left")
+        .select(
+            "doc_id",
+            "n_hits",
+            may.alias("may_contain"),
+            F.col("__seen").isNotNull().alias("is_true_dup"),
+            (may & F.col("__seen").isNull()).alias("false_positive"),
+        )
+    )

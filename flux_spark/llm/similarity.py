@@ -318,6 +318,74 @@ def sql_signature_bit_list(vec: str, planes: list[list[float]], dim: int) -> str
     return "[" + ", ".join(terms) + "]"
 
 
+def rp_project(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Johnson-Lindenstrauss random projection to ``len(planes)`` dims.
+
+    The projection matrix is the seedless ±1 Rademacher family from
+    :func:`hyperplanes` (Achlioptas 2003 shows ±1 entries satisfy the JL
+    lemma with the same distortion bounds as Gaussian entries) — the same
+    literals are embedded in the Spark plan and the SQL oracle, so the
+    REAL-VALUED projection (unlike sign-LSH, which keeps only the sign
+    bit) is bit-identical across engines. One narrow whole-stage-codegen
+    pass over the corpus: no shuffle, no Python.
+    """
+    return F.array(
+        *[
+            dot(vec_col, F.array(*[F.lit(x) for x in p]))
+            for p in planes
+        ]
+    )
+
+
+def sql_rp_project(vec: str, planes: list[list[float]], dim: int) -> str:
+    """DuckDB twin of :func:`rp_project` — same literals, same fold."""
+    exprs = []
+    for p in planes:
+        lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"
+        exprs.append(sql_dot(vec, lit, dim))
+    return "[" + ", ".join(exprs) + "]"
+
+
+def rp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate MIPS top-k in JL-projected space: project both sides
+    to ``len(planes)`` dims (a single codegen pass — the corpus scan
+    reads ``len(planes)/dim`` of the float bandwidth thereafter), then
+    rank by the projected dot product. Same broadcast-queries /
+    one-corpus-pass / per-query-window plan as :func:`mips_topk`; the
+    projected score is a deterministic float64 fold, so even the
+    APPROXIMATE scores oracle-check bit-for-bit."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        rp_project(F.col(vec_col), planes).alias("__qp"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        rp_project(F.col(vec_col), planes).alias("__cp"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_dot", dot(F.col("__qp"), F.col("__cp")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "rank")
+    )
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

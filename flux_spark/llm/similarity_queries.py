@@ -1078,6 +1078,112 @@ def emb_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (r8 session 4)
+# ---------------------------------------------------------------------------
+
+# 16-dim Rademacher projection: reuses the seedless hyperplanes() family —
+# same literals embedded in the Spark plan and the oracle SQL
+_RP_PLANES = similarity.hyperplanes(16, _DIM)
+
+_RP_CTE = f"""
+WITH p AS (
+  SELECT vec_id,
+         {similarity.sql_rp_project("embedding", _RP_PLANES, _DIM)} AS pv
+  FROM embeddings),
+rp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {similarity.sql_dot("q.pv", "c.pv", 16)} AS approx_dot
+  FROM p q CROSS JOIN p c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+rpr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_dot DESC, neighbor_id ASC)
+              AS rnk
+  FROM rp)
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "emb_rp_topk",
+    _RP_CTE
+    + """
+    SELECT query_id, neighbor_id, approx_dot, CAST(rnk AS INT) AS "rank"
+    FROM rpr WHERE rnk <= 5
+    """,
+    "Johnson-Lindenstrauss random-projection ANN (r8): 64-dim embeddings "
+    "projected to 16 dims through a seedless ±1 Rademacher matrix "
+    "(Achlioptas 2003 — ±1 entries satisfy the JL lemma), then ranked by "
+    "the projected dot product — 4x less per-vector bandwidth in the "
+    "scoring pass, the standard first step before quantization when the "
+    "index must stay float. The projection and score are deterministic "
+    "float64 folds over shared literals, so even the APPROXIMATE scores "
+    "oracle-check bit-for-bit. Plan: projection is one narrow codegen "
+    "pass (no shuffle, no Python), queries broadcast, corpus never "
+    "shuffles",
+)
+def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.rp_topk(
+        e, e.where(F.col("vec_id") < 5), _RP_PLANES, k=5
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_rp_recall",
+    _RP_CTE
+    + f"""
+    , exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {similarity.sql_dot("q.embedding", "c.embedding", _DIM)} AS ip
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    exr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ip DESC, neighbor_id ASC) AS rnk
+      FROM exact)
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_matched,
+           COUNT(a.neighbor_id) / 10.0 AS recall
+    FROM exr e
+    LEFT JOIN (SELECT query_id, neighbor_id FROM rpr WHERE rnk <= 10) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    WHERE e.rnk <= 10
+    GROUP BY e.query_id
+    """,
+    "recall@10 of the 16-dim JL-projected ranking vs the exact float64 "
+    "MIPS ranking, per query — closes the gated compression-quality "
+    "ladder (int8, binary, matryoshka, PQ, now JL): the distortion the "
+    "JL lemma bounds in theory is oracle-measured in practice, so a "
+    "projection regression fails the gate, not just a benchmark",
+)
+def emb_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    approx = similarity.rp_topk(e, q, _RP_PLANES, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    exact = similarity.mips_topk(e, q, k=10).select(
+        "query_id", F.col("neighbor_id").alias("__en")
+    )
+    return (
+        exact.join(
+            approx,
+            (approx.query_id == exact.query_id)
+            & (approx.neighbor_id == exact.__en),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("neighbor_id").cast("bigint").alias("n_matched"),
+            (F.count("neighbor_id") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # hybrid lexical + vector retrieval with reciprocal-rank fusion (r8)
 # ---------------------------------------------------------------------------
 

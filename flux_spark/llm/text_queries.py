@@ -1454,3 +1454,91 @@ def doc_pii_card_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_invalid_cards"),
     )
+
+
+# ---------------------------------------------------------------------------
+# code-vs-prose detection (r8 session 4)
+# ---------------------------------------------------------------------------
+
+# word-soup documents carry no code, so the gate appends a deterministic
+# code snippet to every 4th doc in BOTH engines (the _PII_AUG_CTE trick) —
+# the detector must flag exactly those docs and no others.
+_CODE_SNIPPET = (
+    " if (x > 0) { return f(x, y); } else { y[i] = a + b * c; } "
+    "// fallback path"
+)
+_CODE_SYMS = "{}();=[]"  # the symbol alphabet the ratio counts
+
+_CODE_AUG_CTE = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 4 = 0 THEN '{_CODE_SNIPPET}' ELSE '' END
+      AS text
+  FROM documents)
+"""
+
+
+def _sql_count_char(col: str, ch: str) -> str:
+    lit = ch.replace("'", "''")
+    return f"(length({col}) - length(replace({col}, '{lit}', '')))"
+
+
+@register(
+    LLM_QUERIES,
+    "doc_code_detect",
+    _CODE_AUG_CTE
+    + f"""
+    , feat AS (
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST({" + ".join(_sql_count_char("text", c) for c in _CODE_SYMS)}
+             AS BIGINT) AS n_code_syms
+      FROM aug)
+    SELECT doc_id, n_chars, n_code_syms,
+           CAST(n_code_syms AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             AS code_sym_ratio,
+           n_code_syms >= 8
+             AND CAST(n_code_syms AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                 > 0.004
+             AS is_code
+    FROM feat
+    """,
+    "code-vs-prose detection by symbol-density heuristic: the ratio of "
+    "code-alphabet characters ({{}}();=[]) to total characters plus an "
+    "absolute floor — the cheap first-line classifier a mixture pipeline "
+    "runs before routing documents to code vs natural-language buckets "
+    "(natural prose sits near 0; source code is orders of magnitude "
+    "higher). Char counts are exact length-difference arithmetic and the "
+    "ratio is one double division, so the flags oracle-check exactly. "
+    "Zero-shuffle: one whole-stage-codegen pass over the text scan",
+)
+def doc_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_CODE_SNIPPET)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    n_syms = None
+    for c in _CODE_SYMS:
+        term = F.length("text") - F.length(F.replace(F.col("text"), F.lit(c)))
+        n_syms = term if n_syms is None else n_syms + term
+    feat = aug.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_syms.cast("bigint").alias("n_code_syms"),
+    )
+    ratio = F.col("n_code_syms").cast("double") / F.col("n_chars").cast(
+        "double"
+    )
+    return feat.select(
+        "doc_id",
+        "n_chars",
+        "n_code_syms",
+        ratio.alias("code_sym_ratio"),
+        ((F.col("n_code_syms") >= 8) & (ratio > 0.004)).alias("is_code"),
+    )

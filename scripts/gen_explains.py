@@ -151,6 +151,27 @@ SHOWCASE = [
         "literal so the query-time scan partition-prunes to nprobe/K of "
         "the index bytes",
     ),
+    (
+        "doc_line_dedup",
+        "CCNet boilerplate line removal (r8 s4): lines explode map-side; "
+        "the duplicate-count shuffle keys on the 32 B md5 fingerprint, "
+        "never the line text; the boilerplate set broadcasts into the "
+        "left-anti join under AQE",
+    ),
+    (
+        "emb_rp_topk",
+        "JL random projection (r8 s4): the ±1 Rademacher projection is "
+        "one narrow codegen pass (no shuffle, no Python); queries "
+        "broadcast and the corpus scans once at 1/4 the float bandwidth "
+        "in the scoring join",
+    ),
+    (
+        "orders_association_rules",
+        "association rules (r8 s4): pair counts reuse the key-co-"
+        "partitioned basket build; per-item supports and the grand "
+        "total BROADCAST onto the pair stream — one corpus-scaled "
+        "shuffle total",
+    ),
 ]
 
 

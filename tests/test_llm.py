@@ -1663,3 +1663,97 @@ def test_power_iteration_finds_dominant_direction(spark):
     U = np.array(u)
     for r in res:
         assert abs(np.dot(np.array(r["res"]), U)) < 1e-6
+
+
+def test_line_dedup_removes_corpus_frequent_lines_only(spark):
+    from flux_spark.llm.dedup import line_dedup
+
+    boiler = "all rights reserved"
+    rows = [
+        # 3 docs share the boilerplate line -> removed everywhere
+        (1, "unique alpha text\n" + boiler),
+        (2, boiler + "\nunique beta text"),
+        (3, "unique gamma\n" + boiler + "\nunique delta"),
+        # within-doc repetition of a corpus-RARE line is preserved
+        (4, "rare line\nrare line\nother text"),
+        # all-boilerplate doc survives as empty string
+        (5, boiler),
+        (6, boiler),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha text"
+    assert out[2]["clean_text"] == "unique beta text"
+    assert out[3]["clean_text"] == "unique gamma\nunique delta"
+    assert (out[3]["n_lines"], out[3]["n_kept_lines"]) == (3, 2)
+    # doc 4: "rare line" appears twice but only in ONE document -> kept
+    assert out[4]["clean_text"] == "rare line\nrare line\nother text"
+    # docs 5/6 were pure boilerplate (line present in docs 1,2,3,5,6)
+    assert out[5]["clean_text"] == ""
+    assert out[5]["n_kept_lines"] == 0
+
+
+def test_rp_projection_preserves_neighborhoods(spark):
+    """JL projection sanity: the projected dot of a vector with itself
+    dominates its projected dot with an orthogonal vector, and rp_topk
+    ranks an exact duplicate first."""
+    from flux_spark.llm import similarity
+
+    planes = similarity.hyperplanes(16, 8)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # dup of 0
+        (2, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]),
+        (3, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.rp_topk(
+        df, df.where("vec_id = 0"), planes, k=1
+    ).collect()
+    assert len(top) == 1
+    assert top[0]["neighbor_id"] == 1  # the exact duplicate wins
+    # projection width = len(planes)
+    from pyspark.sql import functions as F
+
+    w = df.select(
+        F.size(similarity.rp_project(F.col("embedding"), planes)).alias("w")
+    ).first()["w"]
+    assert w == 16
+
+
+def test_cusum_changepoint_locates_planted_mean_shift(spark, tmp_path):
+    """A daily count series flat at 10 for 10 days then flat at 50 for
+    10 days has its CUSUM argmax exactly at the last low day."""
+    import datetime
+
+    import flux_spark.analytics.drift_queries  # noqa: F401 — registration
+    from flux_spark.analytics.registry import ANALYTICS_QUERIES
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 10 if d < 10 else 50
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        for i in range(n):
+            rows.append(
+                (eid, day + datetime.timedelta(seconds=i), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    # registry queries read {sf_dir}/events.parquet
+    out = ANALYTICS_QUERIES["events_cusum_changepoint"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["cp_day"]) == "2024-01-10"  # last day of the low regime
+    assert r["n_days"] == 20 and r["total_events"] == 600
+    # planted shift: S_t = n*cum - t*T peaks at |20*100 - 10*600| = 4000
+    assert r["cusum_stat"] == 4000
