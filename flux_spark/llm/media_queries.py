@@ -490,3 +490,85 @@ def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 3000000000).alias("doc_id"), "media"
     )
     return multimodal.image_near_dup_pairs(orig.unionByName(shifted))
+
+
+# ---------------------------------------------------------------------------
+# perceptual DCT hash (pHash, r8 session 4)
+# ---------------------------------------------------------------------------
+
+
+def _phash_sql() -> str:
+    """Symbolic oracle for :func:`multimodal.image_phash`: recompute the
+    8x8 grayscale patch from the synthetic-PNG pixel formula, run the
+    identical integer Q14 DCT (the DCT8_Q14 literals, as a nested SQL
+    list), and pack the same 63 AC bits."""
+    c_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(v) for v in row) + "]"
+            for row in multimodal.DCT8_Q14
+        )
+        + "]"
+    )
+    px = (
+        "((doc_id * 7 + ((((y * h) // 8) * w + ((x * w) // 8)) * 3"
+        " + {c})) % 256)"
+    )
+    gray = (
+        f"((({px.format(c=0)}) + ({px.format(c=1)}) + ({px.format(c=2)}))"
+        " // 3)"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                      CAST(3 + doc_id % 4 AS INTEGER) AS h
+               FROM documents),
+    g AS (SELECT doc_id, w, h,
+            flatten(list_transform(generate_series(0, 7), y ->
+              list_transform(generate_series(0, 7), x ->
+                CAST({gray} AS BIGINT)))) AS g64
+          FROM d),
+    r AS (SELECT doc_id, w, h,
+            list_transform(generate_series(0, 63), i ->
+              list_sum(list_transform(generate_series(0, 7), x ->
+                {c_lit}[(i % 8) + 1][x + 1]
+                  * g64[(i // 8) * 8 + x + 1]))) AS rv
+          FROM g),
+    dd AS (SELECT doc_id, w, h,
+             list_transform(generate_series(0, 63), i ->
+               list_sum(list_transform(generate_series(0, 7), y ->
+                 {c_lit}[(i // 8) + 1][y + 1]
+                   * rv[y * 8 + (i % 8) + 1]))) AS dv
+           FROM r),
+    s AS (SELECT doc_id, w, h, dv,
+            CAST(list_sum(dv[2:64]) AS BIGINT) AS s_ac FROM dd),
+    bits AS (SELECT doc_id, w, h,
+               list_transform(generate_series(1, 63), i ->
+                 CAST(CASE WHEN dv[i + 1] * 63 > s_ac
+                           THEN 1 ELSE 0 END AS BIGINT)) AS b
+             FROM s)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), b[1:31]),
+           (a, x) -> a * 2 + x) AS BIGINT) AS hash_w0,
+      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), b[32:63]),
+           (a, x) -> a * 2 + x) AS BIGINT) AS hash_w1
+    FROM bits
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "media_image_phash",
+    _phash_sql(),
+    "perceptual DCT hash (pHash) over REAL decoded PNG pixels: integer "
+    "grayscale -> 8x8 patch -> exact integer 2-D DCT through the fixed "
+    "Q14 basis (the same DCT8_Q14 literals drive the numpy kernel and "
+    "the SQL oracle) -> one strict above-AC-mean bit per frequency, DC "
+    "excluded — the property that makes pHash invariant to uniform "
+    "brightness shifts where aHash flips. All-integer end to end, so "
+    "every hash bit is oracle-checked; Arrow-batched decode, zero "
+    "shuffle",
+)
+def media_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_phash(multimodal.with_png_media(d))

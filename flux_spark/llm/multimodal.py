@@ -654,3 +654,95 @@ def image_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# Integer-scaled DCT-II basis for the 8-point transform: C[u][x] =
+# round(cos((2x+1)·u·π/16) · 2^14). The SAME literals are embedded in the
+# Spark kernel (numpy int64 matmul) and the SQL oracle (nested list
+# literal), so the transform is exact integer arithmetic in both engines
+# — the hyperplanes()/rp_project trick applied to a fixed orthogonal
+# basis instead of a random one.
+DCT8_Q14: list[list[int]] = [
+    [
+        int(round(__import__("math").cos((2 * x + 1) * u
+                                          * __import__("math").pi / 16)
+                  * 16384))
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", grid: int = 8
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) over REAL decoded pixels — the
+    frequency-domain upgrade of :func:`image_ahash`: decode, integer
+    grayscale, nearest-neighbor ``grid x grid`` patch (identical front
+    end to aHash), then a 2-D integer DCT through the fixed Q14 basis
+    ``DCT8_Q14`` and one bit per AC coefficient: 1 iff
+    ``coeff * 63 > sum(AC coeffs)`` (strict, all-integer). The DC term
+    is EXCLUDED, which is what makes pHash invariant to uniform
+    brightness shifts — a global +delta moves only coefficient (0,0) —
+    where aHash flips bits near the mean. Bits pack MSB-first into
+    (hash_w0: first 31, hash_w1: last 32).
+
+    Magnitude bound: |coeff| <= 8·2^14·(8·2^14·255) < 2^43 and the
+    63-term sums stay < 2^49, so the int64 arithmetic is exact and the
+    hash oracle-checks bit-for-bit. Arrow-batched mapInPandas; one
+    decode per payload, zero shuffle.
+    """
+    from .codecs import image_pixels
+
+    if grid != 8:
+        raise ValueError("phash is defined for the 8x8 DCT basis")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C = np.array(DCT8_Q14, dtype=np.int64)
+        for pdf in batches:
+            ids, ws, hs, w0s, w1s = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf["media"]):
+                w, h, ch, data = image_pixels(bytes(payload))
+                a = (
+                    np.frombuffer(data, dtype=np.uint8)
+                    .reshape(h, w, ch)
+                    .astype(np.int64)
+                )
+                gray = a.sum(axis=2) // ch
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                g = gray[np.ix_(ys, xs)]  # g[y][x]
+                r = g @ C.T  # r[y][v] = sum_x g[y][x] * C[v][x]
+                d = C @ r  # d[u][v] = sum_y C[u][y] * r[y][v]
+                flat = d.flatten()  # u-major
+                ac = flat[1:]
+                s = int(ac.sum())
+                bits = (ac * 63 > s).astype(np.int64)
+                w0 = 0
+                for b in bits[:31]:
+                    w0 = w0 * 2 + int(b)
+                w1 = 0
+                for b in bits[31:]:
+                    w1 = w1 * 2 + int(b)
+                ids.append(int(i))
+                ws.append(w)
+                hs.append(h)
+                w0s.append(w0)
+                w1s.append(w1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": ws,
+                    "height": hs,
+                    "hash_w0": w0s,
+                    "hash_w1": w1s,
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(
+        gen,
+        schema=f"{id_col} LONG, width INT, height INT, "
+        "hash_w0 LONG, hash_w1 LONG",
+    )
