@@ -144,6 +144,10 @@ ANALYTICS_HEADLINE = [
     # bloom build is one explode into <= 4163 words; probes join the
     # broadcast filter — history is never joined row-vs-row
     "doc_dedup_bloom",
+    # k-center = k one-pass argmax scans vs driver-side center literals;
+    # hilbert is 10 chained codegen projections, zero exchange
+    "emb_kcenter_coreset",
+    "events_hilbert_layout",
 ]
 
 

@@ -1608,3 +1608,59 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_bot_like"
         ),
     )
+
+
+def _hilbert_sql(n_bits: int = 10) -> str:
+    from .operators import hilbert_stage_exprs
+
+    ctes = [
+        "h0 AS (SELECT event_id,"
+        " CAST(user_id % 1024 AS BIGINT) AS x0,"
+        " CAST(event_id % 1024 AS BIGINT) AS y0,"
+        " CAST(user_id % 1024 AS BIGINT) AS x,"
+        " CAST(event_id % 1024 AS BIGINT) AS y,"
+        " CAST(0 AS BIGINT) AS d FROM events)"
+    ]
+    for i, (d_e, x_e, y_e) in enumerate(hilbert_stage_exprs(n_bits, "//")):
+        ctes.append(
+            f"h{i + 1} AS (SELECT event_id, x0, y0,"
+            f" CAST({d_e} AS BIGINT) AS d,"
+            f" CAST({x_e} AS BIGINT) AS x,"
+            f" CAST({y_e} AS BIGINT) AS y FROM h{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT event_id, x0 AS x, y0 AS y, d AS hilbert"
+        f" FROM h{n_bits}"
+    )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_hilbert_layout",
+    _hilbert_sql(),
+    "Hilbert-curve layout key for (user bucket, event bucket) on the "
+    "1024x1024 grid — the locality-preserving upgrade of "
+    "events_zorder_layout: consecutive Hilbert ranks are always grid-"
+    "ADJACENT (no Morton quadrant jumps), so files sorted by this key "
+    "hold tighter rowgroup min/max ranges on BOTH dimensions (the "
+    "OPTIMIZE ... HILBERT option in modern lakehouses). The iterative "
+    "xy2d bit fold unrolls into 10 chained integer-CASE projections — "
+    "pure whole-stage codegen, no UDF/shuffle/join; the oracle runs the "
+    "SAME generated stage expressions as chained CTEs",
+)
+def events_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import hilbert_value
+
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "CAST(user_id % 1024 AS BIGINT) AS ux",
+        "CAST(event_id % 1024 AS BIGINT) AS uy",
+    )
+    return hilbert_value(e, "ux", "uy", n_bits=10).select(
+        "event_id",
+        F.col("ux").alias("x"),
+        F.col("uy").alias("y"),
+        F.col("hilbert"),
+    )

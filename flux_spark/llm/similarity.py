@@ -318,6 +318,92 @@ def sql_signature_bit_list(vec: str, planes: list[list[float]], dim: int) -> str
     return "[" + ", ".join(terms) + "]"
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance as a left-to-right float64 fold —
+    same determinism contract as :func:`dot`."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_sqdist(a: str, b: str, dim: int) -> str:
+    """DuckDB twin of :func:`sqdist` — same order, same widening."""
+    term = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> {term} * {term})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-point k-center selection (Gonzalez 1985; the core-set
+    acquisition of Sener & Savarese 2018): seed with the smallest id,
+    then repeatedly pick the point MAXIMIZING its distance to the
+    nearest already-chosen center (tie-break min id) — a 2-approximation
+    of the k-center objective and the standard diversity/coreset sampler
+    when a training budget must cover the embedding space rather than
+    its densest mode.
+
+    Scale shape: each of the k-1 rounds is ONE corpus pass scoring
+    least(sqdist to each chosen center) — centers are driver-side
+    literals (k x dim doubles, model-sized, same pattern as the k-means
+    and PQ codebooks), so the corpus never shuffles and the per-round
+    reduction is an argmax, not a sort. Total cost k scans; k is a
+    budget knob, never corpus-scaled.
+
+    Returns a k-row DataFrame (selection_rank, id, d2_selected) where
+    d2_selected is the squared distance to the nearest prior center at
+    selection time (NULL for the seed) — the running coverage radius.
+    """
+    src = corpus.select(F.col(id_col), F.col(vec_col))
+    seed = src.orderBy(F.asc(id_col)).limit(1).collect()[0]
+    chosen: list[tuple[int, list[float], float | None]] = [
+        (seed[0], [float(v) for v in seed[1]], None)
+    ]
+    for _ in range(1, k):
+        dists = [
+            sqdist(
+                F.col(vec_col),
+                F.array(*[F.lit(v) for v in vec]),
+            )
+            for _, vec, _ in chosen
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        picked = (
+            src.where(
+                ~F.col(id_col).isin([cid for cid, _, _ in chosen])
+            )
+            .select(F.col(id_col), F.col(vec_col), mind.alias("__md"))
+            .orderBy(F.desc("__md"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(
+            (picked[0], [float(v) for v in picked[1]], float(picked[2]))
+        )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [
+            (rank, cid, d2)
+            for rank, (cid, _, d2) in enumerate(chosen)
+        ],
+        "selection_rank INT, id LONG, d2_selected DOUBLE",
+    )
+
+
 def rp_project(vec_col: Column, planes: list[list[float]]) -> Column:
     """Johnson-Lindenstrauss random projection to ``len(planes)`` dims.
 

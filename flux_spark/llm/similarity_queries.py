@@ -2138,3 +2138,67 @@ def emb_active_learning_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         select_n=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset selection (r8 session 4)
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Chained-CTE oracle for the greedy farthest-point selection: CTE
+    c_i picks the argmax-of-min-distance point, m_{i+1} folds the new
+    center into the running min with LEAST (exact — no arithmetic), so
+    the whole greedy trajectory is re-derived in SQL."""
+
+    def sd(a: str, b: str) -> str:
+        return similarity.sql_sqdist(a, b, _DIM)
+
+    parts = [
+        "WITH c0 AS (SELECT vec_id, embedding FROM embeddings"
+        " ORDER BY vec_id LIMIT 1)",
+        "m1 AS (SELECT e.vec_id, e.embedding, "
+        + sd("e.embedding", "c.embedding")
+        + " AS md FROM embeddings e CROSS JOIN c0 c"
+        " WHERE e.vec_id <> c.vec_id)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"c{i} AS (SELECT vec_id, embedding, md FROM m{i}"
+            " ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f"m{i + 1} AS (SELECT p.vec_id, p.embedding, "
+                "LEAST(p.md, "
+                + sd("p.embedding", "c.embedding")
+                + f") AS md FROM m{i} p CROSS JOIN c{i} c"
+                " WHERE p.vec_id <> c.vec_id)"
+            )
+    selects = [
+        "SELECT CAST(0 AS INT) AS selection_rank, vec_id AS id,"
+        " CAST(NULL AS DOUBLE) AS d2_selected FROM c0"
+    ]
+    for i in range(1, k):
+        selects.append(f"SELECT CAST({i} AS INT), vec_id, md FROM c{i}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_kcenter_coreset",
+    _kcenter_sql(8),
+    "k-center coreset selection (Gonzalez farthest-point greedy, the "
+    "Sener & Savarese 2018 core-set acquisition): 8 centers chosen to "
+    "COVER the embedding space — each round takes the point farthest "
+    "from its nearest chosen center (exact float64 fold sqdist, "
+    "tie-break min id). The oracle re-derives the entire greedy "
+    "trajectory through chained CTEs (argmax + LEAST fold per round), "
+    "so every selection decision is value-checked, not just the final "
+    "set. Scale shape: k one-pass corpus scans against driver-side "
+    "center literals (model-sized, like the k-means/PQ codebooks); the "
+    "corpus never shuffles",
+)
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_coreset(e, k=8)

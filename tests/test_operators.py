@@ -686,3 +686,43 @@ def test_pii_card_luhn_separates_valid_from_near_miss(spark):
     assert out[1]["n_valid_cards"] == 1 and out[1]["n_invalid_cards"] == 1
     assert out[2]["n_valid_cards"] == 1  # leading zeros preserve validity
     assert 3 not in out
+
+
+def test_hilbert_value_is_a_true_hilbert_curve(spark):
+    """Bijection over the full 8x8 grid AND every consecutive rank pair
+    is grid-adjacent (Manhattan distance exactly 1) — the property that
+    distinguishes Hilbert from Morton/Z-order, which jumps quadrants."""
+    from flux_spark.analytics.operators import hilbert_value
+
+    cells = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(cells, "cx LONG, cy LONG")
+    rows = hilbert_value(df, "cx", "cy", n_bits=3).collect()
+    assert len(rows) == 64
+    ranks = {r["hilbert"]: (r["cx"], r["cy"]) for r in rows}
+    assert sorted(ranks) == list(range(64))  # bijection onto 0..63
+    for i in range(63):
+        (x1, y1), (x2, y2) = ranks[i], ranks[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (i, ranks[i], ranks[i + 1])
+
+
+def test_hilbert_locality_beats_zorder_on_worst_jump(spark):
+    """The worst consecutive-rank jump under Z-order on an 8x8 grid is
+    far (crossing the main quadrant seam); under Hilbert it is 1."""
+    from flux_spark.analytics.operators import hilbert_value, zorder_value
+    from pyspark.sql import functions as F
+
+    cells = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(cells, "cx LONG, cy LONG")
+    h = {r["hilbert"]: (r["cx"], r["cy"])
+         for r in hilbert_value(df, "cx", "cy", n_bits=3).collect()}
+    z = {r["z"]: (r["cx"], r["cy"])
+         for r in df.select(
+             "cx", "cy",
+             zorder_value(F.col("cx"), F.col("cy"), bits=3).alias("z")
+         ).collect()}
+    worst = lambda m: max(
+        abs(m[i][0] - m[i + 1][0]) + abs(m[i][1] - m[i + 1][1])
+        for i in range(len(m) - 1)
+    )
+    assert worst(h) == 1
+    assert worst(z) > 1
