@@ -148,6 +148,10 @@ ANALYTICS_HEADLINE = [
     # hilbert is 10 chained codegen projections, zero exchange
     "emb_kcenter_coreset",
     "events_hilbert_layout",
+    # join-size estimate reduces each side map-side to <= 256 sketch
+    # cells; NDCG is the broadcast-queries one-corpus-pass eval
+    "events_cms_join_estimate",
+    "emb_retrieval_ndcg",
 ]
 
 

@@ -766,3 +766,142 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_cms_join_estimate",
+    """
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us
+      FROM events),
+    sides AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) > (SELECT mid_us FROM bounds)
+                  THEN 1 ELSE 0 END AS side
+      FROM events),
+    cells AS (
+      SELECT side, r AS sketch_row,
+             CAST(CAST(('0x' || substring(
+                    md5(CAST(r AS VARCHAR) || ':'
+                        || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS BIGINT) AS sketch_col,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM sides
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS r FROM range(0, 4))
+      GROUP BY 1, 2, 3),
+    ip AS (
+      SELECT a.sketch_row,
+             CAST(SUM(CAST(a.n AS DECIMAL(38,0)) * b.n) AS BIGINT) AS ip
+      FROM cells a JOIN cells b
+        ON a.sketch_row = b.sketch_row AND a.sketch_col = b.sketch_col
+      WHERE a.side = 0 AND b.side = 1
+      GROUP BY 1),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+    ex AS (
+      SELECT CAST(SUM(CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)
+               AS exact_join_size
+      FROM (SELECT user_id,
+                   CAST(SUM(1 - side) AS BIGINT) AS ca,
+                   CAST(SUM(side) AS BIGINT) AS cb
+            FROM sides GROUP BY user_id))
+    SELECT e.est_join_size, x.exact_join_size,
+           CAST(e.est_join_size AS DOUBLE)
+             / CAST(x.exact_join_size AS DOUBLE) AS overestimate_ratio
+    FROM est e CROSS JOIN ex x
+    """,
+    "sketch-based join-cardinality estimation (the AGMS/CMS inner-"
+    "product estimator, Alon-Gibbons-Matias-Szegedy): |A JOIN B on k| "
+    "is estimated as min over CMS rows of the register inner product — "
+    "the statistic a cost-based optimizer consults BEFORE committing to "
+    "a join strategy, computed from two 4x64 sketches instead of the "
+    "full key histograms. The gate emits the estimate, the exact join "
+    "size (SUM of per-key count products), and their ratio: CMS inner "
+    "products only ever OVER-estimate, and both numbers are exact "
+    "integer arithmetic, so the estimator's quality itself is oracle-"
+    "checked. Scale shape: each side partial-aggregates map-side into "
+    "<= 256 cells; the estimate join is sketch-x-sketch (256 rows), "
+    "never key-x-key",
+)
+def events_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    mid = e.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    sides = e.crossJoin(F.broadcast(mid)).select(
+        "user_id",
+        F.when(F.unix_micros("ts") > F.col("mid_us"), 1)
+        .otherwise(0)
+        .alias("side"),
+    )
+    rows = sides.crossJoin(
+        F.broadcast(
+            spark.range(4).select(
+                F.col("id").cast("int").alias("sketch_row")
+            )
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("sketch_row").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cells = (
+        rows.select(
+            "side", "sketch_row", F.pmod(h, F.lit(64)).alias("sketch_col")
+        )
+        .groupBy("side", "sketch_row", "sketch_col")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    dec = "decimal(38,0)"
+    a = cells.where(F.col("side") == 0).select(
+        "sketch_row", "sketch_col", F.col("n").alias("na")
+    )
+    b = cells.where(F.col("side") == 1).select(
+        "sketch_row", "sketch_col", F.col("n").alias("nb")
+    )
+    ip = (
+        a.join(b, ["sketch_row", "sketch_col"])
+        .groupBy("sketch_row")
+        .agg(
+            F.sum(F.col("na").cast(dec) * F.col("nb"))
+            .cast("bigint")
+            .alias("ip")
+        )
+    )
+    est = ip.agg(F.min("ip").cast("bigint").alias("est_join_size"))
+    ex = (
+        sides.groupBy("user_id")
+        .agg(
+            F.sum(1 - F.col("side")).cast("bigint").alias("ca"),
+            F.sum("side").cast("bigint").alias("cb"),
+        )
+        .agg(
+            F.sum(F.col("ca").cast(dec) * F.col("cb"))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
+    )
+    return est.crossJoin(ex).select(
+        "est_join_size",
+        "exact_join_size",
+        (
+            F.col("est_join_size").cast("double")
+            / F.col("exact_join_size").cast("double")
+        ).alias("overestimate_ratio"),
+    )

@@ -2202,3 +2202,146 @@ def _kcenter_sql(k: int = 8) -> str:
 def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.kcenter_coreset(e, k=8)
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality evaluation: MRR + NDCG (r8 session 4)
+# ---------------------------------------------------------------------------
+
+# log2 position discounts quantized to integer nano-units and shared as
+# literals (the hyperplanes trick applied to the NDCG weight table): DCG
+# sums become exact integer arithmetic, order-independent in both engines
+_NDCG_K = 10
+_NDCG_W = [
+    int(round(1.0 / __import__("math").log2(i + 1) * 1_000_000_000))
+    for i in range(1, _NDCG_K + 1)
+]
+_NDCG_PREFIX = [0]
+for _w in _NDCG_W:
+    _NDCG_PREFIX.append(_NDCG_PREFIX[-1] + _w)
+
+
+def _ndcg_sql() -> str:
+    w_case = " ".join(
+        f"WHEN rnk = {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    idcg_case = " ".join(
+        f"WHEN n_rel_total >= {j} THEN {_NDCG_PREFIX[j]}"
+        for j in range(_NDCG_K, 0, -1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+      FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, q.qlab, c.vec_id AS neighbor_id, c.label AS nlab,
+             {similarity.sql_dot("q.qv", "c.embedding", _DIM)} AS ip
+      FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ip DESC, neighbor_id ASC)
+               AS rnk
+      FROM scored),
+    rel AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_total
+      FROM ranked GROUP BY query_id),
+    top AS (SELECT * FROM ranked WHERE rnk <= {_NDCG_K}),
+    aggd AS (
+      SELECT query_id,
+        CAST(SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_relevant_top{_NDCG_K},
+        CAST(SUM(CASE WHEN nlab = qlab
+                      THEN (CASE {w_case} ELSE 0 END) ELSE 0 END)
+             AS BIGINT) AS dcg_int,
+        MIN(CASE WHEN nlab = qlab THEN rnk END) AS first_rel
+      FROM top GROUP BY query_id)
+    SELECT a.query_id, a.n_relevant_top{_NDCG_K},
+      CASE WHEN a.first_rel IS NULL THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(1.0 AS DOUBLE) / a.first_rel END AS mrr,
+      CASE WHEN r.n_rel_total = 0 THEN NULL
+           ELSE CAST(a.dcg_int AS DOUBLE)
+                / (CASE {idcg_case} ELSE 1 END) END AS ndcg
+    FROM aggd a JOIN rel r USING (query_id)
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "emb_retrieval_ndcg",
+    _ndcg_sql(),
+    "retrieval-quality evaluation — MRR and NDCG@10 of the exact MIPS "
+    "ranking against same-label relevance: THE offline metrics a "
+    "retrieval stack reports before shipping an index change. The log2 "
+    "position discounts are integer nano-unit literals shared with the "
+    "oracle, so DCG/IDCG are exact integer sums (order-independent) and "
+    "the only doubles are the two final divisions — the eval itself is "
+    "oracle-gated. Scale shape: queries broadcast, one corpus pass, "
+    "per-query windows over k rows; the relevance total is a 2-column "
+    "aggregate",
+)
+def emb_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("qlab"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("nlab"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("ip", similarity.dot(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).select(
+        "query_id", "qlab", "neighbor_id", "nlab", "rnk"
+    )
+    is_rel = F.when(F.col("nlab") == F.col("qlab"), 1).otherwise(0)
+    rel = ranked.groupBy("query_id").agg(
+        F.sum(is_rel).cast("bigint").alias("n_rel_total")
+    )
+    w_expr = "CASE " + " ".join(
+        f"WHEN rnk = {i + 1} THEN {wv}" for i, wv in enumerate(_NDCG_W)
+    ) + " ELSE 0 END"
+    top = ranked.where(F.col("rnk") <= _NDCG_K)
+    aggd = top.groupBy("query_id").agg(
+        F.sum(is_rel).cast("bigint").alias(f"n_relevant_top{_NDCG_K}"),
+        F.sum(F.when(F.col("nlab") == F.col("qlab"), F.expr(w_expr))
+              .otherwise(0))
+        .cast("bigint")
+        .alias("dcg_int"),
+        F.min(F.when(F.col("nlab") == F.col("qlab"), F.col("rnk"))).alias(
+            "first_rel"
+        ),
+    )
+    idcg_expr = "CASE " + " ".join(
+        f"WHEN n_rel_total >= {j} THEN {_NDCG_PREFIX[j]}"
+        for j in range(_NDCG_K, 0, -1)
+    ) + " ELSE 1 END"
+    return (
+        aggd.join(rel, "query_id")
+        .select(
+            "query_id",
+            f"n_relevant_top{_NDCG_K}",
+            F.when(
+                F.col("first_rel").isNull(), F.lit(0.0)
+            )
+            .otherwise(F.lit(1.0) / F.col("first_rel"))
+            .alias("mrr"),
+            F.when(F.col("n_rel_total") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.col("dcg_int").cast("double") / F.expr(idcg_expr)
+            )
+            .alias("ndcg"),
+        )
+    )

@@ -726,3 +726,28 @@ def test_hilbert_locality_beats_zorder_on_worst_jump(spark):
     )
     assert worst(h) == 1
     assert worst(z) > 1
+
+
+def test_cms_join_estimate_upper_bounds_exact(spark, sf_dir):
+    """CMS inner products can only OVER-estimate the true join size."""
+    import flux_spark.analytics.sketch_queries  # noqa: F401 — registration
+    from flux_spark.analytics.registry import ANALYTICS_QUERIES
+
+    r = ANALYTICS_QUERIES["events_cms_join_estimate"].fn(
+        spark, sf_dir
+    ).first()
+    assert r["est_join_size"] >= r["exact_join_size"] > 0
+    assert r["overestimate_ratio"] >= 1.0
+
+
+def test_retrieval_ndcg_bounds(spark, sf_dir):
+    """MRR and NDCG live in [0, 1]; a query whose top hit is relevant
+    has MRR exactly 1.0."""
+    from flux_spark.llm.queries import LLM_QUERIES  # registers all domains
+
+    rows = LLM_QUERIES["emb_retrieval_ndcg"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["mrr"] <= 1.0
+        if r["ndcg"] is not None:
+            assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12
