@@ -152,6 +152,9 @@ ANALYTICS_HEADLINE = [
     # cells; NDCG is the broadcast-queries one-corpus-pass eval
     "events_cms_join_estimate",
     "emb_retrieval_ndcg",
+    # schema inference partial-aggregates the key explode map-side to
+    # O(types x keys) counter rows
+    "events_json_schema_infer",
 ]
 
 

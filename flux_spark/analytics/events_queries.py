@@ -1664,3 +1664,113 @@ def events_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uy").alias("y"),
         F.col("hilbert"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_json_schema_infer",
+    r"""
+    WITH base AS (
+      SELECT event_type, json_extract_string(props, '$.k') AS kv, props
+      FROM events),
+    aug AS (
+      SELECT event_type,
+        CASE WHEN event_type = 'purchase'
+             THEN '{"k": ' || kv || ', "amount": ' || kv
+                  || '.5, "currency": "usd"}'
+             WHEN event_type = 'error'
+             THEN '{"k": ' || kv || ', "code": "E'
+                  || CAST(CAST(kv AS BIGINT) % 7 AS VARCHAR) || '"}'
+             ELSE props END AS j
+      FROM base),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM aug GROUP BY 1),
+    kvs AS (
+      SELECT a.event_type, t.pk,
+             json_extract_string(a.j, '$.' || t.pk) AS v
+      FROM aug a, unnest(json_keys(a.j)) AS t(pk)),
+    agg AS (
+      SELECT event_type, pk,
+        CAST(COUNT(*) AS BIGINT) AS n_present,
+        CAST(SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        CAST(SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+(\.[0-9]+)?$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_num
+      FROM kvs GROUP BY 1, 2)
+    SELECT a.event_type, a.pk AS prop_key, a.n_present,
+      CAST(a.n_present AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+        AS frac_present,
+      CASE WHEN a.n_int = a.n_present THEN 'bigint'
+           WHEN a.n_num = a.n_present THEN 'double'
+           ELSE 'varchar' END AS inferred_type
+    FROM agg a JOIN tot t USING (event_type)
+    """,
+    "semi-structured schema inference over the JSON props column — the "
+    "discovery pass every ingestion pipeline runs on a new event feed: "
+    "per (event_type, key), presence count, presence fraction, and the "
+    "inferred column type by unanimous type vote (bigint if every value "
+    "is integral, double if every value is numeric, else varchar). The "
+    "gate widens the feed deterministically in BOTH engines (purchase "
+    "rows gain amount/currency, error rows gain a code) so the inferred "
+    "schema is non-trivial and value-exact. Scale shape: the key "
+    "explode partial-aggregates map-side to O(types x keys) rows — "
+    "state is four counters per (type, key), never per row",
+)
+def events_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "props")
+    kv = F.get_json_object("props", "$.k")
+    aug = e.select(
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit('{"k": '),
+                kv,
+                F.lit(', "amount": '),
+                kv,
+                F.lit('.5, "currency": "usd"}'),
+            ),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.concat(
+                F.lit('{"k": '),
+                kv,
+                F.lit(', "code": "E'),
+                (kv.cast("bigint") % 7).cast("string"),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(F.col("props"))
+        .alias("j"),
+    )
+    tot = aug.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    kvs = aug.select(
+        "event_type",
+        F.explode(F.from_json("j", "map<string,string>")).alias("pk", "v"),
+    )
+    is_int = F.when(F.col("v").rlike("^-?[0-9]+$"), 1).otherwise(0)
+    is_num = F.when(
+        F.col("v").rlike(r"^-?[0-9]+(\.[0-9]+)?$"), 1
+    ).otherwise(0)
+    agg = kvs.groupBy("event_type", "pk").agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.sum(is_int).cast("bigint").alias("n_int"),
+        F.sum(is_num).cast("bigint").alias("n_num"),
+    )
+    return agg.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("pk").alias("prop_key"),
+        "n_present",
+        (
+            F.col("n_present").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("frac_present"),
+        F.when(F.col("n_int") == F.col("n_present"), F.lit("bigint"))
+        .when(F.col("n_num") == F.col("n_present"), F.lit("double"))
+        .otherwise(F.lit("varchar"))
+        .alias("inferred_type"),
+    )
