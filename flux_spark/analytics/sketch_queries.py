@@ -806,8 +806,10 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(side) AS BIGINT) AS cb
             FROM sides GROUP BY user_id))
     SELECT e.est_join_size, x.exact_join_size,
-           CAST(e.est_join_size AS DOUBLE)
-             / CAST(x.exact_join_size AS DOUBLE) AS overestimate_ratio
+           CASE WHEN x.exact_join_size = 0 THEN NULL
+                ELSE CAST(e.est_join_size AS DOUBLE)
+                     / CAST(x.exact_join_size AS DOUBLE)
+           END AS overestimate_ratio
     FROM est e CROSS JOIN ex x
     """,
     "sketch-based join-cardinality estimation (the AGMS/CMS inner-"
@@ -900,8 +902,15 @@ def events_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(ex).select(
         "est_join_size",
         "exact_join_size",
-        (
+        # ladder-caught (sf1): replica key-offsetting can leave the two
+        # stream halves with ZERO common keys — a 0 exact join size must
+        # read as NULL ratio, not an ANSI divide-by-zero crash
+        F.when(
+            F.col("exact_join_size") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
             F.col("est_join_size").cast("double")
             / F.col("exact_join_size").cast("double")
-        ).alias("overestimate_ratio"),
+        )
+        .alias("overestimate_ratio"),
     )
