@@ -700,3 +700,79 @@ def test_cdc_merge_reduces_to_one_row_per_key_before_join(spark, sf):
     # both window-rank reductions sit below the outer join
     join_at = plan.lower().index("fullouter")
     assert plan.count("Window", join_at) >= 2
+
+
+def test_line_dedup_shuffles_fingerprints_and_broadcasts_boiler(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_line_dedup"].fn(spark, sf))
+    # the duplicate-count exchange keys on the md5 fingerprint, not the
+    # raw line text
+    assert "md5(" in plan
+    # the boilerplate set reaches the anti-join as a broadcast; the
+    # corpus-scaled side is never sort-merge-joined
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rp_topk_projects_corpus_side_no_python(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["emb_rp_topk"].fn(spark, sf))
+    # projection happens corpus-side as Catalyst expressions (no
+    # Python/Arrow eval anywhere in this plan) and queries broadcast
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 5-query broadcast x corpus
+    assert "SortMergeJoin" not in plan
+    # partial top-k before the exchange bounds the window shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_bloom_dedup_broadcasts_filter_words(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_dedup_bloom"].fn(spark, sf))
+    # the packed filter (<= 4163 words) broadcasts into the probe join —
+    # the history table is never joined row-vs-row against the batch on
+    # anything but the tiny audit (digest) join
+    assert plan.count("BroadcastHashJoin") >= 2  # word join + truth audit
+    assert "SortMergeJoin" not in plan
+
+
+def test_association_rules_broadcast_supports(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["orders_association_rules"].fn(spark, sf)
+    )
+    # both per-item support joins broadcast onto the pair stream
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the shared basket build is persisted, not rebuilt per quantity
+    assert "InMemoryTableScan" in plan
+
+
+def test_hilbert_layout_zero_exchange(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["events_hilbert_layout"].fn(spark, sf)
+    )
+    # 10 chained integer-CASE projections: pure codegen, no shuffle, no
+    # join, no Python
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1)" in plan  # the whole query is ONE codegen stage
+
+
+def test_cms_join_estimate_joins_sketches_not_keys(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["events_cms_join_estimate"].fn(spark, sf)
+    )
+    # the estimate join is sketch-cell x sketch-cell (<= 256 rows/side);
+    # no corpus-scaled sort-merge join anywhere
+    assert "SortMergeJoin" not in plan
+    # map-side partial aggregation collapses each side before any join
+    assert "partial_count" in plan or "HashAggregate" in plan
