@@ -459,6 +459,37 @@ def sql_rp_project(vec: str, planes: list[list[float]], dim: int) -> str:
     return "[" + ", ".join(exprs) + "]"
 
 
+def rp_project_arrow(
+    vec_col: Column, planes: list[list[float]]
+) -> Column:
+    """Arrow-vectorized twin of :func:`rp_project` — per plane, the
+    accumulation loops over DIMENSIONS in the identical left-to-right
+    float64 order as the Catalyst fold (and the DuckDB list_reduce
+    oracle), so the projected values hash-match while the per-row
+    interpreter overhead disappears. The projection is a corpus-scaled
+    pass (dim x out_dim multiply-adds per row — the heaviest per-row
+    arithmetic in the RP plan), which is exactly the class of pass the
+    k-center ladder fix showed must not run on the interpreted fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _rp(v):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(v.tolist(), dtype=np.float64)
+        outs = []
+        for p in planes:
+            acc = np.zeros(len(A))
+            for i, s in enumerate(p):
+                acc += A[:, i] * s
+            outs.append(acc)
+        M = np.stack(outs, axis=1) if outs else np.zeros((len(A), 0))
+        return pd.Series(list(M))
+
+    return _rp(vec_col)
+
+
 def rp_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -478,11 +509,11 @@ def rp_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        rp_project(F.col(vec_col), planes).alias("__qp"),
+        rp_project_arrow(F.col(vec_col), planes).alias("__qp"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        rp_project(F.col(vec_col), planes).alias("__cp"),
+        rp_project_arrow(F.col(vec_col), planes).alias("__cp"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))

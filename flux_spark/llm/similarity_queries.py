@@ -1118,9 +1118,9 @@ rpr AS (
     "scoring pass, the standard first step before quantization when the "
     "index must stay float. The projection and score are deterministic "
     "float64 folds over shared literals, so even the APPROXIMATE scores "
-    "oracle-check bit-for-bit. Plan: projection is one narrow codegen "
-    "pass (no shuffle, no Python), queries broadcast, corpus never "
-    "shuffles",
+    "oracle-check bit-for-bit. Plan: projection is one narrow "
+    "Arrow-kernel pass (no shuffle; same-order fold, so still exact), "
+    "queries broadcast, corpus never shuffles",
 )
 def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

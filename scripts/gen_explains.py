@@ -161,9 +161,9 @@ SHOWCASE = [
     (
         "emb_rp_topk",
         "JL random projection (r8 s4): the ±1 Rademacher projection is "
-        "one narrow codegen pass (no shuffle, no Python); queries "
-        "broadcast and the corpus scans once at 1/4 the float bandwidth "
-        "in the scoring join",
+        "one narrow Arrow-kernel pass (same-order fold, bit-identical; "
+        "no shuffle); queries broadcast and the corpus scans once at "
+        "1/4 the float bandwidth in the scoring join",
     ),
     (
         "orders_association_rules",

@@ -719,9 +719,9 @@ def test_rp_topk_projects_corpus_side_no_python(spark, sf):
     from flux_spark.llm.queries import LLM_QUERIES
 
     plan = executed_plan(LLM_QUERIES["emb_rp_topk"].fn(spark, sf))
-    # projection happens corpus-side as Catalyst expressions (no
-    # Python/Arrow eval anywhere in this plan) and queries broadcast
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # projection is the Arrow kernel (corpus-scaled dim x out_dim pass
+    # — never the interpreted fold), never row-at-a-time Python
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 5-query broadcast x corpus
     assert "SortMergeJoin" not in plan
     # partial top-k before the exchange bounds the window shuffle
