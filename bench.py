@@ -158,6 +158,56 @@ ANALYTICS_HEADLINE = [
 ]
 
 
+def concurrent_mode(spark, registry, sf_dir: str, streams: int) -> None:
+    """--concurrent N: the TPC-H "throughput test" shape — N client
+    threads each run the analytics headline (disjoint round-robin
+    slices) against ONE SparkSession under the FAIR scheduler, so the
+    measurement is multi-tenant wall time, not single-stream latency.
+    Prints one JSON line {metric, value, unit, streams, per_stream, sf}
+    and returns; correctness queries are unchanged (same registry)."""
+    import threading
+
+    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+    names = [n for n in ANALYTICS_HEADLINE if n in registry]
+    slices = [names[i::streams] for i in range(streams)]
+    wall: dict[int, float] = {}
+
+    def run(i: int) -> None:
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"stream{i}"
+        )
+        t0 = time.perf_counter()
+        for name in slices[i]:
+            registry[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        wall[i] = round(time.perf_counter() - t0, 2)
+
+    threads = [
+        threading.Thread(target=run, args=(i,)) for i in range(streams)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    total = round(time.perf_counter() - t0, 2)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "concurrent_headline_wall",
+                "value": total,
+                "unit": "sec",
+                "streams": streams,
+                "per_stream": wall,
+                "n_queries": len(names),
+                "sf": sf,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -243,6 +293,13 @@ def main() -> None:
         if s
     }
     registry = entry_mod.queries()
+    if "--concurrent" in sys.argv:
+        try:
+            streams = int(sys.argv[sys.argv.index("--concurrent") + 1])
+        except (IndexError, ValueError):
+            streams = 4
+        concurrent_mode(spark, registry, sf_dir, streams)
+        return
     for name in ANALYTICS_HEADLINE:
         if name not in registry or name in skip:
             continue
