@@ -1,0 +1,337 @@
+"""Trainable text classification + corpus statistics: nearest-centroid
+language classifier, readability scoring, stratified k-fold assignment,
+and PMI-style collocation mining.
+
+These are the "model-in-the-loop" curation operators of an LLM data
+pipeline: a cheap count-based classifier trained on one slice and scored
+on another (the fastText-quality-filter shape), a readability score for
+quality bucketing, reproducible cross-validation folds, and collocation
+mining for tokenizer/vocab diagnostics.
+
+Determinism contract (see ``analytics/registry.py``): no ``ln()`` in any
+gated output — log-space scoring is replaced by integer-quantized
+frequency weights (``floor(1e15 * n_wc / n_c)``: two IEEE double ops +
+floor, bit-identical on both engines) summed exactly as BIGINT. Ratios
+in outputs are single IEEE divisions of exact integers.
+
+Every entry registers into ``LLM_QUERIES`` on import (same pattern as
+``text_queries.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analytics.registry import _DEC, load_table, register
+from . import text
+from .queries import LLM_QUERIES
+from .text_queries import _BIGRAM_CTES
+
+
+def _hash_bucket(col, buckets: int = 10):
+    """Deterministic md5-based bucket in [0, buckets) — the repo-standard
+    split hash (same construction as the HLL register hash)."""
+    hv = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return hv % buckets
+
+
+_SPLIT_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 10"
+)
+
+
+@register(
+    LLM_QUERIES,
+    "doc_centroid_langid",
+    f"""
+    WITH split AS (
+      SELECT doc_id, lang, text, {_SPLIT_SQL} AS h FROM documents),
+    train AS (SELECT lang, text FROM split WHERE h >= 3),
+    test AS (SELECT doc_id, lang AS true_lang, text FROM split WHERE h < 3),
+    tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM train),
+    cnt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n_wc
+            FROM tok GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(n_wc) AS BIGINT) AS n_c FROM cnt GROUP BY 1),
+    vocab AS (SELECT DISTINCT token FROM cnt),
+    w AS (
+      SELECT v.token, t.lang,
+             CAST(floor(1e15 * CAST(COALESCE(c.n_wc, 0) AS DOUBLE)
+                        / CAST(t.n_c AS DOUBLE)) AS BIGINT) AS wt
+      FROM vocab v CROSS JOIN tot t
+      LEFT JOIN cnt c ON c.lang = t.lang AND c.token = v.token),
+    ttok AS (SELECT doc_id, true_lang,
+                    unnest(string_split(text, ' ')) AS token FROM test),
+    scores AS (
+      SELECT tt.doc_id, tt.true_lang, w.lang,
+             CAST(SUM(w.wt) AS BIGINT) AS score
+      FROM ttok tt JOIN w ON w.token = tt.token
+      GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM scores)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+    "TRAINED nearest-centroid (Rocchio) language classifier: per-class "
+    "token relative frequencies learned on a 70% md5-hash split, held-out "
+    "30% scored by exact integer sums of quantized weights "
+    "(floor(1e15 * n_wc / n_c) — ln() is not bit-portable, quantized "
+    "frequency weights are), argmax with lexicographic tie-break; output "
+    "is the confusion matrix. Scale shape: the model is vocab x langs "
+    "(broadcastable), test tokens map-side join against it, per-doc "
+    "partial-agg groupBy — no all-pairs, no driver data.",
+)
+def doc_centroid_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based trainable classifier over the documents table — the
+    fastText-style quality/language filter shape of a curation pipeline
+    (train on a labeled slice, score the rest). Test docs whose tokens
+    are all out-of-vocabulary drop from the confusion matrix on both
+    engines identically (inner token join)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = d.withColumn("h", _hash_bucket(F.col("doc_id")))
+    train = d.where(F.col("h") >= 3)
+    test = d.where(F.col("h") < 3).select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    tok = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    cnt = tok.groupBy("lang", "token").agg(
+        F.count("*").cast("bigint").alias("n_wc")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("n_wc").cast("bigint").alias("n_c"))
+    vocab = cnt.select("token").distinct()
+    # dense vocab x langs weight grid so every in-vocab token contributes a
+    # row per class (a sparse model would silently skip zero-count classes
+    # and mis-rank); broadcastable — vocab x |langs| rows
+    w = (
+        vocab.crossJoin(F.broadcast(tot))
+        .join(cnt, ["lang", "token"], "left")
+        .select(
+            "token",
+            "lang",
+            F.floor(
+                F.lit(1e15)
+                * F.coalesce("n_wc", F.lit(0)).cast("double")
+                / F.col("n_c").cast("double")
+            )
+            .cast("bigint")
+            .alias("wt"),
+        )
+    )
+    ttok = test.select(
+        "doc_id", "true_lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    scores = (
+        ttok.join(F.broadcast(w), "token")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum("wt").cast("bigint").alias("score"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang")
+    )
+    pred = scores.select(
+        "true_lang",
+        F.col("lang").alias("pred_lang"),
+        F.row_number().over(win).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_readability",
+    """
+    WITH m AS (
+      SELECT source,
+        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+          AS n_words,
+        CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+          AS n_sents,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+          AS n_syll
+      FROM documents),
+    per AS (
+      SELECT source, n_words,
+        206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+          - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+          AS flesch
+      FROM m WHERE n_words > 0)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CAST(flesch AS DECIMAL(25,6))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS avg_flesch,
+      CAST(SUM(CASE WHEN flesch >= 60.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_easy
+    FROM per GROUP BY source
+    """,
+    "per-source Flesch reading-ease scoring (syllables = vowel groups, "
+    "sentences = terminal-punctuation runs clamped to >= 1): per-row IEEE "
+    "double arithmetic is bit-identical across engines, the per-source "
+    "mean goes through the DECIMAL sum contract. Zero-shuffle per-row "
+    "codegen + one tiny partial-agg groupBy; readability is a standard "
+    "quality-bucketing signal in curation pipelines.",
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    n_words = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    ).cast("bigint")
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    m = d.select(
+        "source",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+    )
+    per = m.where(F.col("n_words") > 0).select(
+        "source", flesch.alias("flesch")
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.col("flesch").cast(_DEC)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_flesch"),
+        F.sum(F.when(F.col("flesch") >= 60.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_easy"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_kfold_assign",
+    """
+    WITH ranked AS (
+      SELECT lang, source,
+        ROW_NUMBER() OVER (PARTITION BY lang, source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          AS rn
+      FROM documents),
+    folds AS (
+      SELECT lang, source, CAST((rn - 1) % 5 AS BIGINT) AS fold FROM ranked),
+    counts AS (
+      SELECT lang, source, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM folds GROUP BY 1, 2, 3)
+    SELECT lang, source, fold, n_docs,
+      (MAX(n_docs) OVER (PARTITION BY lang, source)
+       - MIN(n_docs) OVER (PARTITION BY lang, source)) <= 1 AS balanced
+    FROM counts
+    """,
+    "stratified 5-fold cross-validation assignment: within each "
+    "(lang, source) stratum docs are ranked by md5(doc_id) (deterministic "
+    "pseudo-shuffle, doc_id tie-break) and dealt round-robin into folds, "
+    "so every stratum's folds differ by at most one doc — the output "
+    "carries that balance invariant as a gated boolean. Scale shape: one "
+    "window per stratum (parallel across strata), counts-only output.",
+)
+def doc_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id"
+    )
+    win = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    folds = d.select(
+        "lang",
+        "source",
+        ((F.row_number().over(win) - 1) % 5).cast("bigint").alias("fold"),
+    )
+    counts = folds.groupBy("lang", "source", "fold").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    stratum = Window.partitionBy("lang", "source")
+    return counts.select(
+        "lang",
+        "source",
+        "fold",
+        "n_docs",
+        (
+            (F.max("n_docs").over(stratum) - F.min("n_docs").over(stratum))
+            <= 1
+        ).alias("balanced"),
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_pmi_collocations",
+    _BIGRAM_CTES
+    + """,
+    tot AS (SELECT CAST(SUM(n_bigram) AS BIGINT) AS n_pairs FROM counts),
+    m2 AS (SELECT w2, CAST(SUM(n_bigram) AS BIGINT) AS n_w2
+           FROM counts GROUP BY 1),
+    lift AS (
+      SELECT c.w1, c.w2, c.n_bigram, m.n_w1, m2.n_w2,
+        CAST(c.n_bigram AS DOUBLE) * CAST(t.n_pairs AS DOUBLE)
+          / (CAST(m.n_w1 AS DOUBLE) * CAST(m2.n_w2 AS DOUBLE)) AS lift
+      FROM counts c
+      JOIN marg m USING (w1) JOIN m2 USING (w2) CROSS JOIN tot t
+      WHERE c.n_bigram >= 20)
+    SELECT w1, w2, n_bigram, n_w1, n_w2, lift
+    FROM lift ORDER BY lift DESC, w1, w2 LIMIT 50
+    """,
+    "collocation mining: top-50 adjacent word pairs by pointwise lift "
+    "(n_ab * N / (n_a * n_b) — the exp of PMI, kept as one IEEE "
+    "expression over exact BIGINT counts because ln() is not "
+    "bit-portable), min-count 20 support floor, deterministic "
+    "(lift, w1, w2) ordering. Scale shape: bigram counts partial-agg "
+    "map-side to O(vocab^2)-bounded rows; marginals and the total are "
+    "tiny rollups of that; top-50 is driver-sized.",
+)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/vocab diagnostic: collocations that should survive as
+    merged tokens rank highest. Support floor is an absolute count (20)
+    tuned for the gate SF; at corpus scale make it relative
+    (n_ab >= alpha * N) so the floor tracks data volume."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = text.bigram_counts(d).select("w1", "w2", "n_bigram", "n_w1")
+    tot = counts.agg(F.sum("n_bigram").cast("bigint").alias("n_pairs"))
+    m2 = counts.groupBy("w2").agg(
+        F.sum("n_bigram").cast("bigint").alias("n_w2")
+    )
+    lift = (
+        counts.where(F.col("n_bigram") >= 20)
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_w1",
+            "n_w2",
+            (
+                F.col("n_bigram").cast("double")
+                * F.col("n_pairs").cast("double")
+                / (
+                    F.col("n_w1").cast("double")
+                    * F.col("n_w2").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+    return lift.orderBy(
+        F.col("lift").desc(), F.col("w1"), F.col("w2")
+    ).limit(50)

@@ -68,3 +68,4 @@ from . import dedup_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import media_queries  # noqa: E402,F401
+from . import classify_queries  # noqa: E402,F401
