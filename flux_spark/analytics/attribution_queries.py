@@ -1,0 +1,148 @@
+"""Marketing-analytics attribution: multi-touch revenue attribution over
+the event stream.
+
+The classic "which touchpoints caused this conversion" query family:
+every purchase distributes its value across the user's preceding
+view/click touch events inside a lookback window, under three standard
+models computed in one pass — first-touch, last-touch, linear.
+Purchases with no preceding touches are credited to a synthetic
+``(direct)`` channel so revenue totals reconcile exactly across models
+(each model's attributed_revenue sums to total purchase revenue — a
+conservation invariant the gate hashes).
+
+Scale shape: one equi-join on user_id (fact-fact, AQE-sized; per-user
+touch history is bounded, so no skew blow-up), two window ranks + a
+count over per-purchase groups, then a counts-only rollup. The linear
+share is one IEEE division per row (bit-identical across engines); all
+revenue sums go through the DECIMAL contract (``registry.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import ANALYTICS_QUERIES, _DEC, load_table, register
+
+_MODELS = ("first_touch", "last_touch", "linear")
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT user_id, event_id AS t_id, ts AS t_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')),
+    joined AS (
+      SELECT p.p_id, p.value, t.t_id, t.t_ts, t.touch_type
+      FROM purchases p JOIN touches t ON p.user_id = t.user_id
+      WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 3 DAY),
+    ranked AS (
+      SELECT p_id, value, touch_type,
+        ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rf,
+        ROW_NUMBER() OVER (PARTITION BY p_id
+                           ORDER BY t_ts DESC, t_id DESC) AS rl,
+        COUNT(*) OVER (PARTITION BY p_id) AS n_t
+      FROM joined),
+    shares AS (
+      SELECT touch_type, 'first_touch' AS model,
+             CASE WHEN rf = 1 THEN value ELSE 0.0 END AS share FROM ranked
+      UNION ALL
+      SELECT touch_type, 'last_touch',
+             CASE WHEN rl = 1 THEN value ELSE 0.0 END FROM ranked
+      UNION ALL
+      SELECT touch_type, 'linear',
+             value / CAST(n_t AS DOUBLE) FROM ranked
+      UNION ALL
+      SELECT '(direct)', m.model, p.value
+      FROM purchases p
+      LEFT JOIN (SELECT DISTINCT p_id FROM joined) j ON p.p_id = j.p_id
+      CROSS JOIN (SELECT unnest(
+        ['first_touch', 'last_touch', 'linear']) AS model) m
+      WHERE j.p_id IS NULL)
+    SELECT touch_type, model,
+      CAST(SUM(CAST(share AS DECIMAL(25,6))) AS DOUBLE)
+        AS attributed_revenue,
+      CAST(SUM(CASE WHEN share > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_credits
+    FROM shares GROUP BY 1, 2
+    """,
+    "multi-touch revenue attribution: each purchase's value is credited "
+    "to the user's view/click touches in the preceding 3 days under "
+    "first-touch / last-touch / linear models (deterministic ts,event_id "
+    "tie-breaks); touchless purchases land in a '(direct)' channel so "
+    "every model's total reconciles to total purchase revenue. One "
+    "user_id equi-join + per-purchase windows + counts-only rollup.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(touches, "user_id").where(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    wf = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wl = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    wc = Window.partitionBy("p_id")
+    ranked = joined.select(
+        "p_id",
+        "value",
+        "touch_type",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+        F.count("*").over(wc).alias("n_t"),
+    )
+    first = ranked.select(
+        "touch_type",
+        F.lit("first_touch").alias("model"),
+        F.when(F.col("rf") == 1, F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("share"),
+    )
+    last = ranked.select(
+        "touch_type",
+        F.lit("last_touch").alias("model"),
+        F.when(F.col("rl") == 1, F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("share"),
+    )
+    linear = ranked.select(
+        "touch_type",
+        F.lit("linear").alias("model"),
+        (F.col("value") / F.col("n_t").cast("double")).alias("share"),
+    )
+    direct = (
+        purchases.join(
+            joined.select("p_id").distinct(), "p_id", "left_anti"
+        )
+        .select(
+            F.lit("(direct)").alias("touch_type"),
+            F.explode(F.array(*[F.lit(m) for m in _MODELS])).alias("model"),
+            F.col("value").alias("share"),
+        )
+    )
+    shares = first.unionByName(last).unionByName(linear).unionByName(direct)
+    return shares.groupBy("touch_type", "model").agg(
+        F.sum(F.col("share").cast(_DEC)).cast("double").alias(
+            "attributed_revenue"
+        ),
+        F.sum(F.when(F.col("share") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_credits"),
+    )

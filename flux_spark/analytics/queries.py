@@ -1419,3 +1419,4 @@ from . import drift_queries  # noqa: E402,F401
 from . import events_queries  # noqa: E402,F401
 from . import graph_queries  # noqa: E402,F401
 from . import sketch_queries  # noqa: E402,F401
+from . import attribution_queries  # noqa: E402,F401

@@ -914,3 +914,163 @@ def events_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("overestimate_ratio"),
     )
+
+
+# HLL rolling-window merge: the "sliding distinct" that makes register
+# sketches worth their bytes at 100 TB — daily registers are built ONCE
+# from the fact stream, every trailing window is a MAX-merge of 7 tiny
+# register sets (never a re-scan of raw events).
+_ROLL_ALPHA_NUM = 4.2399330249068963e20  # alpha_256 * 256^2 * 2^53
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_rolling_distinct_7d",
+    """
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ev),
+    ud AS (SELECT DISTINCT day, user_id FROM ev),
+    exact_w AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_users
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day),
+    h AS (
+      SELECT day,
+        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS hv
+      FROM ev),
+    reg AS (
+      SELECT day, hv >> 52 AS bucket,
+        strpos(lpad(bin(hv & 4503599627370495), 52, '0'), '1') AS pos
+      FROM h),
+    daily AS (
+      SELECT day, CAST(bucket AS BIGINT) AS bucket,
+        CAST(MAX(CASE WHEN pos = 0 THEN 53 ELSE pos END) AS BIGINT)
+          AS max_rho
+      FROM reg GROUP BY 1, 2),
+    merged AS (
+      SELECT d.day, r.bucket, CAST(MAX(r.max_rho) AS BIGINT) AS max_rho
+      FROM days d JOIN daily r ON r.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1, 2),
+    est AS (
+      SELECT day,
+        CAST(SUM(bucket * 64 + max_rho) AS BIGINT) AS register_checksum,
+        CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(SUM((CAST(1 AS BIGINT) << CAST(53 - max_rho AS INTEGER)))
+             AS BIGINT) AS s_int
+      FROM merged GROUP BY day),
+    final AS (
+      SELECT e.day, e.register_checksum, e.n_buckets, x.exact_users,
+        CASE
+          WHEN 4.2399330249068963e20
+               / (CAST(e.s_int AS DOUBLE)
+                  + CAST(256 - e.n_buckets AS DOUBLE) * 9007199254740992.0)
+               <= 640.0
+           AND e.n_buckets < 256
+          THEN 256.0 * ln(256.0 / CAST(256 - e.n_buckets AS DOUBLE))
+          ELSE 4.2399330249068963e20
+               / (CAST(e.s_int AS DOUBLE)
+                  + CAST(256 - e.n_buckets AS DOUBLE) * 9007199254740992.0)
+        END AS est_users
+      FROM est e JOIN exact_w x ON e.day = x.day)
+    SELECT day, exact_users, register_checksum, n_buckets,
+      abs(est_users - CAST(exact_users AS DOUBLE))
+        <= 0.25 * CAST(exact_users AS DOUBLE) AS est_within_tol
+    FROM final
+    """,
+    "rolling 7-day approximate distinct users from MAX-merged daily HLL "
+    "registers: daily (bucket, max_rho) registers are built once, each "
+    "day's trailing window merges 7 register sets (256 rows each — never "
+    "re-reads raw events); gated output = exact rolling distinct (both "
+    "engines recompute), a bit-exact merged-register checksum (lost or "
+    "double-counted days fail the hash), and a within-25%-tolerance "
+    "boolean on the HLL estimate (integer-exact register sum; the only "
+    "non-portable op, ln() in the small-range correction, sits behind a "
+    "25% tolerance so ulp drift cannot flip it).",
+)
+def events_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct at 100 TB: the naive form re-scans W days of
+    raw events per window (O(W x N)); the register form scans once and
+    merges 256-row sketches per window. The estimate uses integer-exact
+    register sums (SUM of 1<<(53-rho) as BIGINT), one IEEE division, and
+    linear counting below the 2.5m threshold."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    days = ev.select("day").distinct()
+    ud = ev.distinct()
+    exact_w = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("exact_users"))
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    pos = F.instr(
+        F.lpad(F.bin(hv.bitwiseAND(F.lit(4503599627370495))), 52, "0"), "1"
+    )
+    reg = ev.select(
+        "day",
+        F.shiftright(hv, 52).cast("bigint").alias("bucket"),
+        F.when(pos == 0, 53).otherwise(pos).alias("rho"),
+    )
+    daily = reg.groupBy("day", "bucket").agg(
+        F.max("rho").cast("bigint").alias("max_rho")
+    )
+    merged = (
+        days.alias("d")
+        .join(
+            daily.alias("r"),
+            (F.col("r.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("r.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
+        .agg(F.max("r.max_rho").cast("bigint").alias("max_rho"))
+    )
+    est = merged.groupBy("day").agg(
+        F.sum(F.col("bucket") * 64 + F.col("max_rho"))
+        .cast("bigint")
+        .alias("register_checksum"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - max_rho AS INT))")
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    raw = F.lit(_ROLL_ALPHA_NUM) / (
+        F.col("s_int").cast("double")
+        + (F.lit(256) - F.col("n_buckets")).cast("double")
+        * F.lit(9007199254740992.0)
+    )
+    est_users = F.when(
+        (raw <= 640.0) & (F.col("n_buckets") < 256),
+        F.lit(256.0)
+        * F.log(F.lit(256.0) / (F.lit(256) - F.col("n_buckets")).cast("double")),
+    ).otherwise(raw)
+    final = est.join(exact_w, "day").select(
+        "day",
+        "exact_users",
+        "register_checksum",
+        "n_buckets",
+        est_users.alias("est_users"),
+    )
+    return final.select(
+        "day",
+        "exact_users",
+        "register_checksum",
+        "n_buckets",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users").cast("double"))
+            <= F.lit(0.25) * F.col("exact_users").cast("double")
+        ).alias("est_within_tol"),
+    )
