@@ -664,3 +664,57 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "part_name_fuzzy_pairs",
+    """
+    WITH names AS (
+      SELECT p_name, string_split(p_name, ' ')[-1] AS noun,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    "blocked fuzzy record linkage over the part catalog: collapse to "
+    "DISTINCT names first (the entity-resolution move that keeps pairing "
+    "off the fact table — billions of rows reduce to the distinct-name "
+    "table before any quadratic work), block on the head noun, pair "
+    "within blocks at edit distance <= 2 with per-name support counts. "
+    "Scale shape: groupBy dedupe partial-aggregates map-side; the "
+    "self-join runs on the tiny name table (broadcastable), never on "
+    "parts; blocking bounds candidate pairs like the LSH band buckets.",
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = (
+        p.groupBy(
+            "p_name",
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("bigint")
+            .alias("edit_dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
