@@ -1,0 +1,222 @@
+"""Density clustering + density outliers over the embeddings table:
+grid-cell DBSCAN and k-NN-distance outlier flagging.
+
+Two data-curation operators a training pipeline runs before sampling:
+density clustering to find (and optionally down-weight) dense semantic
+regions, and density outlier detection to quarantine off-manifold
+vectors. Both are built the way they survive 100 TB — DBSCAN via
+grid-cell counting (each point touches only its own cell and 8
+neighbors; never all-pairs), outliers via the shared brute/IVF top-k
+machinery.
+
+Every entry registers into ``LLM_QUERIES`` on import (same pattern as
+``text_queries.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analytics.registry import load_table, register
+from . import dedup, similarity
+from .queries import LLM_QUERIES
+
+_EPS = 0.1
+_MIN_PTS = 5
+# offsets of a cell's 3x3 Chebyshev-1 neighborhood (self included)
+_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def _dbscan_sql() -> str:
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFSETS)
+    return f"""
+    WITH pts AS (
+      SELECT vec_id,
+        CAST(floor(CAST(embedding[1] AS DOUBLE) / {_EPS}) AS BIGINT) AS cx,
+        CAST(floor(CAST(embedding[2] AS DOUBLE) / {_EPS}) AS BIGINT) AS cy
+      FROM embeddings),
+    cells AS (
+      SELECT cx, cy, cx * 100000 + cy AS cell,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+    core AS (SELECT * FROM cells WHERE n >= {_MIN_PTS}),
+    offs(dx, dy) AS (VALUES {offs}),
+    edges AS (
+      SELECT a.cell AS src, b.cell AS dst
+      FROM core a CROSS JOIN offs o
+      JOIN core b ON b.cell = (a.cx + o.dx) * 100000 + (a.cy + o.dy)),
+    comp AS (
+      WITH RECURSIVE reach(cell, lab) AS (
+        SELECT cell, cell FROM core
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.cell)
+      SELECT cell, MIN(lab) AS cluster FROM reach GROUP BY cell),
+    corec AS (
+      SELECT c.cell, m.cluster FROM core c JOIN comp m ON c.cell = m.cell),
+    probes AS (
+      SELECT p.vec_id, p.cx * 100000 + p.cy AS own_cell,
+             (p.cx + o.dx) * 100000 + (p.cy + o.dy) AS probe_cell
+      FROM pts p CROSS JOIN offs o),
+    hits AS (
+      SELECT pr.vec_id,
+        CAST(MIN(c.cluster) AS BIGINT) AS nb_cluster,
+        CAST(MAX(CASE WHEN pr.probe_cell = pr.own_cell THEN 1 ELSE 0 END)
+             AS BIGINT) AS own_core
+      FROM probes pr JOIN corec c ON c.cell = pr.probe_cell
+      GROUP BY pr.vec_id)
+    SELECT p.vec_id,
+      CAST(COALESCE(h.nb_cluster, -1) AS BIGINT) AS cluster,
+      COALESCE(h.own_core, 0) = 1 AS is_core
+    FROM pts p LEFT JOIN hits h ON p.vec_id = h.vec_id
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "emb_dbscan_grid",
+    _dbscan_sql(),
+    "grid-cell DBSCAN over the first two embedding dims (eps-sized cells, "
+    "core cell = >= min_pts points): core cells connect across the 3x3 "
+    "neighborhood into components (cluster id = min cell key), points in "
+    "or adjacent to a core cell join that component, the rest are noise "
+    "(-1). All integer arithmetic — bit-exact across engines. Scale "
+    "shape: counting is one partial-agg groupBy on cell keys; adjacency "
+    "and probe lookups are 9-way equi-joins against the (tiny, "
+    "broadcastable) core-cell table — never point-to-point distances; "
+    "component resolution runs on cells, not points.",
+)
+def emb_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN (cell-approximate, cf. Gunawan's grid DBSCAN): density
+    is measured per eps-cell, so the quadratic eps-neighborhood join of
+    classic DBSCAN becomes a groupBy + 9 equi-probes. On 64-dim
+    embeddings the grid uses the first two dims (at production scale,
+    project first — e.g. the JL/top-2-component operators in this
+    repo — then grid the projection)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") / _EPS)
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.element_at("embedding", 2).cast("double") / _EPS)
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    core = cells.where(F.col("n") >= _MIN_PTS).select(
+        "cx", "cy", (F.col("cx") * 100000 + F.col("cy")).alias("cell")
+    )
+    offs = spark.createDataFrame(_OFFSETS, "dx int, dy int")
+    probe_b = core.crossJoin(F.broadcast(offs)).select(
+        F.col("cell").alias("src"),
+        ((F.col("cx") + F.col("dx")) * 100000 + (F.col("cy") + F.col("dy")))
+        .alias("probe"),
+    )
+    edges = probe_b.join(
+        F.broadcast(core.select(F.col("cell").alias("dst"))),
+        F.col("probe") == F.col("dst"),
+    ).select("src", "dst")
+    comp = dedup.connected_components(
+        edges,
+        vertices=core.select("cell"),
+        id_a="src",
+        id_b="dst",
+    ).select(F.col("doc_id").alias("cell"), F.col("cluster_id").alias("cluster"))
+    corec = core.select("cell").join(comp, "cell")
+    probes = pts.crossJoin(F.broadcast(offs)).select(
+        "vec_id",
+        (F.col("cx") * 100000 + F.col("cy")).alias("own_cell"),
+        ((F.col("cx") + F.col("dx")) * 100000 + (F.col("cy") + F.col("dy")))
+        .alias("probe_cell"),
+    )
+    hits = (
+        probes.join(
+            F.broadcast(corec.withColumnRenamed("cell", "probe_cell")),
+            "probe_cell",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min("cluster").cast("bigint").alias("nb_cluster"),
+            F.max(
+                F.when(F.col("probe_cell") == F.col("own_cell"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("own_core"),
+        )
+    )
+    return pts.join(hits, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("nb_cluster", F.lit(-1)).cast("bigint").alias("cluster"),
+        (F.coalesce("own_core", F.lit(0)) == 1).alias("is_core"),
+    )
+
+
+_K_OUT = 10
+_DIM = 64
+
+
+@register(
+    LLM_QUERIES,
+    "emb_knn_distance_outliers",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {similarity.sql_cosine("qv", "cv", _DIM)} AS cos_sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    kth AS (
+      SELECT query_id AS vec_id, cos_sim AS kth_cos_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+      WHERE rnk = {_K_OUT}),
+    flagged AS (
+      SELECT vec_id, kth_cos_sim,
+        ROW_NUMBER() OVER (ORDER BY kth_cos_sim ASC, vec_id) AS r,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM kth)
+    SELECT vec_id, kth_cos_sim,
+           r <= CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT) AS is_outlier
+    FROM flagged
+    """,
+    "k-NN-distance density outliers: each vector's similarity to its "
+    "10th nearest neighbor (exact cosine, Arrow-scored, deterministic "
+    "ties), lowest 5% flagged as off-manifold outliers (rank-based "
+    "threshold with vec_id tie-break — no float percentile cut). Scale "
+    "shape: the scoring join is the repo's shared top-k machinery — "
+    "brute here, swap the IVF candidate generator past memory scale; "
+    "ranking is one window per query.",
+)
+def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training quarantine filter: vectors whose k-th neighbor is
+    far are isolated points (mislabeled, corrupted, or out-of-domain) and
+    get down-sampled or dropped. Rank-based flagging keeps the gate
+    integer-deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    kth = (
+        similarity.brute_force_topk(e, e, k=_K_OUT, use_arrow=True)
+        .where(F.col("rank") == _K_OUT)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("cos_sim").alias("kth_cos_sim"),
+        )
+    )
+    wr = Window.orderBy(F.col("kth_cos_sim").asc(), F.col("vec_id"))
+    wn = Window.partitionBy()
+    flagged = kth.select(
+        "vec_id",
+        "kth_cos_sim",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    return flagged.select(
+        "vec_id",
+        "kth_cos_sim",
+        (
+            F.col("r")
+            <= F.ceil(F.lit(0.05) * F.col("n").cast("double")).cast("bigint")
+        ).alias("is_outlier"),
+    )

@@ -69,3 +69,4 @@ from . import text_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import media_queries  # noqa: E402,F401
 from . import classify_queries  # noqa: E402,F401
+from . import cluster_queries  # noqa: E402,F401
