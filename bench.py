@@ -158,6 +158,20 @@ ANALYTICS_HEADLINE = [
     # the recursive tokenizer walk runs over DISTINCT words (vocabulary-
     # sized); only the occurrence join + reassembly are corpus-scaled
     "doc_wordpiece_tokenize",
+    # r8 session-5 additions: attribution is one user_id equi-join +
+    # per-purchase windows; rolling distinct merges 256-row daily HLL
+    # registers per window (never re-scans raw events); the classifier
+    # is a broadcast vocab x langs model joined map-side; fuzzy linkage
+    # pairs DISTINCT names (fact table never self-joins); grid DBSCAN
+    # is a cell groupBy + 9-way broadcast equi-probes; kNN outliers use
+    # the Arrow-scored top-k machinery
+    "events_attribution",
+    "events_rolling_distinct_7d",
+    "doc_centroid_langid",
+    "doc_pmi_collocations",
+    "part_name_fuzzy_pairs",
+    "emb_dbscan_grid",
+    "emb_knn_distance_outliers",
 ]
 
 
