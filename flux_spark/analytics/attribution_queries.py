@@ -146,3 +146,90 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_credits"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_markov_prediction",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+        LEAD(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS next_type,
+        LEAD(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_ts
+      FROM events),
+    pairs AS (
+      SELECT event_type AS prev_type, next_type, next_ts
+      FROM seq WHERE next_type IS NOT NULL),
+    train AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs WHERE next_ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1, 2),
+    model AS (
+      SELECT prev_type, next_type AS predicted_next FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY prev_type
+                     ORDER BY n DESC, next_type ASC) AS rnk
+        FROM train)
+      WHERE rnk = 1),
+    eval_ AS (
+      SELECT p.prev_type, p.next_type, m.predicted_next
+      FROM pairs p JOIN model m ON m.prev_type = p.prev_type
+      WHERE p.next_ts >= TIMESTAMP '2024-01-16 00:00:00')
+    SELECT prev_type, predicted_next,
+      CAST(COUNT(*) AS BIGINT) AS n_eval,
+      CAST(SUM(CASE WHEN next_type = predicted_next THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_correct,
+      CAST(SUM(CASE WHEN next_type = predicted_next THEN 1 ELSE 0 END)
+           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM eval_ GROUP BY 1, 2
+    """,
+    "first-order Markov next-event prediction with temporal holdout: "
+    "transition counts learned on the first half of the timeline "
+    "(argmax next-type per prev-type, deterministic ties), top-1 "
+    "accuracy evaluated on the second half — the train-then-eval "
+    "pattern of a behavioral model, all integer counts plus one IEEE "
+    "division. Scale shape: per-user LEAD windows (parallel across "
+    "users), the model is |types|^2 rows (broadcast), eval is one "
+    "map-side join + counts-only rollup. Split timestamp is fixture-"
+    "pinned (2024-01-16, the fixture midpoint); parameterize per "
+    "deployment.",
+)
+def events_markov_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    pairs = seq.where(F.col("next_type").isNotNull()).select(
+        F.col("event_type").alias("prev_type"), "next_type", "next_ts"
+    )
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    train = (
+        pairs.where(F.col("next_ts") < split)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w_m = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    model = (
+        train.withColumn("rnk", F.row_number().over(w_m))
+        .where(F.col("rnk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted_next"))
+    )
+    ev = pairs.where(F.col("next_ts") >= split).join(
+        F.broadcast(model), "prev_type"
+    )
+    correct = F.when(
+        F.col("next_type") == F.col("predicted_next"), 1
+    ).otherwise(0)
+    return ev.groupBy("prev_type", "predicted_next").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        (
+            F.sum(correct).cast("double") / F.count("*").cast("double")
+        ).alias("accuracy"),
+    )

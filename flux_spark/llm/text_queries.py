@@ -1667,3 +1667,237 @@ def doc_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval + weighted Poisson sampling (r8 session 5)
+# ---------------------------------------------------------------------------
+
+_BM25_QS = (11, 23, 37)  # query doc ids (same fixture as doc_hybrid_retrieval)
+
+
+def _bm25_sql() -> str:
+    qs = ", ".join(str(q) for q in _BM25_QS)
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    dl AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    qterms AS (
+      SELECT query_id, term FROM (
+        SELECT t.doc_id AS query_id, t.term,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC,
+                                           t.term ASC) AS rnk
+        FROM tf t JOIN dfr d ON d.term = t.term
+        WHERE t.doc_id IN ({qs}))
+      WHERE rnk <= 3),
+    parts AS (
+      SELECT q.query_id, t.doc_id,
+        CAST(floor(
+          ((1000000.0
+            * (((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5)
+               / (CAST(d.df AS DOUBLE) + 0.5)))
+           * ((CAST(t.tf AS DOUBLE) * 2.2)
+              / (CAST(t.tf AS DOUBLE)
+                 + (1.2 * (0.25
+                           + (0.75 * (CAST(l.dl AS DOUBLE)
+                                      / (CAST(s.total_dl AS DOUBLE)
+                                         / CAST(s.n_docs AS DOUBLE)))))))))
+        ) AS BIGINT) AS part_q
+      FROM qterms q
+      JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_id
+      JOIN dfr d ON d.term = q.term
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    scores AS (
+      SELECT query_id, doc_id, CAST(SUM(part_q) AS BIGINT) AS bm25_q
+      FROM parts GROUP BY 1, 2)
+    SELECT query_id, doc_id, bm25_q, CAST(rnk AS INT) AS bm25_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY bm25_q DESC, doc_id ASC) AS rnk
+          FROM scores)
+    WHERE rnk <= 10
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "doc_bm25_retrieval",
+    _bm25_sql(),
+    "BM25 ranked retrieval (k1=1.2, b=0.75) with the rational "
+    "Robertson-Sparck-Jones IDF (N-df+0.5)/(df+0.5) kept UN-logged — "
+    "ln() is not bit-portable, and for ranking the monotone rational "
+    "form preserves per-term ordering; per-(doc,term) contributions are "
+    "1e6-quantized to int64 and summed exactly, top-10 per query with "
+    "doc_id tie-break. Plan: tf/df/dl are broadcastable side tables, "
+    "the only corpus-scaled work is the query-term postings join.",
+)
+def doc_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical ranked retrieval with document-length normalization — the
+    missing half of the RAG stack next to doc_hybrid_retrieval's RRF
+    (which fuses ranks, not scores). Unlogged IDF slightly compresses
+    multi-term score gaps vs textbook BM25 but ranks identically per
+    term; the quantized-int64 sum makes the gate engine-exact."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = list(_BM25_QS)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+    )
+    w_q = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.asc("term")
+    )
+    qterms = (
+        tf.join(F.broadcast(dfr), "term")
+        .where(F.col("doc_id").isin(qs))
+        .withColumn("__r", F.row_number().over(w_q))
+        .where(F.col("__r") <= 3)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    idf = (
+        (F.col("n_docs").cast("double") - F.col("df").cast("double"))
+        + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tfnorm = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + (
+            F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + (
+                    F.lit(0.75)
+                    * (
+                        F.col("dl").cast("double")
+                        / (
+                            F.col("total_dl").cast("double")
+                            / F.col("n_docs").cast("double")
+                        )
+                    )
+                )
+            )
+        )
+    )
+    parts = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor((F.lit(1000000.0) * idf) * tfnorm)
+            .cast("bigint")
+            .alias("part_q"),
+        )
+    )
+    scores = parts.groupBy("query_id", "doc_id").agg(
+        F.sum("part_q").cast("bigint").alias("bm25_q")
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w_r))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_q",
+            F.col("rnk").cast("int").alias("bm25_rank"),
+        )
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_weighted_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) & 9007199254740991 AS h53
+      FROM documents),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs FROM w),
+    sel AS (
+      SELECT w.doc_id, w.weight, t.total_w
+      FROM w CROSS JOIN tot t
+      WHERE CAST(w.h53 AS DOUBLE)
+            < (((50.0 * CAST(w.weight AS DOUBLE))
+                / CAST(t.total_w AS DOUBLE)) * 9007199254740992.0))
+    SELECT doc_id, weight,
+      abs(((CAST(COUNT(*) OVER () AS DOUBLE) * CAST(total_w AS DOUBLE))
+           / 50.0) - CAST(total_w AS DOUBLE))
+        <= 0.5 * CAST(total_w AS DOUBLE) AS ht_within_tol
+    FROM sel
+    """,
+    "one-pass weighted Poisson sampling (expected k=50, probability "
+    "proportional to n_chars): inclusion test compares a 53-bit md5 "
+    "uniform against k*w/W scaled to 2^53 — one fixed IEEE expression, "
+    "no random state, bit-identical membership across engines; the "
+    "output carries a Horvitz-Thompson total-weight recovery boolean "
+    "(|n_sel * W / k - W| <= 50%). Scale shape: one scan + a broadcast "
+    "1-row total — the sampler for weighted data mixtures at 100 TB "
+    "(no per-partition RNG coordination, deterministic replays).",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h53 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint").bitwiseAND(F.lit(9007199254740991))
+    w = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        h53.alias("h53"),
+    )
+    tot = w.agg(
+        F.sum("weight").cast("bigint").alias("total_w"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    sel = w.crossJoin(F.broadcast(tot)).where(
+        F.col("h53").cast("double")
+        < (
+            (F.lit(50.0) * F.col("weight").cast("double"))
+            / F.col("total_w").cast("double")
+        )
+        * F.lit(9007199254740992.0)
+    )
+    wn = Window.partitionBy()
+    return sel.select(
+        "doc_id",
+        "weight",
+        (
+            F.abs(
+                (
+                    F.count("*").over(wn).cast("double")
+                    * F.col("total_w").cast("double")
+                )
+                / F.lit(50.0)
+                - F.col("total_w").cast("double")
+            )
+            <= F.lit(0.5) * F.col("total_w").cast("double")
+        ).alias("ht_within_tol"),
+    )
