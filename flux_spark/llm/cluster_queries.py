@@ -186,22 +186,50 @@ _DIM = 64
     "10th nearest neighbor (exact cosine, Arrow-scored, deterministic "
     "ties), lowest 5% flagged as off-manifold outliers (rank-based "
     "threshold with vec_id tie-break — no float percentile cut). Scale "
-    "shape: the scoring join is the repo's shared top-k machinery — "
-    "brute here, swap the IVF candidate generator past memory scale; "
-    "ranking is one window per query.",
+    "shape: auto-switches the candidate generator at 2,500 vectors from "
+    "brute all-pairs (the gate branch — oracle stays exact) to "
+    "Arrow-scored sign-LSH multiprobe buckets with auto_planes; probed "
+    "buckets with < k candidates flag as kth_cos_sim = -1 (no near "
+    "k-th neighbor IS the outlier signal).",
 )
 def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-training quarantine filter: vectors whose k-th neighbor is
     far are isolated points (mislabeled, corrupted, or out-of-domain) and
     get down-sampled or dropped. Rank-based flagging keeps the gate
-    integer-deterministic."""
+    integer-deterministic.
+
+    Auto-scale switch (fixed-config law, SCALE.md): brute all-pairs is
+    O(n^2) and only run up to 2,500 vectors (the gate SF takes this
+    branch, so the brute oracle stays exact); past that, candidates come
+    from sign-LSH buckets + Hamming-1 multiprobe (auto_planes keeps
+    bucket volume ~constant as n grows). A vector whose probed buckets
+    hold fewer than k candidates has no k-th neighbor NEARBY — exactly
+    the outlier signal — and is flagged with kth_cos_sim = -1."""
     e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()  # metadata-sized driver scalar (same switch as *_auto)
+    if n <= 2500:
+        topk = similarity.brute_force_topk(e, e, k=_K_OUT, use_arrow=True)
+    else:
+        topk = similarity.lsh_topk(
+            e,
+            e,
+            k=_K_OUT,
+            n_planes=similarity.auto_planes(n, target_bucket=64),
+            use_arrow=True,
+        )
     kth = (
-        similarity.brute_force_topk(e, e, k=_K_OUT, use_arrow=True)
-        .where(F.col("rank") == _K_OUT)
+        e.select("vec_id")
+        .join(
+            topk.where(F.col("rank") == _K_OUT).select(
+                F.col("query_id").alias("vec_id"),
+                F.col("cos_sim").alias("kth_cos_sim"),
+            ),
+            "vec_id",
+            "left",
+        )
         .select(
-            F.col("query_id").alias("vec_id"),
-            F.col("cos_sim").alias("kth_cos_sim"),
+            "vec_id",
+            F.coalesce("kth_cos_sim", F.lit(-1.0)).alias("kth_cos_sim"),
         )
     )
     wr = Window.orderBy(F.col("kth_cos_sim").asc(), F.col("vec_id"))

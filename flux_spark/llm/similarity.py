@@ -585,6 +585,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 1,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (the bucket-join scale path).
 
@@ -621,10 +622,15 @@ def lsh_topk(
         F.col(vec_col).alias("__qv"),
         F.explode(F.array(*probe_arr)).alias("__sig"),
     )
+    # pair_cosine_arrow is bit-identical to the Catalyst fold (same
+    # sequential float64 order) at ~25x the throughput; flip it on when
+    # candidate volume reaches tens of millions (same switch as
+    # brute_force_topk)
+    score = pair_cosine_arrow if use_arrow else cosine
     scored = (
         q.join(c, "__sig")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("cos_sim", score(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
