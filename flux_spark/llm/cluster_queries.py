@@ -109,11 +109,22 @@ def emb_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = cells.where(F.col("n") >= _MIN_PTS).select(
         "cx", "cy", (F.col("cx") * 100000 + F.col("cy")).alias("cell")
     )
-    offs = spark.createDataFrame(_OFFSETS, "dx int, dy int")
-    probe_b = core.crossJoin(F.broadcast(offs)).select(
+    # the 3x3 neighborhood expansion is an exploded literal array — pure
+    # codegen (a 9-row crossJoin would compile to a BroadcastNestedLoopJoin)
+    off_arr = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _OFFSETS
+        ]
+    )
+    probe_b = core.select(
+        "cell", "cx", "cy", F.explode(off_arr).alias("o")
+    ).select(
         F.col("cell").alias("src"),
-        ((F.col("cx") + F.col("dx")) * 100000 + (F.col("cy") + F.col("dy")))
-        .alias("probe"),
+        (
+            (F.col("cx") + F.col("o.dx")) * 100000
+            + (F.col("cy") + F.col("o.dy"))
+        ).alias("probe"),
     )
     edges = probe_b.join(
         F.broadcast(core.select(F.col("cell").alias("dst"))),
@@ -126,11 +137,15 @@ def emb_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_b="dst",
     ).select(F.col("doc_id").alias("cell"), F.col("cluster_id").alias("cluster"))
     corec = core.select("cell").join(comp, "cell")
-    probes = pts.crossJoin(F.broadcast(offs)).select(
+    probes = pts.select(
+        "vec_id", "cx", "cy", F.explode(off_arr).alias("o")
+    ).select(
         "vec_id",
         (F.col("cx") * 100000 + F.col("cy")).alias("own_cell"),
-        ((F.col("cx") + F.col("dx")) * 100000 + (F.col("cy") + F.col("dy")))
-        .alias("probe_cell"),
+        (
+            (F.col("cx") + F.col("o.dx")) * 100000
+            + (F.col("cy") + F.col("o.dy"))
+        ).alias("probe_cell"),
     )
     hits = (
         probes.join(

@@ -776,3 +776,71 @@ def test_cms_join_estimate_joins_sketches_not_keys(spark, sf):
     assert "SortMergeJoin" not in plan
     # map-side partial aggregation collapses each side before any join
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_centroid_langid_model_broadcasts_onto_tokens(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_centroid_langid"].fn(spark, sf))
+    # the vocab x langs weight model joins the test-token stream as a
+    # broadcast — scoring never shuffles the corpus-scaled token explode
+    assert "BroadcastHashJoin" in plan
+    # no row-at-a-time Python anywhere in the classifier
+    assert "BatchEvalPython" not in plan
+
+
+def test_dbscan_grid_is_equi_probe_never_point_pairs(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["emb_dbscan_grid"].fn(spark, sf))
+    # cell adjacency and point probes are 9-way broadcast equi-joins on
+    # cell keys; grid DBSCAN must never degrade to a point-to-point
+    # distance theta-join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_pairs_joins_distinct_names_not_parts(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["part_name_fuzzy_pairs"].fn(spark, sf)
+    )
+    # the self-join runs on the deduped name table (broadcast), with the
+    # noun-block equality in the join keys — never a fact-table self-join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # dedupe partial-aggregates map-side before the exchange
+    assert "partial" in plan
+
+
+def test_bm25_postings_join_broadcasts_side_tables(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_bm25_retrieval"].fn(spark, sf))
+    # qterms / df / stats all broadcast; the only corpus-scaled work is
+    # the postings probe
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_one_scan_plus_scalar(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_weighted_sample"].fn(spark, sf))
+    # inclusion test = per-row filter against a broadcast 1-row total;
+    # no Python, no quadratic anything
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_distinct_merges_registers_not_raw_events(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["events_rolling_distinct_7d"].fn(spark, sf)
+    )
+    # daily registers partial-aggregate map-side before any window join
+    assert "partial_max" in plan or "partial" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
