@@ -172,6 +172,25 @@ SHOWCASE = [
         "total BROADCAST onto the pair stream — one corpus-scaled "
         "shuffle total",
     ),
+    (
+        "emb_dbscan_grid",
+        "grid DBSCAN (r8 s5): density via cell groupBy, adjacency and "
+        "point probes are exploded-literal 9-way broadcast equi-joins on "
+        "cell keys — no point-to-point distance join anywhere; component "
+        "resolution runs on cells, not points",
+    ),
+    (
+        "events_rolling_distinct_7d",
+        "rolling HLL distinct (r8 s5): daily registers partial-aggregate "
+        "map-side once; every trailing window MAX-merges 256-row "
+        "register sets — raw events are scanned exactly once",
+    ),
+    (
+        "doc_bm25_retrieval",
+        "BM25 retrieval (r8 s5): tf/df/dl/stats side tables broadcast; "
+        "the only corpus-scaled work is the query-term postings probe; "
+        "quantized-int64 scores make the rank engine-exact",
+    ),
 ]
 
 
