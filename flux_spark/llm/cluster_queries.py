@@ -219,7 +219,12 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sign-LSH buckets + Hamming-1 multiprobe (auto_planes keeps
     bucket volume ~constant as n grows). A vector whose probed buckets
     hold fewer than k candidates has no k-th neighbor NEARBY — exactly
-    the outlier signal — and is flagged with kth_cos_sim = -1."""
+    the outlier signal — and is flagged with kth_cos_sim = -1.
+
+    The 5% flag is a global rank over (vec_id, kth_cos) pairs — 16 B/row
+    through one total sort, fine to ~1e8 vectors; past that swap the
+    rank for a distributed-quantile cutoff (approx_percentile on
+    kth_cos) and accept the sketch's rank error at the boundary."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()  # metadata-sized driver scalar (same switch as *_auto)
     if n <= 2500:
