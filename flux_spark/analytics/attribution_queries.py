@@ -233,3 +233,111 @@ def events_markov_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(correct).cast("double") / F.count("*").cast("double")
         ).alias("accuracy"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_path_analysis",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+               OR LAG(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+               event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM ordered),
+    steps AS (
+      SELECT user_id, session_id, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                           ORDER BY ts, event_id) AS step
+      FROM sessions),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM steps WHERE step <= 4 GROUP BY 1, 2),
+    counts AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS total FROM counts)
+    SELECT path, n_sessions,
+      CAST(n_sessions AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM counts CROSS JOIN tot
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    "user-journey path analysis: sessionize (30-min inactivity gaps, "
+    "same windows as events_sessionize), take each session's first four "
+    "event types as an ordered '>' path, rank the top-20 paths with "
+    "session share. Scale shape: per-user windows (parallel across "
+    "users), path rollup partial-aggregates map-side to O(|types|^4) "
+    "distinct paths, top-20 is driver-sized.",
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            gap_us > 1800000000, 1
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = ordered.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_session").over(ws).cast("bigint").alias("session_id"),
+    )
+    wstep = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    steps = sessions.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(wstep).alias("step"),
+    ).where(F.col("step") <= 4)
+    paths = steps.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    tot = counts.agg(F.sum("n_sessions").cast("bigint").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            (
+                F.col("n_sessions").cast("double")
+                / F.col("total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )
