@@ -172,6 +172,15 @@ ANALYTICS_HEADLINE = [
     "part_name_fuzzy_pairs",
     "emb_dbscan_grid",
     "emb_knn_distance_outliers",
+    # BM25: broadcast side tables, corpus-scaled work = postings probe
+    # only; BPE training: 8 rounds over the DISTINCT-word table — cost
+    # is the fixed per-round job latency (vocab-sized state), measured
+    # flat sf0.01 -> sf1; Markov + path analysis are per-user windows
+    # plus counts-only rollups
+    "doc_bm25_retrieval",
+    "doc_bpe_train",
+    "events_markov_prediction",
+    "events_path_analysis",
 ]
 
 

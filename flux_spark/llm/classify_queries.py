@@ -335,3 +335,181 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lift.orderBy(
         F.col("lift").desc(), F.col("w1"), F.col("w2")
     ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (iterative merge learning) — r8 session 5
+# ---------------------------------------------------------------------------
+
+_N_MERGES = 8
+_SEP = "\x1f"  # unit separator; never appears in whitespace-split tokens
+
+
+def _bpe_train_sql(n_merges: int = _N_MERGES) -> str:
+    """Unrolled-SQL twin of the Spark BPE training loop: one
+    (pair-count -> argmax -> re-segment) CTE block per merge. The
+    re-segmentation fold runs inside list_reduce with a chr(31)-joined
+    string accumulator (DuckDB's reduce requires acc type = element
+    type); greedy left-to-right non-overlap falls out of the
+    last-symbol suffix check — a merged symbol a||b can never equal the
+    left symbol a, so no explicit "just merged" flag is needed."""
+    blocks = [
+        """
+    WITH words AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY 1),
+    seg0 AS (
+      SELECT word, cnt,
+        list_transform(range(1, length(word) + 1),
+                       i -> substring(word, i, 1)) AS seg
+      FROM words)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"seg{i - 1}"
+        blocks.append(
+            f"""
+    pc{i} AS (
+      SELECT p.l, p.r, CAST(SUM(s.cnt) AS BIGINT) AS n
+      FROM {prev} s
+      CROSS JOIN UNNEST(list_transform(range(1, len(s.seg)), j ->
+          struct_pack(l := s.seg[j], r := s.seg[j + 1]))) AS t(p)
+      GROUP BY 1, 2),
+    best{i} AS (SELECT l, r, n FROM pc{i} ORDER BY n DESC, l, r LIMIT 1),
+    seg{i} AS (
+      SELECT s.word, s.cnt,
+        string_split(
+          list_reduce(s.seg, (acc, x) -> CASE
+            WHEN length(acc) >= length(b.l)
+             AND substring(acc, length(acc) - length(b.l) + 1) = b.l
+             AND (length(acc) = length(b.l)
+                  OR substring(acc, length(acc) - length(b.l), 1) = chr(31))
+             AND x = b.r
+            THEN substring(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+            ELSE acc || chr(31) || x END),
+          chr(31)) AS seg
+      FROM {prev} s CROSS JOIN best{i} b)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"n AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",".join(blocks) + f"\n    {union}\n    ORDER BY merge_rank"
+
+
+@register(
+    LLM_QUERIES,
+    "doc_bpe_train",
+    _bpe_train_sql(),
+    "byte-pair-encoding tokenizer TRAINING (not just application): 8 "
+    "merge rounds learned from scratch over the corpus word-frequency "
+    "table — per round, count weighted adjacent symbol pairs, take the "
+    "argmax (count desc, then lexicographic — fully deterministic), and "
+    "re-segment every word by a greedy left-to-right fold; the gate "
+    "hashes the learned merge table (rank, left, right, count). Scale "
+    "shape: training state is the DISTINCT-word table (vocabulary-"
+    "sized, not corpus-sized — the corpus is touched once for word "
+    "counts); each round is one partial-agg pair count + a 1-row argmax "
+    "collect + one vocabulary-pass fold, lineage truncated per round.",
+)
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing half of the tokenizer stack next to
+    doc_wordpiece_tokenize (application) and doc_bpe_pair_stats (one
+    round of statistics): an actual iterated training loop, the same
+    algorithm as Sennrich et al.'s subword-nmt learn_bpe, driver loop
+    bounded at _N_MERGES with one metadata-sized collect per round."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # per-char segmentation: substring(word, i, 1) needs i as a column,
+    # which F.substring doesn't accept — use the SQL expression form
+    seg = words.select(
+        "word",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("seg"),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for rank in range(1, _N_MERGES + 1):
+        pairs = seg.where(F.size("seg") >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(seg) - 1), "
+                    "j -> struct(element_at(seg, j) AS l, "
+                    "element_at(seg, j + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["l"], best[0]["r"], best[0]["n"]
+        merges.append((rank, a, b, n))
+        la = F.lit(a)
+        lb = F.lit(b)
+        sep = F.lit(_SEP)
+
+        def make_step(la, lb, sep):
+            def step(acc, x):
+                return _bpe_step(acc, x, la, lb, sep)
+
+            return step
+
+        def _bpe_step(acc, x, la, lb, sep):
+            suffix_is_a = (
+                (F.length(acc) >= F.length(la))
+                & (
+                    F.substring(
+                        acc, (F.length(acc) - F.length(la) + 1).cast("int"), 1000000
+                    )
+                    == la
+                )
+                & (
+                    (F.length(acc) == F.length(la))
+                    | (
+                        F.substring(
+                            acc,
+                            (F.length(acc) - F.length(la)).cast("int"),
+                            1,
+                        )
+                        == sep
+                    )
+                )
+            )
+            merged = F.concat(
+                F.substring(acc, 1, (F.length(acc) - F.length(la)).cast("int")),
+                la,
+                lb,
+            )
+            return F.when(suffix_is_a & (x == lb), merged).otherwise(
+                F.concat(acc, sep, x)
+            )
+
+        seg = seg.select(
+            "word",
+            "cnt",
+            F.split(
+                F.aggregate(
+                    F.slice("seg", 2, F.size("seg") - 1),
+                    F.element_at("seg", 1),
+                    make_step(la, lb, sep),
+                ),
+                _SEP,
+            ).alias("seg"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    ).orderBy("merge_rank")
