@@ -1619,3 +1619,52 @@ def log_dlq_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reason"),
     )
     return main.unionByName(dlq)
+
+
+@register(
+    LOG_QUERIES,
+    "stream_hll_registers",
+    _ROUTED_CTE
+    + """
+    , h AS (
+      SELECT part_id,
+        CAST(('0x' || substring(md5(rec_key), 1, 15)) AS BIGINT) AS hv
+      FROM routed),
+    reg AS (
+      SELECT part_id, hv >> 52 AS bucket,
+        strpos(lpad(bin(hv & 4503599627370495), 52, '0'), '1') AS pos
+      FROM h)
+    SELECT part_id, CAST(bucket AS BIGINT) AS bucket,
+      CAST(MAX(CASE WHEN pos = 0 THEN 53 ELSE pos END) AS BIGINT) AS max_rho
+    FROM reg GROUP BY 1, 2
+    """,
+    "STREAMING HyperLogLog register build: readStream over the topic "
+    "log, per-(partition, bucket) MAX(rho) as a streaming aggregate — "
+    "each micro-batch folds into the running registers (MAX is the HLL "
+    "merge, so the streaming state IS the sketch: 256 rows/partition "
+    "regardless of stream length), complete-mode AvailableNow drain. "
+    "Oracle recomputes the registers batch-side from the same md5 "
+    "construction — a lost or double-merged micro-batch fails the hash. "
+    "The streaming twin of events_hll_registers / the rolling-window "
+    "merge family.",
+)
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import drain_available_now, stream_topic
+
+    store = _ingest_events(spark, sf_dir)
+    src = stream_topic(store, "events")
+    hv = F.conv(F.substring(F.md5(F.col("key")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    pos = F.instr(
+        F.lpad(F.bin(hv.bitwiseAND(F.lit(4503599627370495))), 52, "0"), "1"
+    )
+    reg = src.select(
+        F.col("partition").alias("part_id"),
+        F.shiftright(hv, 52).cast("bigint").alias("bucket"),
+        F.when(pos == 0, 53).otherwise(pos).alias("rho"),
+    )
+    agg = reg.groupBy("part_id", "bucket").agg(
+        F.max("rho").cast("bigint").alias("max_rho")
+    )
+    return drain_available_now(agg, output_mode="complete")
