@@ -877,3 +877,81 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_norm"),
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    spine AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds) s),
+    series AS (
+      SELECT s.event_type, s.day, COALESCE(d.n, 0) AS y
+      FROM spine s LEFT JOIN daily d
+        ON s.event_type = d.event_type AND s.day = d.day),
+    feat AS (
+      SELECT event_type, day, y,
+        CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+      FROM series)
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+      CAST(SUM(y) AS BIGINT) AS total_actual,
+      CAST(SUM(abs(s7 - 7 * y)) AS BIGINT) AS total_abs_err_x7,
+      CAST(SUM(abs(s7 - 7 * y)) AS DOUBLE)
+        / (7.0 * CAST(SUM(y) AS DOUBLE)) AS wape
+    FROM feat WHERE t > 7 GROUP BY event_type
+    """,
+    "forecast backtest: 7-day trailing-mean prediction of daily event "
+    "volume per type over the ZERO-FILLED spine, scored by WAPE on every "
+    "day with a full history window. The error sum stays integer "
+    "(|s7 - 7y| avoids the division until the final ratio), so the gate "
+    "is exact except one IEEE division. Scale shape: the fact stream "
+    "reduces map-side to O(types x days) rows; windows and the rollup "
+    "run on that tiny series.",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    series = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("y")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    feat = series.select(
+        "event_type",
+        "y",
+        F.sum("y").over(w7).cast("bigint").alias("s7"),
+        F.row_number().over(wt).alias("t"),
+    ).where(F.col("t") > 7)
+    abs_err = F.abs(F.col("s7") - 7 * F.col("y"))
+    return feat.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_eval_days"),
+        F.sum("y").cast("bigint").alias("total_actual"),
+        F.sum(abs_err).cast("bigint").alias("total_abs_err_x7"),
+        (
+            F.sum(abs_err).cast("double")
+            / (F.lit(7.0) * F.sum("y").cast("double"))
+        ).alias("wape"),
+    )
