@@ -212,3 +212,95 @@ def parts_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY part
         """
     )
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT node, lab FROM (
+        SELECT e.dst AS node, l.lab,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                   ORDER BY CAST(SUM(e.w) AS BIGINT) DESC, l.lab) AS rn
+        FROM edges e JOIN {prev} l ON l.node = e.src
+        GROUP BY e.dst, l.lab)
+      WHERE rn = 1)"""
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "parts_label_propagation",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+    """
+    + _lp_round_sql("l0", "l1")
+    + ","
+    + _lp_round_sql("l1", "l2")
+    + ","
+    + _lp_round_sql("l2", "l3")
+    + """
+    SELECT node AS part, CAST(lab AS BIGINT) AS community,
+      CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+    FROM l3
+    """,
+    "community detection by synchronous weighted label propagation "
+    "(Raghavan et al. 2007): 3 rounds over the co-purchase graph, each "
+    "node adopts the label with the highest incident edge-weight sum "
+    "(exact BIGINT, ties to the smaller label — fully deterministic, "
+    "where textbook LPA breaks ties randomly). Distinct from "
+    "connected-components (density communities, not mere connectivity). "
+    "Scale shape: each round is one edges-x-labels co-partitioned join + "
+    "a groupBy argmax; edges cache once; no driver-side data.",
+)
+def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .where(F.col("w") >= 2)
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(3):
+        win = Window.partitionBy("node").orderBy(
+            F.col("wsum").desc(), F.col("lab")
+        )
+        labels = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "lab"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.sum("w").cast("bigint").alias("wsum"))
+            .withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    comm = Window.partitionBy("lab")
+    return labels.select(
+        F.col("node").alias("part"),
+        F.col("lab").cast("bigint").alias("community"),
+        F.count("*").over(comm).cast("bigint").alias("community_size"),
+    )

@@ -718,3 +718,58 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_parts").alias("n_parts_b"),
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "parts_skyline",
+    """
+    WITH lvl AS (
+      SELECT p_retailprice AS price, CAST(MAX(p_size) AS BIGINT) AS pmax
+      FROM part GROUP BY 1),
+    run AS (
+      SELECT price, pmax,
+        MAX(pmax) OVER (ORDER BY price
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM lvl)
+    SELECT p.p_partkey, p.p_name, p.p_retailprice, CAST(p.p_size AS BIGINT)
+             AS p_size
+    FROM part p JOIN run r ON p.p_retailprice = r.price
+    WHERE CAST(p.p_size AS BIGINT) = r.pmax
+      AND (r.prev_max IS NULL OR CAST(p.p_size AS BIGINT) > r.prev_max)
+    """,
+    "skyline (Pareto-front) query — parts not dominated on (cheaper "
+    "price, larger size): collapse to per-price max-size levels, running "
+    "max over strictly-cheaper levels, keep points beating it (ties at "
+    "the same (price, size) all survive — no strict dominator). The "
+    "classic multi-objective shortlist operator; O(n) after one "
+    "O(distinct prices) window instead of the naive O(n^2) dominance "
+    "self-join.",
+)
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    lvl = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").cast("bigint").alias("pmax")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    run = lvl.select(
+        "price", "pmax", F.max("pmax").over(w).alias("prev_max")
+    )
+    return (
+        p.join(F.broadcast(run), p.p_retailprice == run.price)
+        .where(
+            (F.col("p_size").cast("bigint") == F.col("pmax"))
+            & (
+                F.col("prev_max").isNull()
+                | (F.col("p_size").cast("bigint") > F.col("prev_max"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.col("p_size").cast("bigint").alias("p_size"),
+        )
+    )
