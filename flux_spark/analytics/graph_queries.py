@@ -281,13 +281,18 @@ def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") >= 2)
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(3):
         win = Window.partitionBy("node").orderBy(
             F.col("wsum").desc(), F.col("lab")
         )
+        # localCheckpoint per round (connected_components pattern): without
+        # it round N's plan CONTAINS rounds 1..N-1 and re-executes them
         labels = (
             edges.join(
                 labels.select(F.col("node").alias("src"), "lab"), "src"
@@ -297,6 +302,7 @@ def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(win))
             .where(F.col("rn") == 1)
             .select("node", "lab")
+            .localCheckpoint(eager=True)
         )
     comm = Window.partitionBy("lab")
     return labels.select(
