@@ -201,7 +201,7 @@ _DIM = 64
     "10th nearest neighbor (exact cosine, Arrow-scored, deterministic "
     "ties), lowest 5% flagged as off-manifold outliers (rank-based "
     "threshold with vec_id tie-break — no float percentile cut). Scale "
-    "shape: auto-switches the candidate generator at 2,500 vectors from "
+    "shape: auto-switches the candidate generator at 1,000 vectors from "
     "brute all-pairs (the gate branch — oracle stays exact) to "
     "Arrow-scored sign-LSH multiprobe buckets with auto_planes; probed "
     "buckets with < k candidates flag as kth_cos_sim = -1 (no near "
@@ -214,7 +214,7 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-deterministic.
 
     Auto-scale switch (fixed-config law, SCALE.md): brute all-pairs is
-    O(n^2) and only run up to 2,500 vectors (the gate SF takes this
+    O(n^2) and only run up to 1,000 vectors (measured: the Arrow pair transfer is the bound — 4M brute pairs cost 16.8 s where the 6-probe LSH path scores the same corpus in ~3 s) (the gate SF takes this
     branch, so the brute oracle stays exact); past that, candidates come
     from sign-LSH buckets + Hamming-1 multiprobe (auto_planes keeps
     bucket volume ~constant as n grows). A vector whose probed buckets
@@ -227,7 +227,7 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth_cos) and accept the sketch's rank error at the boundary."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()  # metadata-sized driver scalar (same switch as *_auto)
-    if n <= 2500:
+    if n <= 1000:
         topk = similarity.brute_force_topk(e, e, k=_K_OUT, use_arrow=True)
     else:
         topk = similarity.lsh_topk(
