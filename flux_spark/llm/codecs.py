@@ -1124,3 +1124,81 @@ def image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:3] == b"\xff\xd8\xff":
         return jpeg_pixels(payload)
     return png_pixels(payload)
+
+
+def jpeg_header_metadata(payload: bytes) -> dict:
+    """Header-only JPEG metadata: marker walk that STOPS at SOS — no
+    entropy decode, no IDCT — returning dims, component count, table
+    counts, restart interval, and the quant-value sum (a cheap checksum
+    of the quality setting). The corpus-profiling scan for image
+    datasets: billions of files can be characterized at ~hundreds of
+    bytes read each, three orders cheaper than decoding. Raises
+    ValueError on structural corruption (same quarantine contract as
+    :func:`jpeg_pixels`)."""
+    d = payload
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    n_q = n_h = 0
+    quant_sum = 0
+    restart_interval = 0
+    frame = None
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {d[pos]:#x}")
+        marker = d[pos + 1] if pos + 1 < len(d) else None
+        if marker is None:
+            raise ValueError("truncated marker")
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS (no image data)")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(d):
+            raise ValueError("truncated segment length")
+        seglen = struct.unpack(">H", d[pos : pos + 2])[0]
+        body = d[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("segment overruns file")
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq = body[i] >> 4
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i : i + n]
+                if len(raw) != n:
+                    raise ValueError("truncated DQT")
+                vals = (
+                    struct.unpack(">64H", raw) if pq else list(raw)
+                )
+                quant_sum += sum(vals)
+                n_q += 1
+                i += n
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                nv = sum(body[i + 1 : i + 17])
+                if i + 17 + nv > len(body):
+                    raise ValueError("truncated DHT")
+                n_h += 1
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):
+            h, w = struct.unpack(">HH", body[1:5])
+            frame = (w, h, body[5])
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            break
+        pos += seglen
+    if frame is None:
+        raise ValueError("no SOF before SOS")
+    return {
+        "width": frame[0],
+        "height": frame[1],
+        "channels": frame[2],
+        "n_quant_tables": n_q,
+        "n_huffman_tables": n_h,
+        "restart_interval": restart_interval,
+        "quant_sum": quant_sum,
+    }

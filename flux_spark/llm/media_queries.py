@@ -572,3 +572,30 @@ def _phash_sql() -> str:
 def media_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.image_phash(multimodal.with_png_media(d))
+
+
+@register(
+    LLM_QUERIES,
+    "media_jpeg_metadata",
+    """
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(1 AS INTEGER) AS n_quant_tables,
+           CAST(2 AS INTEGER) AS n_huffman_tables,
+           CAST(0 AS INTEGER) AS restart_interval,
+           CAST(1024 AS BIGINT) AS quant_sum
+    FROM documents
+    """,
+    "header-only JPEG metadata scan (marker walk STOPS at SOS — no "
+    "entropy decode, no IDCT): dims, component count, DQT/DHT counts, "
+    "restart interval, quant-value checksum. The corpus-profiling pass "
+    "for image datasets — billions of files characterized at a few "
+    "hundred bytes read each, orders cheaper than decoding; the oracle "
+    "recomputes every field symbolically from the synthesis formulas, "
+    "so a mis-stepped marker walk fails the hash.",
+)
+def media_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.jpeg_metadata(multimodal.with_jpeg_media(d))

@@ -746,3 +746,39 @@ def image_phash(
         schema=f"{id_col} LONG, width INT, height INT, "
         "hash_w0 LONG, hash_w1 LONG",
     )
+
+
+JPEG_META_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "n_quant_tables int, n_huffman_tables int, restart_interval int, "
+    "quant_sum bigint"
+)
+
+
+def jpeg_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Header-only JPEG profiling over the Arrow mapInPandas plumbing —
+    marker walk stops at SOS (no entropy decode / IDCT), so a corpus of
+    billions of images is characterized at a few hundred bytes read per
+    file. Same quarantine contract as decode (structural corruption
+    raises)."""
+    from .codecs import jpeg_header_metadata
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [jpeg_header_metadata(bytes(b)) for b in pdf["media"]]
+            out = {id_col: pdf[id_col].values}
+            for k in (
+                "width",
+                "height",
+                "channels",
+                "n_quant_tables",
+                "n_huffman_tables",
+                "restart_interval",
+                "quant_sum",
+            ):
+                out[k] = [s[k] for s in stats]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "media").mapInPandas(
+        meta, schema=JPEG_META_SCHEMA
+    )
