@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import QuerySpec, load_table, register
@@ -1668,3 +1668,86 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rho").cast("bigint").alias("max_rho")
     )
     return drain_available_now(agg, output_mode="complete")
+
+
+@register(
+    LOG_QUERIES,
+    "stream_quantile_registers",
+    _ROUTED_CTE
+    + """
+    , reg AS (
+      SELECT part_id,
+        CAST(EXTRACT(hour FROM event_ts) * 60
+             + EXTRACT(minute FROM event_ts) AS BIGINT) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM routed GROUP BY 1, 2),
+    stats AS (
+      SELECT part_id, bin, n,
+        CAST(SUM(n) OVER (PARTITION BY part_id ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(SUM(n) OVER (PARTITION BY part_id) AS BIGINT) AS tot
+      FROM reg)
+    SELECT part_id,
+      CAST(MAX(tot) AS BIGINT) AS n_events,
+      CAST(COUNT(*) AS BIGINT) AS n_bins,
+      CAST(SUM(bin * n) AS BIGINT) AS register_dot,
+      CAST(MIN(CASE WHEN cum >= CAST(ceil(0.5 * CAST(tot AS DOUBLE))
+               AS BIGINT) THEN bin END) AS BIGINT) AS p50_minute,
+      CAST(MIN(CASE WHEN cum >= CAST(ceil(0.9 * CAST(tot AS DOUBLE))
+               AS BIGINT) THEN bin END) AS BIGINT) AS p90_minute,
+      CAST(MIN(CASE WHEN cum >= CAST(ceil(0.99 * CAST(tot AS DOUBLE))
+               AS BIGINT) THEN bin END) AS BIGINT) AS p99_minute
+    FROM stats GROUP BY part_id
+    """,
+    "STREAMING quantile registers: readStream over the topic log folds "
+    "each micro-batch into per-(partition, minute-of-day) COUNT "
+    "registers (SUM-mergeable — the additive twin of the MAX-mergeable "
+    "stream_hll_registers; state is <= 1440 rows/partition at any "
+    "stream length), complete-mode AvailableNow drain, then p50/p90/p99 "
+    "rank-located from the drained registers in exact integer "
+    "arithmetic + a bit-exact register dot-product checksum. Oracle "
+    "recomputes registers and quantiles batch-side — a lost or "
+    "double-counted micro-batch fails the hash.",
+)
+def stream_quantile_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import drain_available_now, stream_topic
+
+    store = _ingest_events(spark, sf_dir)
+    src = stream_topic(store, "events")
+    reg = src.groupBy(
+        F.col("partition").alias("part_id"),
+        (F.hour("timestamp") * 60 + F.minute("timestamp"))
+        .cast("bigint")
+        .alias("bin"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    drained = drain_available_now(reg, output_mode="complete")
+    wc = Window.partitionBy("part_id").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("part_id")
+    stats = drained.select(
+        "part_id",
+        "bin",
+        "n",
+        F.sum("n").over(wc).cast("bigint").alias("cum"),
+        F.sum("n").over(wp).cast("bigint").alias("tot"),
+    )
+
+    def pq(p: float, alias: str):
+        thresh = F.ceil(F.lit(p) * F.col("tot").cast("double")).cast(
+            "bigint"
+        )
+        return (
+            F.min(F.when(F.col("cum") >= thresh, F.col("bin")))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return stats.groupBy("part_id").agg(
+        F.max("tot").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.sum(F.col("bin") * F.col("n")).cast("bigint").alias("register_dot"),
+        pq(0.5, "p50_minute"),
+        pq(0.9, "p90_minute"),
+        pq(0.99, "p99_minute"),
+    )
