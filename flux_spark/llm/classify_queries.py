@@ -513,3 +513,102 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
     ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# safety / blocklist screening — r8 session 5
+# ---------------------------------------------------------------------------
+
+# deterministic synthetic blocklist (the fixture's word-soup corpus has no
+# real unsafe content; per the PII-scrub precedent the gate AUGMENTS the
+# corpus with planted terms so the matcher arithmetic is value-checked)
+_BLOCKLIST = ("gambleword", "exploitword", "malwareword")
+_BL_SQL = "['" + "', '".join(_BLOCKLIST) + "']"
+
+
+@register(
+    LLM_QUERIES,
+    "doc_safety_screen",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id, source,
+        text || ' ' || (['gambleword', 'exploitword',
+                         'malwareword'])[1 + CAST(doc_id % 3 AS INTEGER)]
+          || CASE WHEN doc_id % 26 = 0 THEN ' malwareword' ELSE '' END
+      FROM documents WHERE doc_id % 13 = 0),
+    scored AS (
+      SELECT source,
+        len(list_filter(string_split(text, ' '),
+            x -> list_contains({_BL_SQL}, x))) AS n_hits,
+        len(string_split(text, ' ')) AS n_tokens
+      FROM corpus)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_flagged,
+      CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+      CAST(SUM(CASE WHEN CAST(n_hits AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE) > 0.05
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM scored GROUP BY source
+    """,
+    "safety/blocklist screening (the toxicity-filter shape of a curation "
+    "pipeline): token-exact blocklist hits per document, per-source "
+    "flag counts, and a density rule (> 5% blocklisted tokens = drop, "
+    "not just flag — density separates a mention from saturation). The "
+    "gate plants deterministic blocklist terms on every 13th doc (one "
+    "term, doubled on every 26th) so hit counting, density division, "
+    "and the drop threshold are all value-hashed. Zero-shuffle per-row "
+    "array codegen + one counts-only rollup; the blocklist is a "
+    "codegen literal (broadcast a table past ~10k terms).",
+)
+def doc_safety_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    clean = d.where(F.col("doc_id") % 13 != 0)
+    planted_term = F.element_at(
+        F.array(*[F.lit(t) for t in _BLOCKLIST]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    planted = d.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            planted_term,
+            F.when(F.col("doc_id") % 26 == 0, F.lit(" malwareword"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    corpus = clean.unionByName(planted)
+    bl = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    toks = F.split("text", " ")
+    n_hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(bl, x))
+    )
+    scored = corpus.select(
+        "source",
+        n_hits.alias("n_hits"),
+        F.size(toks).alias("n_tokens"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.sum(
+            F.when(
+                F.col("n_hits").cast("double")
+                / F.col("n_tokens").cast("double")
+                > 0.05,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
