@@ -1826,3 +1826,37 @@ def test_wordpiece_tokenize_roundtrips_and_is_greedy(spark, sf_dir):
         assert r["tok_text"].replace(" ", "") == docs[did].replace(" ", "")
         assert r["n_pieces"] >= r["n_words"]
         assert r["wp_fertility"] >= 1.0
+
+
+def test_bpe_train_merges_are_monotone_and_applied(spark, sf_dir):
+    """BPE invariant: each round's best-pair count is <= the previous
+    round's (a new merged symbol can appear at most as often as the pair
+    that created it), and the learned merges are over non-empty symbols."""
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    rows = (
+        LLM_QUERIES["doc_bpe_train"]
+        .fn(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert len(rows) == 8
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["left_sym"] and r["right_sym"]
+
+
+def test_safety_screen_density_rule(spark, sf_dir):
+    """Planted docs flag but only saturation-level density drops: the
+    fixture plants 1-2 blocklist tokens on every 13th doc, far under the
+    5% density bar, so n_flagged > 0 while n_dropped == 0 (word-soup
+    docs run hundreds of tokens)."""
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    rows = LLM_QUERIES["doc_safety_screen"].fn(spark, sf_dir).collect()
+    assert sum(r["n_flagged"] for r in rows) > 0
+    assert sum(r["total_hits"] for r in rows) >= sum(
+        r["n_flagged"] for r in rows
+    )
+    assert all(r["n_dropped"] == 0 for r in rows)
