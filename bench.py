@@ -181,6 +181,14 @@ ANALYTICS_HEADLINE = [
     "doc_bpe_train",
     "events_markov_prediction",
     "events_path_analysis",
+    # label propagation: 3 co-partitioned join+argmax rounds, edges
+    # persisted, per-round localCheckpoint (ladder-caught re-execution);
+    # safety screen + forecast backtest + skyline are scan-bandwidth
+    # codegen + tiny rollups/windows
+    "parts_label_propagation",
+    "doc_safety_screen",
+    "events_forecast_backtest",
+    "parts_skyline",
 ]
 
 

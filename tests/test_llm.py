@@ -1848,15 +1848,20 @@ def test_bpe_train_merges_are_monotone_and_applied(spark, sf_dir):
 
 
 def test_safety_screen_density_rule(spark, sf_dir):
-    """Planted docs flag but only saturation-level density drops: the
-    fixture plants 1-2 blocklist tokens on every 13th doc, far under the
-    5% density bar, so n_flagged > 0 while n_dropped == 0 (word-soup
-    docs run hundreds of tokens)."""
+    """The planted fixture flags exactly the doc_id % 13 == 0 docs (1-2
+    blocklist tokens each), and drops are a subset of flags (the > 5%
+    density bar can only fire on a flagged doc — short docs may cross
+    it, long word-soup docs can't)."""
+    from flux_spark.analytics.registry import load_table
     from flux_spark.llm.queries import LLM_QUERIES
 
     rows = LLM_QUERIES["doc_safety_screen"].fn(spark, sf_dir).collect()
-    assert sum(r["n_flagged"] for r in rows) > 0
-    assert sum(r["total_hits"] for r in rows) >= sum(
-        r["n_flagged"] for r in rows
+    n_planted = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 13 = 0")
+        .count()
     )
-    assert all(r["n_dropped"] == 0 for r in rows)
+    assert sum(r["n_flagged"] for r in rows) == n_planted
+    assert sum(r["total_hits"] for r in rows) >= n_planted
+    for r in rows:
+        assert r["n_dropped"] <= r["n_flagged"]
