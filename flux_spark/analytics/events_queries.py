@@ -1774,3 +1774,71 @@ def events_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("varchar"))
         .alias("inferred_type"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_ab_srm_check",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    assigned AS (
+      SELECT CASE WHEN CAST(('0x' || substring(
+                     md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 0 END AS is_control
+      FROM users),
+    counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(is_control) AS BIGINT) AS n_control,
+        CAST(COUNT(*) - SUM(is_control) AS BIGINT) AS n_treatment
+      FROM assigned)
+    SELECT n_users, n_control, n_treatment,
+      CAST((n_control - n_treatment) * (n_control - n_treatment) AS DOUBLE)
+        / CAST(n_users AS DOUBLE) AS chi_square,
+      CAST((n_control - n_treatment) * (n_control - n_treatment) AS DOUBLE)
+        / CAST(n_users AS DOUBLE) > 3.841 AS srm_detected
+    FROM counts
+    """,
+    "sample-ratio-mismatch guardrail for the exp1 assignment: chi-square "
+    "goodness-of-fit vs the expected 50/50 split — for two equal-"
+    "expected cells it reduces to (n_c - n_t)^2 / n, one IEEE division "
+    "of exact integers; srm_detected compares against the df=1 95% "
+    "critical value 3.841. The experimentation-platform health check "
+    "that must pass before any readout is trusted. One distinct-users "
+    "pass, 1-row output.",
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = e.select(
+        F.when(bucket == 0, 1).otherwise(0).alias("is_control")
+    )
+    counts = assigned.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("is_control").cast("bigint").alias("n_control"),
+        (F.count("*") - F.sum("is_control")).cast("bigint").alias(
+            "n_treatment"
+        ),
+    )
+    diff = F.col("n_control") - F.col("n_treatment")
+    chi = (diff * diff).cast("double") / F.col("n_users").cast("double")
+    return counts.select(
+        "n_users",
+        "n_control",
+        "n_treatment",
+        chi.alias("chi_square"),
+        (chi > 3.841).alias("srm_detected"),
+    )

@@ -773,3 +773,99 @@ def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("bigint").alias("p_size"),
         )
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "orders_repeat_purchase_curve",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+        CAST(o_orderdate AS DATE) AS d,
+        ROW_NUMBER() OVER w AS n,
+        CAST(LEAD(o_orderdate) OVER w AS DATE) AS next_d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    lvl AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_customers FROM seq
+      WHERE n <= 6 GROUP BY n),
+    gaps AS (
+      SELECT n, date_diff('day', d, next_d) AS gap,
+        ROW_NUMBER() OVER (PARTITION BY n
+            ORDER BY date_diff('day', d, next_d), o_custkey) AS r,
+        CAST(COUNT(*) OVER (PARTITION BY n) AS BIGINT) AS k
+      FROM seq WHERE next_d IS NOT NULL AND n <= 5),
+    med AS (
+      SELECT n, CAST(MIN(CASE WHEN r = (k + 1) // 2 THEN gap END) AS BIGINT)
+               AS median_gap_days
+      FROM gaps GROUP BY n)
+    SELECT a.n AS order_n, a.n_customers,
+      COALESCE(b.n_customers, 0) AS n_converted,
+      CAST(COALESCE(b.n_customers, 0) AS DOUBLE)
+        / CAST(a.n_customers AS DOUBLE) AS conversion,
+      m.median_gap_days
+    FROM lvl a
+    LEFT JOIN lvl b ON b.n = a.n + 1
+    LEFT JOIN med m ON m.n = a.n
+    WHERE a.n <= 5
+    """,
+    "repeat-purchase curve (the growth-analytics retention staircase): "
+    "customers reaching their n-th order, n -> n+1 conversion rate, and "
+    "the LOWER-median days between consecutive orders (rank-located "
+    "integer median — no interpolation, engine-exact). One per-customer "
+    "window + O(5)-row rollups; the fact table shuffles once on "
+    "o_custkey.",
+)
+def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).alias("n"),
+        F.lead("o_orderdate").over(w).cast("date").alias("next_d"),
+    )
+    lvl = (
+        seq.where(F.col("n") <= 6)
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+    gap = F.datediff("next_d", "d")
+    wg = Window.partitionBy("n").orderBy(gap, "o_custkey")
+    wk = Window.partitionBy("n")
+    gaps = seq.where(F.col("next_d").isNotNull() & (F.col("n") <= 5)).select(
+        "n",
+        gap.alias("gap"),
+        F.row_number().over(wg).alias("r"),
+        F.count("*").over(wk).cast("bigint").alias("k"),
+    )
+    med = gaps.groupBy("n").agg(
+        F.min(
+            F.when(
+                F.col("r") == F.floor((F.col("k") + 1) / 2), F.col("gap")
+            )
+        )
+        .cast("bigint")
+        .alias("median_gap_days")
+    )
+    a = lvl.alias("a")
+    b = lvl.select(
+        (F.col("n") - 1).alias("n"), F.col("n_customers").alias("nc_next")
+    ).alias("b")
+    return (
+        a.where(F.col("a.n") <= 5)
+        .join(b, "n", "left")
+        .join(med, "n", "left")
+        .select(
+            F.col("n").alias("order_n"),
+            "n_customers",
+            F.coalesce("nc_next", F.lit(0)).alias("n_converted"),
+            (
+                F.coalesce("nc_next", F.lit(0)).cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("conversion"),
+            "median_gap_days",
+        )
+    )

@@ -612,3 +612,76 @@ def doc_safety_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dropped"),
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_zipf_fit",
+    """
+    WITH freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk,
+             c
+      FROM freq),
+    pts AS (
+      SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+             CAST(length(bin(c)) - 1 AS BIGINT) AS y
+      FROM ranked),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts)
+    SELECT k AS n_tokens,
+      CAST(k * sxy - sx * sy AS DOUBLE)
+        / CAST(k * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+      (CAST(sy AS DOUBLE)
+       - CAST(k * sxy - sx * sy AS DOUBLE)
+         / CAST(k * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / CAST(k AS DOUBLE) AS intercept
+    FROM sums
+    """,
+    "Zipf power-law fit over the corpus token frequencies: OLS slope of "
+    "floor(log2 count) on floor(log2 rank), where floor(log2 n) = "
+    "bit_length - 1 (length(bin(n)) - 1 — an INTEGER log that sidesteps "
+    "the non-portable ln entirely); all cross-products exact BIGINT, "
+    "doubles only in the two final divisions. A healthy natural corpus "
+    "fits slope ~ -1; synthetic or deduplicated-to-death corpora "
+    "flatten — a cheap corpus-health diagnostic. One token partial-agg "
+    "+ a vocabulary-sized window.",
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("text")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    pts = freq.select(
+        (F.length(F.bin(F.row_number().over(w))) - 1)
+        .cast("bigint")
+        .alias("x"),
+        (F.length(F.bin(F.col("c"))) - 1).cast("bigint").alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return sums.select(
+        F.col("k").alias("n_tokens"),
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("k").cast("double")
+        ).alias("intercept"),
+    )
