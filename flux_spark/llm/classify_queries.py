@@ -685,3 +685,128 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("k").cast("double")
         ).alias("intercept"),
     )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_ngram_rank_langid",
+    f"""
+    WITH split AS (
+      SELECT doc_id, lang, text, {_SPLIT_SQL} AS h FROM documents),
+    tri_train AS (
+      SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT lang, substring(text, i, 3) AS g
+        FROM split CROSS JOIN UNNEST(range(1, length(text) - 1)) AS u(i)
+        WHERE h >= 3)
+      GROUP BY 1, 2),
+    prof AS (
+      SELECT lang, g, CAST(rnk AS BIGINT) AS lang_rank FROM (
+        SELECT lang, g,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rnk
+        FROM tri_train)
+      WHERE rnk <= 40),
+    tri_doc AS (
+      SELECT doc_id, lang AS true_lang, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, lang, substring(text, i, 3) AS g
+        FROM split CROSS JOIN UNNEST(range(1, length(text) - 1)) AS u(i)
+        WHERE h < 3)
+      GROUP BY 1, 2, 3),
+    dprof AS (
+      SELECT doc_id, true_lang, g, CAST(rnk AS BIGINT) AS doc_rank FROM (
+        SELECT doc_id, true_lang, g,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rnk
+        FROM tri_doc)
+      WHERE rnk <= 20),
+    langs AS (SELECT DISTINCT lang FROM prof),
+    dist AS (
+      SELECT d.doc_id, d.true_lang, l.lang,
+        CAST(SUM(CASE WHEN p.lang_rank IS NULL THEN 40
+                 ELSE abs(d.doc_rank - p.lang_rank) END) AS BIGINT) AS oop
+      FROM dprof d CROSS JOIN langs l
+      LEFT JOIN prof p ON p.lang = l.lang AND p.g = d.g
+      GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY oop, lang) AS rn
+      FROM dist)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+    "Cavnar-Trenkle n-gram rank-profile language ID (the classic 1994 "
+    "textcat algorithm, TRAINED on the 70% md5 split): per-language "
+    "top-40 character-trigram rank profiles, per-doc top-20 profiles, "
+    "out-of-place distance = sum of |rank differences| with a fixed "
+    "miss penalty — ALL integer arithmetic (no ln, no floats anywhere), "
+    "argmin with lexicographic ties; confusion-matrix gate. "
+    "Complements doc_centroid_langid (frequency-weight scoring) with "
+    "the rank-distance family. Scale shape: profiles are |langs| x 40 "
+    "rows (broadcast); per-doc work is a 20-row x |langs| map-side "
+    "join.",
+)
+def doc_ngram_rank_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    d = d.withColumn("h", _hash_bucket(F.col("doc_id")))
+    tri = F.explode(
+        F.expr(
+            "transform(sequence(1, length(text) - 2),"
+            " i -> substring(text, i, 3))"
+        )
+    )
+    tri_train = (
+        d.where(F.col("h") >= 3)
+        .select("lang", tri.alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+    prof = (
+        tri_train.withColumn("rnk", F.row_number().over(wl))
+        .where(F.col("rnk") <= 40)
+        .select("lang", "g", F.col("rnk").cast("bigint").alias("lang_rank"))
+    )
+    tri_doc = (
+        d.where(F.col("h") < 3)
+        .select(
+            "doc_id", F.col("lang").alias("true_lang"), tri.alias("g")
+        )
+        .groupBy("doc_id", "true_lang", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "g")
+    dprof = (
+        tri_doc.withColumn("rnk", F.row_number().over(wd))
+        .where(F.col("rnk") <= 20)
+        .select(
+            "doc_id",
+            "true_lang",
+            "g",
+            F.col("rnk").cast("bigint").alias("doc_rank"),
+        )
+    )
+    langs = prof.select("lang").distinct()
+    dist = (
+        dprof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["lang", "g"], "left")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            F.sum(
+                F.when(F.col("lang_rank").isNull(), 40).otherwise(
+                    F.abs(F.col("doc_rank") - F.col("lang_rank"))
+                )
+            )
+            .cast("bigint")
+            .alias("oop")
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy("oop", "lang")
+    pred = dist.select(
+        "true_lang",
+        F.col("lang").alias("pred_lang"),
+        F.row_number().over(wp).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

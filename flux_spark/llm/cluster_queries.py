@@ -268,3 +268,87 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.ceil(F.lit(0.05) * F.col("n").cast("double")).cast("bigint")
         ).alias("is_outlier"),
     )
+
+
+_SKEW_PLANES = similarity.hyperplanes(8, _DIM)
+
+
+@register(
+    LLM_QUERIES,
+    "emb_index_skew_report",
+    f"""
+    WITH sig AS (
+      SELECT {similarity.sql_signature_bits("embedding", _SKEW_PLANES, _DIM)}
+               AS bucket
+      FROM embeddings),
+    sizes AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS sz FROM sig GROUP BY 1),
+    ranked AS (
+      SELECT sz,
+        ROW_NUMBER() OVER (ORDER BY sz, bucket) AS r,
+        CAST(COUNT(*) OVER () AS BIGINT) AS nb,
+        CAST(SUM(sz) OVER () AS BIGINT) AS total
+      FROM sizes)
+    SELECT
+      CAST(MAX(total) AS BIGINT) AS n_vectors,
+      CAST(MAX(nb) AS BIGINT) AS n_buckets,
+      CAST(MAX(sz) AS BIGINT) AS max_bucket,
+      CAST(MIN(CASE WHEN r >= CAST(ceil(0.5 * CAST(nb AS DOUBLE)) AS BIGINT)
+               THEN sz END) AS BIGINT) AS p50_bucket,
+      CAST(MIN(CASE WHEN r >= CAST(ceil(0.99 * CAST(nb AS DOUBLE)) AS BIGINT)
+               THEN sz END) AS BIGINT) AS p99_bucket,
+      CAST(MAX(sz) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+        AS top_bucket_share,
+      CAST(SUM(CASE WHEN sz > 500 THEN sz ELSE 0 END) AS BIGINT)
+        AS n_in_oversized
+    FROM ranked
+    """,
+    "ANN index skew report over the pinned 8-plane sign-LSH bucketing: "
+    "bucket-count, max/p50/p99 bucket sizes (rank-located integers), "
+    "top-bucket share, and the vector count sitting in buckets past the "
+    "cap-500 skew guard — the diagnostic that says whether the LSH "
+    "plane count (or the salting cap) needs retuning BEFORE a "
+    "mega-bucket makes the candidate join quadratic. The index-side "
+    "twin of events_skew_profile (join-key skew). One signature pass + "
+    "an O(buckets) window.",
+)
+def emb_index_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = e.select(
+        similarity.signature_bits(F.col("embedding"), _SKEW_PLANES).alias(
+            "bucket"
+        )
+    )
+    sizes = sig.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    wr = Window.orderBy("sz", "bucket")
+    wall = Window.partitionBy()
+    ranked = sizes.select(
+        "sz",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wall).cast("bigint").alias("nb"),
+        F.sum("sz").over(wall).cast("bigint").alias("total"),
+    )
+
+    def pq(p: float, alias: str):
+        thresh = F.ceil(F.lit(p) * F.col("nb").cast("double")).cast("bigint")
+        return (
+            F.min(F.when(F.col("r") >= thresh, F.col("sz")))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return ranked.agg(
+        F.max("total").cast("bigint").alias("n_vectors"),
+        F.max("nb").cast("bigint").alias("n_buckets"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        pq(0.5, "p50_bucket"),
+        pq(0.99, "p99_bucket"),
+        (
+            F.max("sz").cast("double") / F.max("total").cast("double")
+        ).alias("top_bucket_share"),
+        F.sum(F.when(F.col("sz") > 500, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_oversized"),
+    )
