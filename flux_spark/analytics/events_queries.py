@@ -1842,3 +1842,102 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi.alias("chi_square"),
         (chi > 3.841).alias("srm_detected"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_window_funnel",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    l1 AS (SELECT DISTINCT user_id FROM v),
+    l2 AS (
+      SELECT DISTINCT v.user_id
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR),
+    l3 AS (
+      SELECT DISTINCT v.user_id
+      FROM v
+      JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+      JOIN p ON p.user_id = v.user_id
+       AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 24 HOUR),
+    lvl AS (
+      SELECT u.user_id,
+        CASE WHEN l3.user_id IS NOT NULL THEN 3
+             WHEN l2.user_id IS NOT NULL THEN 2
+             WHEN l1.user_id IS NOT NULL THEN 1
+             ELSE 0 END AS level
+      FROM users u
+      LEFT JOIN l1 ON l1.user_id = u.user_id
+      LEFT JOIN l2 ON l2.user_id = u.user_id
+      LEFT JOIN l3 ON l3.user_id = u.user_id)
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lvl GROUP BY level
+    """,
+    "strict windowed funnel (ClickHouse windowFunnel semantics, distinct "
+    "from events_funnel's unbounded min-chase): the max view -> click -> "
+    "purchase chain ANCHORED inside a 24 h window of the first step, any "
+    "anchor view counts; per-user level histogram. Scale shape: the "
+    "chain joins are per-user equi-joins (user event counts are bounded, "
+    "so the within-user time cross-check never goes quadratic in the "
+    "corpus); output is O(steps) rows.",
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    w24 = F.expr("INTERVAL 24 HOURS")
+
+    def typed(t):
+        return e.where(F.col("event_type") == t).select("user_id", "ts")
+
+    v, c, p = typed("view"), typed("click"), typed("purchase")
+    va, ca, pa = v.alias("v"), c.alias("c"), p.alias("p")
+    l1 = v.select("user_id").distinct().withColumn("l1", F.lit(1))
+    l2 = (
+        va.join(
+            ca,
+            (F.col("c.user_id") == F.col("v.user_id"))
+            & (F.col("c.ts") > F.col("v.ts"))
+            & (F.col("c.ts") <= F.col("v.ts") + w24),
+        )
+        .select(F.col("v.user_id").alias("user_id"))
+        .distinct()
+        .withColumn("l2", F.lit(1))
+    )
+    l3 = (
+        va.join(
+            ca,
+            (F.col("c.user_id") == F.col("v.user_id"))
+            & (F.col("c.ts") > F.col("v.ts"))
+            & (F.col("c.ts") <= F.col("v.ts") + w24),
+        )
+        .join(
+            pa,
+            (F.col("p.user_id") == F.col("v.user_id"))
+            & (F.col("p.ts") > F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("v.ts") + w24),
+        )
+        .select(F.col("v.user_id").alias("user_id"))
+        .distinct()
+        .withColumn("l3", F.lit(1))
+    )
+    lvl = (
+        users.join(l1, "user_id", "left")
+        .join(l2, "user_id", "left")
+        .join(l3, "user_id", "left")
+        .select(
+            F.when(F.col("l3").isNotNull(), 3)
+            .when(F.col("l2").isNotNull(), 2)
+            .when(F.col("l1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("level")
+        )
+    )
+    return lvl.groupBy("level").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )

@@ -310,3 +310,97 @@ def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").cast("bigint").alias("community"),
         F.count("*").over(comm).cast("bigint").alias("community_size"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "parts_degree_assortativity",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e
+      JOIN deg da ON da.src = e.src
+      JOIN deg db ON db.src = e.dst),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+        CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM pairs)
+    SELECT k AS n_edges,
+      CAST(k * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        / (sqrt(CAST(k * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+           * sqrt(CAST(k * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)))
+        AS assortativity
+    FROM sums
+    """,
+    "degree assortativity of the co-purchase graph (Newman 2002): "
+    "Pearson correlation of endpoint degrees across directed edges — "
+    "positive = hubs link hubs (dense-core catalogs), negative = "
+    "hub-and-spoke; every cross-product in DECIMAL(38,0) integer "
+    "arithmetic, doubles only in the final sqrt/division (IEEE sqrt is "
+    "correctly rounded, so the gate is bit-exact). Degrees broadcast "
+    "onto the edge stream; 1-row output.",
+)
+def parts_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("__w"))
+        .where(F.col("__w") >= 2)
+        .select("src", "dst")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    pairs = (
+        edges.join(F.broadcast(deg), "src")
+        .select("dst", F.col("d").alias("x"))
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("dst"),
+                                   F.col("d").alias("y"))),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    dec = "decimal(38,0)"
+    sums = pairs.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    denx = F.col("k") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    deny = F.col("k") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    return sums.select(
+        F.col("k").alias("n_edges"),
+        (
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))
+        ).alias("assortativity"),
+    )
