@@ -230,12 +230,23 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n <= 1000:
         topk = similarity.brute_force_topk(e, e, k=_K_OUT, use_arrow=True)
     else:
+        # target_bucket=16: candidate volume is n x bucket x (1+planes)
+        # and EVERY candidate ships 2 x 64 float64s to the scorer — at
+        # 200k vectors bucket=64 meant ~65 GB of traffic (402 s, sf10
+        # ladder); bucket=16 cuts the pair volume 4x for a small recall
+        # cost that the -1 sparse-bucket rule absorbs (fewer candidates
+        # => MORE conservative outlier flags, never fewer).
+        # use_arrow=False: post-JOIN scoring inverts the Arrow win — the
+        # joined pairs must cross the Python boundary per row, where the
+        # JVM fold stays in codegen (measured sf10: fold 133 s vs Arrow
+        # 188 s; the brute branch keeps Arrow because its broadcast
+        # crossJoin amortizes the query batch)
         topk = similarity.lsh_topk(
             e,
             e,
             k=_K_OUT,
-            n_planes=similarity.auto_planes(n, target_bucket=64),
-            use_arrow=True,
+            n_planes=similarity.auto_planes(n, target_bucket=16),
+            use_arrow=False,
         )
     kth = (
         e.select("vec_id")
