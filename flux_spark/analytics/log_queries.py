@@ -1751,3 +1751,52 @@ def stream_quantile_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq(0.9, "p90_minute"),
         pq(0.99, "p99_minute"),
     )
+
+
+@register(
+    LOG_QUERIES,
+    "stream_windowed_topk",
+    _ROUTED_CTE
+    + """
+    , wc AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, event_ts) AS window_start,
+             rec_key, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM routed GROUP BY 1, 2)
+    SELECT window_start, rec_key, n_events, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+              ORDER BY n_events DESC, rec_key) AS rnk FROM wc)
+    WHERE rnk <= 3
+    """,
+    "streaming trending-keys: readStream tumbling 1 h windowed counts "
+    "per key (streaming state = live windows x keys, GC'd by the "
+    "watermark at scale), complete-mode AvailableNow drain, then top-3 "
+    "keys per window ranked from the drained aggregate with "
+    "deterministic ties — the 'what is hot right now' leaderboard over "
+    "the topic log. Oracle re-derives windows + ranks batch-side.",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import drain_available_now, stream_topic
+
+    store = _ingest_events(spark, sf_dir)
+    src = stream_topic(store, "events")
+    agg = src.groupBy(
+        F.window("timestamp", "1 hour").alias("w"), F.col("key")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    drained = drain_available_now(agg, output_mode="complete").select(
+        F.col("w.start").alias("window_start"),
+        F.col("key").alias("rec_key"),
+        "n_events",
+    )
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("rec_key")
+    )
+    return (
+        drained.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "window_start",
+            "rec_key",
+            "n_events",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
