@@ -676,3 +676,111 @@ def hilbert_value(
             f"CAST({y_e} AS BIGINT) AS y",
         )
     return out.selectExpr(*keep, "d AS hilbert")
+
+
+def attach_global_order(
+    df: DataFrame,
+    order_exprs: list[Column],
+    *,
+    row_alias: str | None = None,
+    total_alias: str | None = None,
+    running_sum: tuple[str, str] | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Attach global-order columns (row_number / total count / exclusive
+    running sum under a TOTAL order given by ``order_exprs``) without a
+    single-partition window.
+
+    This is the two-pass pattern that replaces ``Window.orderBy(...)``
+    with no ``partitionBy`` — the one plan shape that cannot survive
+    100 TB (every row funnels through one task):
+
+      pass 0  range-repartition on the order expressions, then pin the
+              partitioning with ``localCheckpoint`` so the partition ids
+              seen by both passes are the SAME materialized blocks (no
+              recompute, no sampling drift);
+      pass 1  per-partition counts/sums -> driver (one row per
+              partition, model-sized), cumulated in exact Python ints;
+      pass 2  a PARTITIONED window per range-partition plus the
+              broadcast partition offsets.
+
+    Bit-exact vs the global window: range partitions are contiguous in
+    the total order, within-partition ordering is the same total order,
+    and the offsets are exact integer sums — so ``offset + local`` is
+    identical to the global value row by row.
+
+    ``running_sum`` is ``(input_col, alias)``: the EXCLUSIVE prefix sum
+    (bigint) of ``input_col``, 0 for the global first row. ``row_alias``
+    is the global 1-based row number; ``total_alias`` the global count.
+    """
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.repartitionByRange(n_partitions, *order_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Pin partition ids: both passes must read the SAME physical layout.
+    parted = parted.localCheckpoint()
+    aggs = [F.count("*").cast("bigint").alias("__cnt")]
+    if running_sum is not None:
+        aggs.append(
+            F.sum(running_sum[0]).cast("bigint").alias("__psum")
+        )
+    stats = sorted(
+        parted.groupBy("__pid").agg(*aggs).collect(),
+        key=lambda r: r["__pid"],
+    )
+    total = sum(r["__cnt"] for r in stats)
+    rows, cnt_off, sum_off = [], 0, 0
+    for r in stats:
+        rows.append((r["__pid"], cnt_off, sum_off))
+        cnt_off += r["__cnt"]
+        if running_sum is not None:
+            sum_off += r["__psum"] or 0
+    off = spark.createDataFrame(
+        rows, "__pid int, __cnt_off bigint, __sum_off bigint"
+    )
+    joined = parted.join(F.broadcast(off), "__pid")
+    wloc = Window.partitionBy("__pid").orderBy(*order_exprs)
+    out_cols = [F.col(c) for c in df.columns]
+    if row_alias is not None:
+        out_cols.append(
+            (F.col("__cnt_off") + F.row_number().over(wloc))
+            .cast("bigint")
+            .alias(row_alias)
+        )
+    if total_alias is not None:
+        out_cols.append(F.lit(total).cast("bigint").alias(total_alias))
+    if running_sum is not None:
+        local = F.coalesce(
+            F.sum(running_sum[0]).over(
+                wloc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint")
+        out_cols.append(
+            (F.col("__sum_off") + local).cast("bigint").alias(running_sum[1])
+        )
+    return joined.select(*out_cols)
+
+
+def ntile_from_rank(r: Column, n: Column, k: int) -> Column:
+    """Closed-form NTILE(k) from a global 1-based rank ``r`` and total
+    count ``n`` — the distributed replacement for ``F.ntile(k).over(an
+    unpartitioned window)``. Standard SQL NTILE semantics (what Spark
+    and DuckDB both implement): with ``n = k*q + rem``, the first
+    ``rem`` buckets get ``q+1`` rows, the rest ``q``. All arithmetic on
+    exact bigints (the one double division is of an exact multiple,
+    lossless below 2^53 rows).
+    """
+    kk = F.lit(k).cast("bigint")
+    q = ((n - F.pmod(n, kk)) / kk).cast("bigint")
+    rem = F.pmod(n, kk)
+    threshold = rem * (q + 1)
+    in_big = r <= threshold
+    big_bucket = (((r - 1) - F.pmod(r - 1, q + 1)) / (q + 1)).cast("bigint") + 1
+    small_off = r - threshold - 1
+    small_bucket = (
+        rem + ((small_off - F.pmod(small_off, q)) / q).cast("bigint") + 1
+    )
+    return F.when(in_big, big_bucket).otherwise(small_bucket).cast("int")

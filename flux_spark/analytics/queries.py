@@ -461,12 +461,15 @@ def orders_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "RFM segmentation: recency/frequency/monetary quintiles per customer "
     "(1 = best), composed into the classic 3-digit RFM code — one "
-    "aggregation then three rank windows with deterministic custkey "
-    "tie-breaks. The global NTILEs are the test-scale form; at warehouse "
-    "scale the same scores come from broadcast percentile cutoffs "
-    "(the customer_balance_deciles note applies)",
+    "aggregation then three global ranks, each computed with the "
+    "two-pass range-partition pattern (attach_global_order) and folded "
+    "into NTILE(5) by the closed-form bucket formula (ntile_from_rank). "
+    "Bit-identical to the unpartitioned-NTILE oracle, but every sort "
+    "parallelizes across range partitions — no single-partition window",
 )
 def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flux_spark.analytics.operators import attach_global_order, ntile_from_rank
+
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -475,14 +478,31 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend"),
     )
-    wr = Window.orderBy(F.desc("last_order"), F.asc("c_custkey"))
-    wf = Window.orderBy(F.desc("n_orders"), F.asc("c_custkey"))
-    wm = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
-    s = r.select(
-        "*",
-        F.ntile(5).over(wr).cast("int").alias("r_score"),
-        F.ntile(5).over(wf).cast("int").alias("f_score"),
-        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    ranked = attach_global_order(
+        r,
+        [F.desc("last_order"), F.asc("c_custkey")],
+        row_alias="__rank_r",
+        total_alias="__n",
+    )
+    ranked = attach_global_order(
+        ranked,
+        [F.desc("n_orders"), F.asc("c_custkey")],
+        row_alias="__rank_f",
+    )
+    ranked = attach_global_order(
+        ranked,
+        [F.desc("total_spend"), F.asc("c_custkey")],
+        row_alias="__rank_m",
+    )
+    n = F.col("__n")
+    s = ranked.select(
+        "c_custkey",
+        "last_order",
+        "n_orders",
+        "total_spend",
+        ntile_from_rank(F.col("__rank_r"), n, 5).alias("r_score"),
+        ntile_from_rank(F.col("__rank_f"), n, 5).alias("f_score"),
+        ntile_from_rank(F.col("__rank_m"), n, 5).alias("m_score"),
     )
     return s.select(
         "c_custkey",

@@ -221,10 +221,12 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold fewer than k candidates has no k-th neighbor NEARBY — exactly
     the outlier signal — and is flagged with kth_cos_sim = -1.
 
-    The 5% flag is a global rank over (vec_id, kth_cos) pairs — 16 B/row
-    through one total sort, fine to ~1e8 vectors; past that swap the
-    rank for a distributed-quantile cutoff (approx_percentile on
-    kth_cos) and accept the sketch's rank error at the boundary."""
+    The 5% flag is a global rank over (vec_id, kth_cos) pairs, computed
+    with the two-pass range-partition pattern (attach_global_order) —
+    the sort parallelizes across range partitions and only the
+    per-partition counts (one row per partition) reach the driver, so
+    the rank survives arbitrary corpus sizes with no single-partition
+    window."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()  # metadata-sized driver scalar (same switch as *_auto)
     if n <= 1000:
@@ -263,13 +265,17 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kth_cos_sim", F.lit(-1.0)).alias("kth_cos_sim"),
         )
     )
-    wr = Window.orderBy(F.col("kth_cos_sim").asc(), F.col("vec_id"))
-    wn = Window.partitionBy()
-    flagged = kth.select(
-        "vec_id",
-        "kth_cos_sim",
-        F.row_number().over(wr).alias("r"),
-        F.count("*").over(wn).cast("bigint").alias("n"),
+    from flux_spark.analytics.operators import attach_global_order
+
+    # Global 5% rank via the two-pass range-partition pattern (no
+    # single-partition WindowExec): range-shuffle on (kth_cos, vec_id),
+    # broadcast per-partition count offsets, partitioned local window.
+    # Bit-identical to ROW_NUMBER() OVER (ORDER BY ...) / COUNT(*) OVER ().
+    flagged = attach_global_order(
+        kth,
+        [F.col("kth_cos_sim").asc(), F.col("vec_id").asc()],
+        row_alias="r",
+        total_alias="n",
     )
     return flagged.select(
         "vec_id",

@@ -728,24 +728,27 @@ def doc_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "sequence packing for training batches: docs laid out contiguously in "
     "doc_id order, each assigned the 8192-char bin its start position "
-    "lands in (exclusive running sum -> floor-div). The window is a "
-    "single global ordering — at 100 TB replace with per-shard packing "
-    "(partitionBy(shard) and the same expressions) to avoid the "
-    "single-partition sort; the per-row math is unchanged",
+    "lands in (exclusive running sum -> floor-div). The global running "
+    "sum is computed with the two-pass range-partition pattern "
+    "(attach_global_order): range-shuffle on doc_id, per-partition "
+    "partial sums to the driver (one row per partition), broadcast "
+    "offsets + a PARTITIONED window — bit-identical to the global "
+    "window, no single-partition sort anywhere in the plan",
 )
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from flux_spark.analytics.operators import attach_global_order
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    packed = attach_global_order(
+        d,
+        [F.col("doc_id").asc()],
+        running_sum=("n_chars", "start_pos"),
     )
-    start = F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("bigint")
-    return d.select(
+    start = F.col("start_pos")
+    return packed.select(
         "doc_id",
         "n_chars",
-        start.alias("start_pos"),
+        "start_pos",
         (start / 8192).cast("bigint").alias("bin_id"),
         F.pmod(start, F.lit(8192)).cast("bigint").alias("offset_in_bin"),
     )
@@ -1862,8 +1865,6 @@ def doc_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no per-partition RNG coordination, deterministic replays).",
 )
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     h53 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
@@ -1885,14 +1886,16 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(9007199254740992.0)
     )
-    wn = Window.partitionBy()
-    return sel.select(
+    # COUNT(*) OVER () as a broadcast 1-row scalar, not an unpartitioned
+    # window — no single-partition WindowExec, same value on every row.
+    n_sel = sel.agg(F.count("*").cast("bigint").alias("__n_sel"))
+    return sel.crossJoin(F.broadcast(n_sel)).select(
         "doc_id",
         "weight",
         (
             F.abs(
                 (
-                    F.count("*").over(wn).cast("double")
+                    F.col("__n_sel").cast("double")
                     * F.col("total_w").cast("double")
                 )
                 / F.lit(50.0)

@@ -751,3 +751,102 @@ def test_retrieval_ndcg_bounds(spark, sf_dir):
         assert 0.0 <= r["mrr"] <= 1.0
         if r["ndcg"] is not None:
             assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12
+
+
+class TestAttachGlobalOrder:
+    """Two-pass global window (r9): equivalence vs the single-partition
+    window it replaces, on adversarial shapes (ties, skew, empty)."""
+
+    def _mk(self, spark, n=997, seed=7):
+        from pyspark.sql import functions as F
+
+        # deterministic pseudo-random weights + heavy duplicate keys
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            F.pmod(F.col("id") * 2654435761, F.lit(1000003)).alias("w"),
+            F.pmod(F.col("id"), F.lit(13)).alias("dup"),
+        )
+
+    def test_running_sum_matches_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from flux_spark.analytics.operators import attach_global_order
+
+        df = self._mk(spark)
+        got = attach_global_order(
+            df, [F.col("k").asc()], running_sum=("w", "rs")
+        )
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+        want = df.select(
+            "k",
+            F.coalesce(F.sum("w").over(w), F.lit(0))
+            .cast("bigint")
+            .alias("rs"),
+        )
+        assert (
+            got.select("k", "rs").exceptAll(want).count() == 0
+            and want.exceptAll(got.select("k", "rs")).count() == 0
+        )
+
+    def test_rank_and_total_with_ties(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from flux_spark.analytics.operators import attach_global_order
+
+        df = self._mk(spark, n=500)
+        # order by the 13-value dup column, tie-break on k (total order)
+        got = attach_global_order(
+            df,
+            [F.col("dup").asc(), F.col("k").asc()],
+            row_alias="r",
+            total_alias="n",
+        )
+        w = Window.orderBy(F.col("dup").asc(), F.col("k").asc())
+        want = df.select(
+            "k",
+            F.row_number().over(w).cast("bigint").alias("r"),
+            F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+        )
+        assert (
+            got.select("k", "r", "n").exceptAll(want).count() == 0
+            and want.exceptAll(got.select("k", "r", "n")).count() == 0
+        )
+
+    def test_ntile_from_rank_matches_builtin(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from flux_spark.analytics.operators import (
+            attach_global_order,
+            ntile_from_rank,
+        )
+
+        for n, k in [(997, 5), (1000, 10), (7, 10), (13, 4)]:
+            df = self._mk(spark, n=n)
+            got = attach_global_order(
+                df,
+                [F.desc("w"), F.asc("k")],
+                row_alias="r",
+                total_alias="nn",
+            ).select(
+                "k", ntile_from_rank(F.col("r"), F.col("nn"), k).alias("t")
+            )
+            w = Window.orderBy(F.desc("w"), F.asc("k"))
+            want = df.select("k", F.ntile(k).over(w).cast("int").alias("t"))
+            assert (
+                got.exceptAll(want).count() == 0
+                and want.exceptAll(got).count() == 0
+            ), f"n={n} k={k}"
+
+    def test_empty_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from flux_spark.analytics.operators import attach_global_order
+
+        df = self._mk(spark).where(F.lit(False))
+        out = attach_global_order(
+            df, [F.col("k").asc()], row_alias="r", running_sum=("w", "rs")
+        )
+        assert out.count() == 0

@@ -844,3 +844,42 @@ def test_rolling_distinct_merges_registers_not_raw_events(spark, sf):
     # daily registers partial-aggregate map-side before any window join
     assert "partial_max" in plan or "partial" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_global_running_sum_has_no_single_partition(spark, sf):
+    # r9: the global exclusive running sum is two-pass range-partitioned
+    # (attach_global_order) — the plan must carry NO Exchange
+    # SinglePartition and only PARTITIONED windows (__pid spec).
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_pack_sequences"].fn(spark, sf))
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan
+
+
+def test_knn_outliers_global_rank_has_no_single_partition(spark, sf):
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(
+        LLM_QUERIES["emb_knn_distance_outliers"].fn(spark, sf)
+    )
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan
+
+
+def test_rfm_ntiles_have_no_single_partition_window(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["customer_rfm_scores"].fn(spark, sf))
+    assert "SinglePartition" not in plan
+    # the three NTILEs are closed-form from two-pass global ranks
+    assert "ntile" not in plan
+
+
+def test_weighted_sample_count_is_scalar_not_window(spark, sf):
+    # COUNT(*) OVER () became a broadcast 1-row aggregate; the only
+    # SinglePartition left is the final scalar agg (1 row/partition in).
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_weighted_sample"].fn(spark, sf))
+    assert "Window" not in plan
