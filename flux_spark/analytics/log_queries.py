@@ -796,14 +796,25 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aw = a.withWatermark("ts_a", "8760 hours")
     bw = b.withWatermark("ts_b", "8760 hours")
+    # The join condition carries ONLY the equi-key + the two time bounds:
+    # StreamingJoinHelper derives state-eviction watermarks from the join
+    # condition, and a non-time conjunct there (value_a < value_b) makes it
+    # log a scary ERROR-level [INTERNAL_ERROR] "Cannot evaluate expression"
+    # stack while probing which conjuncts bound time. The value predicate
+    # moves AFTER the sink (a pre-sink .where gets pushed back into the
+    # join condition by PushPredicateThroughJoin, re-triggering the log):
+    # same inner-join result, state eviction still driven by the time
+    # bounds alone; the only cost is the symmetric (a,b)/(b,a) pairs
+    # passing through the sink before the batch-side filter drops them.
     joined = aw.join(
         bw,
         (F.col("rec_key") == F.col("b_key"))
         & (F.col("ts_b") >= F.col("ts_a"))
-        & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("value_a") < F.col("value_b")),
+        & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 30 MINUTES")),
     )
-    out = drain_available_now(joined, output_mode="append")
+    out = drain_available_now(joined, output_mode="append").where(
+        F.col("value_a") < F.col("value_b")
+    )
     return out.select(
         "rec_key",
         "value_a",
