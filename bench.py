@@ -189,6 +189,14 @@ ANALYTICS_HEADLINE = [
     "doc_safety_screen",
     "events_forecast_backtest",
     "parts_skyline",
+    # r9 additions (VERDICT r8 #4): the strict-order funnel is per-user
+    # chain equi-joins with O(steps) output; assortativity reuses the
+    # capped co-purchase edge build then reduces to DECIMAL cross-product
+    # scalars — both linear in the fact table. (stream_windowed_topk
+    # stays gate-only: a checkpointed streaming run's trigger latency
+    # would dominate the measurement — see SCALE.md.)
+    "events_window_funnel",
+    "parts_degree_assortativity",
 ]
 
 
@@ -314,6 +322,36 @@ def main() -> None:
     timings["consume_events"] = best
     rates["consume_events"] = round(n_events / best)
 
+    # -- 2b. single-record produce -> poll-visible round-trip latency -----
+    # BASELINE.md's bench plan promises latency as well as throughput:
+    # this is the "how long until my record is readable" number a queue
+    # user asks first. One warm 1-partition topic, N timed round trips
+    # (send -> flush -> poll sees exactly the new record); p50/p99 in ms.
+    # Not part of `value` (it's a latency, not a throughput leg).
+    from flux_spark import FluxProducer
+
+    lat_topic = "latency_probe"
+    store.catalog.create_topic(lat_topic, 1)
+    lat_prod = FluxProducer(store)
+    lat_cons = FluxConsumer(store, group_id="latbench")
+    lat_cons.assign({lat_topic: [0]})
+    lat_n = max(1, int(os.environ.get("SPARK_GRAFT_LATENCY_N", "20")))
+    lat_ms: list[float] = []
+    for i in range(lat_n + 1):  # first round-trip warms, untimed
+        t0 = time.perf_counter()
+        lat_prod.send(lat_topic, value=f"probe-{i}", key="k")
+        lat_prod.flush()
+        seen = lat_cons.poll().records.count()
+        dt_ms = (time.perf_counter() - t0) * 1000.0
+        assert seen == 1, (i, seen)
+        if i > 0:
+            lat_ms.append(dt_ms)
+    lat_ms.sort()
+    latency_ms = {
+        "p50": round(lat_ms[len(lat_ms) // 2], 1),
+        "p99": round(lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 1),
+    }
+
     # -- 3. analytics + LLM headline --------------------------------------
     # SPARK_GRAFT_BENCH_SKIP: comma list of headline queries to skip —
     # never silent (skips are recorded in the detail line). Used by the
@@ -370,6 +408,7 @@ def main() -> None:
                 "medians": medians,
                 "n_events": n_events,
                 "skipped": sorted(skip),
+                "latency_ms_sorted": [round(x, 2) for x in lat_ms],
             }
         )
     )
@@ -388,6 +427,7 @@ def main() -> None:
             "medians_total": round(sum(medians.values()), 2),
             "sf": sf_val,
             "records_per_s": {k: int(v) for k, v in rates.items()},
+            "latency_ms": latency_ms,
         }
     )
     # self-HEALING parse contract: the driver tail-captures 2000 chars.

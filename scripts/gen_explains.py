@@ -191,6 +191,27 @@ SHOWCASE = [
         "the only corpus-scaled work is the query-term postings probe; "
         "quantized-int64 scores make the rank engine-exact",
     ),
+    (
+        "events_window_funnel",
+        "strict 24h window funnel (r8 s5, benched r9): per-user chain of "
+        "step equi-joins on user_id — each step joins the PREVIOUS "
+        "step's survivors (monotonically shrinking), never a cross of "
+        "the raw stream; output is O(users x steps)",
+    ),
+    (
+        "parts_degree_assortativity",
+        "degree assortativity (r8 s5, benched r9): reuses the capped "
+        "co-purchase edge build, joins broadcast degree table onto "
+        "edges, then reduces to DECIMAL cross-product scalars — one "
+        "corpus-scaled shuffle, exact IEEE sqrt at the end",
+    ),
+    (
+        "doc_pack_sequences",
+        "two-pass global running sum (r9): range-repartition on doc_id, "
+        "per-partition partial sums -> broadcast offsets, PARTITIONED "
+        "window per range bucket — bit-identical to the global window "
+        "with no Exchange SinglePartition anywhere",
+    ),
 ]
 
 
