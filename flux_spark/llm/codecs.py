@@ -23,8 +23,10 @@ nothing beyond the stdlib:
   ``struct`` + numpy (r8, the last previously library-blocked format):
   marker walk, DQT/DHT as found in the file, canonical Huffman
   entropy coding with byte stuffing and restart intervals, dequantize +
-  float IDCT, grayscale and 4:4:4 YCbCr color. Progressive/subsampled/
-  arithmetic streams raise ValueError (quarantine) rather than guess.
+  float IDCT, grayscale and 4:4:4 YCbCr color, plus (r9) subsampled
+  4:2:0/4:2:2/4:4:0 via the T.81 interleaved-MCU walk + replication
+  upsampling. Progressive/arithmetic streams raise ValueError
+  (quarantine) rather than guess.
 
 These are the per-payload functions the Arrow ``mapInPandas`` plumbing in
 :mod:`multimodal` batches over; they are deliberately Spark-free so they
@@ -508,10 +510,14 @@ def mp4_video_samples(payload: bytes) -> dict:
 # JPEG — baseline sequential DCT on struct + numpy (the last format that
 # was library-blocked; VERDICT r7 stretch item). The DECODER is general:
 # it reads DQT/DHT from the file (any tables), handles byte stuffing,
-# restart intervals, 8/16-bit quant precision, grayscale and 4:4:4 YCbCr
-# color; it rejects progressive/subsampled streams with ValueError (the
-# quarantine signal) rather than guessing. The ENCODER emits real JFIF
-# baseline files (Annex K standard Huffman tables) any viewer opens.
+# restart intervals, 8/16-bit quant precision, grayscale, 4:4:4 YCbCr
+# color, and (r9, VERDICT r8 #2) subsampled 4:2:0/4:2:2/4:4:0 via the
+# T.81 A.2.3 interleaved-MCU walk with replication chroma upsampling —
+# the sampling of virtually every camera/web JPEG; it rejects
+# progressive/arithmetic streams with ValueError (the quarantine
+# signal) rather than guessing. The ENCODER emits real JFIF baseline
+# files (Annex K standard Huffman tables, any sampling grid) any
+# viewer opens.
 # ---------------------------------------------------------------------------
 
 ZIGZAG = [
@@ -631,14 +637,19 @@ def encode_jpeg_bytes(
     height: int,
     qtable: list[int] | None = None,
     restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
-    """Encode 1 (grayscale) or 3 (YCbCr, 4:4:4) component planes — each a
-    row-major list/array of width*height ints in [0, 255] — into a REAL
+    """Encode 1 (grayscale) or 3 (YCbCr) component planes into a REAL
     baseline JFIF file: JFIF APP0, DQT, SOF0, the four Annex K DHTs, SOS,
-    Huffman-coded entropy data with byte stuffing. Forward path per
-    block: level shift, float DCT, quantize with round-half-up (+1e-9
-    guard so coefficients that are mathematically exact halves do not
-    fall to float noise — what makes the synthesis formula exactly
+    Huffman-coded entropy data with byte stuffing. ``sampling`` gives the
+    (Hi, Vi) factor per component (default all 1x1 = 4:4:4/grayscale);
+    4:2:0 is ``[(2, 2), (1, 1), (1, 1)]`` with the chroma planes supplied
+    at their SUBSAMPLED resolution (ceil(width*Hi/Hmax) x
+    ceil(height*Vi/Vmax)) — the encoder interleaves Vi x Hi blocks per
+    component per MCU exactly as ITU-T T.81 A.2.3 prescribes. Forward
+    path per block: level shift, float DCT, quantize with round-half-up
+    (+1e-9 guard so coefficients that are mathematically exact halves do
+    not fall to float noise — what makes the synthesis formula exactly
     reproducible by the oracle)."""
     import numpy as np
 
@@ -646,8 +657,14 @@ def encode_jpeg_bytes(
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError(f"1 or 3 components, got {ncomp}")
+    samp = sampling or [(1, 1)] * ncomp
+    if len(samp) != ncomp:
+        raise ValueError("sampling length must match planes")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
     A = _dct_matrix()
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     qm = np.array(q, dtype=np.float64)[np.argsort(ZIGZAG)].reshape(8, 8)
 
     # tables: luminance for component 0, chrominance for 1-2
@@ -659,19 +676,23 @@ def encode_jpeg_bytes(
     ] * (ncomp - 1)
 
     comps = []
-    for p in planes:
-        arr = np.asarray(p, dtype=np.float64).reshape(height, width)
-        # pad to block multiple by edge replication (standard practice)
+    for p, (hi, vi) in zip(planes, samp):
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        arr = np.asarray(p, dtype=np.float64).reshape(ch, cw)
+        # pad to the MCU-grid block multiple by edge replication
         arr = np.pad(
-            arr, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+            arr,
+            ((0, mcuy * vi * 8 - ch), (0, mcux * hi * 8 - cw)),
+            mode="edge",
         )
         comps.append(arr - 128.0)
 
     w = _BitWriter()
     preds = [0] * ncomp
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # RSTn: byte-align (1-pad), emit the marker RAW (markers
                 # are never byte-stuffed), reset DC predictions
@@ -682,37 +703,16 @@ def encode_jpeg_bytes(
                 preds = [0] * ncomp
             mcu += 1
             for ci in range(ncomp):
-                blk = comps[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = A @ blk @ A.T
-                qc = np.floor(coef / qm + 0.5 + 1e-9).astype(np.int64)
-                zz = qc.reshape(-1)[ZIGZAG]
-                # DC: differential, category + offset bits
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                s = _category(diff)
-                code, ln = dc_tabs[ci][s]
-                w.put(code, ln)
-                if s:
-                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                # AC: run-length coded
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = ac_tabs[ci][0xF0]  # ZRL
-                        w.put(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = ac_tabs[ci][(run << 4) | s]
-                    w.put(code, ln)
-                    w.put(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if run:
-                    code, ln = ac_tabs[ci][0x00]  # EOB
-                    w.put(code, ln)
+                hi, vi = samp[ci]
+                blocks = [
+                    (my * vi + v, mx * hi + h_)
+                    for v in range(vi)
+                    for h_ in range(hi)
+                ]
+                for by, bx in blocks:
+                    _encode_jpeg_block(
+                        w, comps, preds, ci, by, bx, A, qm, dc_tabs, ac_tabs
+                    )
     w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -725,7 +725,8 @@ def encode_jpeg_bytes(
     out += seg(0xFFDB, bytes([0x00]) + bytes(q))  # DQT id 0, 8-bit
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, qtable 0
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])  # sampling, qtable 0
     out += seg(0xFFC0, sof)
     for cls, tid, bits, vals in (
         (0, 0, _DC_LUM_BITS, _DC_LUM_VALS),
@@ -747,6 +748,46 @@ def encode_jpeg_bytes(
     out += w.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _encode_jpeg_block(
+    w, comps, preds, ci, by, bx, A, qm, dc_tabs, ac_tabs
+) -> None:
+    """Forward-code one 8x8 block of component ``ci`` at block coords
+    (by, bx): DCT, quantize, differential DC + run-length AC Huffman."""
+    import numpy as np
+
+    blk = comps[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+    coef = A @ blk @ A.T
+    qc = np.floor(coef / qm + 0.5 + 1e-9).astype(np.int64)
+    zz = qc.reshape(-1)[ZIGZAG]
+    # DC: differential, category + offset bits
+    diff = int(zz[0]) - preds[ci]
+    preds[ci] = int(zz[0])
+    s = _category(diff)
+    code, ln = dc_tabs[ci][s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    # AC: run-length coded
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tabs[ci][0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tabs[ci][(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_tabs[ci][0x00]  # EOB
+        w.put(code, ln)
 
 
 class _BitReader:
@@ -825,16 +866,19 @@ def _extend(v: int, s: int) -> int:
 
 
 def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JPEG (SOF0, Huffman, 8-bit samples,
-    1x1 sampling — grayscale or 4:4:4 color): full marker walk, DQT/DHT
-    as found in the file, byte de-stuffing, DRI restart intervals,
-    dequantize + float IDCT + level shift per block. Color output is
-    JFIF YCbCr -> RGB (BT.601 full range). Returns (width, height,
+    """Decode a baseline sequential JPEG (SOF0, Huffman, 8-bit samples —
+    grayscale, 4:4:4, and subsampled 4:2:0/4:2:2/4:4:0 color, r9): full
+    marker walk, DQT/DHT as found in the file, byte de-stuffing, DRI
+    restart intervals, the T.81 A.2.3 interleaved-MCU walk (Vi x Hi
+    blocks per component per MCU), dequantize + float IDCT + level
+    shift per block, then chroma upsampling by sample replication
+    (nearest — the standard fast path) to full resolution. Color output
+    is JFIF YCbCr -> RGB (BT.601 full range). Returns (width, height,
     channels, pixel_bytes) with samples interleaved row-major — the
     same contract as :func:`png_pixels`, so transcode/resize pipelines
     compose the two decoders interchangeably. Raises ValueError on
-    structural corruption, progressive (SOF2), subsampled, or
-    arithmetic-coded streams — the quarantine signal."""
+    structural corruption, progressive (SOF2), non-integer sampling
+    ratios, or arithmetic-coded streams — the quarantine signal."""
     import numpy as np
 
     d = payload
@@ -900,11 +944,10 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError(
-                        "subsampled JPEG not supported (only 1x1)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factor {hv:#x}")
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -922,7 +965,11 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             for si in range(ns):
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
                 idx = next(
-                    (i for i, (cid, _) in enumerate(comps) if cid == cs),
+                    (
+                        i
+                        for i, (cid, _h, _v, _t) in enumerate(comps)
+                        if cid == cs
+                    ),
                     None,
                 )
                 if idx is None:
@@ -930,16 +977,19 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 scan.append((idx, tabs >> 4, tabs & 0x0F))
             if ns != len(comps):
                 raise ValueError("only single-scan (non-interleaved-full)")
-            bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             planes = [
-                np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
-                for _ in comps
+                np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+                for (_cid, hi, vi, _tq) in comps
             ]
             br = _BitReader(d, pos + seglen)
             preds = [0] * len(comps)
             mcu = 0
-            for by in range(bh_):
-                for bx in range(bw_):
+            for my in range(mcuy):
+                for mx in range(mcux):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         br.restart()
                         preds = [0] * len(comps)
@@ -948,36 +998,45 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                         at = htables.get((1, act_id))
                         if dt is None or at is None:
                             raise ValueError("scan uses undefined DHT")
-                        q = qtables.get(comps[idx][1])
+                        q = qtables.get(comps[idx][3])
                         if q is None:
                             raise ValueError("component uses undefined DQT")
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _huff_decode(br, dt)
-                        diff = _extend(br.bits(s), s) if s else 0
-                        preds[idx] += diff
-                        zz[0] = preds[idx]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(br, at)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.bits(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * np.asarray(q, dtype=np.float64)
-                        blk = A.T @ coef.reshape(8, 8) @ A
-                        planes[idx][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = blk
+                        hi, vi = comps[idx][1], comps[idx][2]
+                        # T.81 A.2.3: Vi x Hi data units per MCU, raster
+                        for by, bx in (
+                            (my * vi + v, mx * hi + h_)
+                            for v in range(vi)
+                            for h_ in range(hi)
+                        ):
+                            zz = np.zeros(64, dtype=np.int64)
+                            s = _huff_decode(br, dt)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            preds[idx] += diff
+                            zz[0] = preds[idx]
+                            k = 1
+                            while k < 64:
+                                sym = _huff_decode(br, at)
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, size = sym >> 4, sym & 0x0F
+                                if size == 0:
+                                    if run != 15:
+                                        raise ValueError("bad AC symbol")
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                zz[k] = _extend(br.bits(size), size)
+                                k += 1
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[ZIGZAG] = zz * np.asarray(
+                                q, dtype=np.float64
+                            )
+                            blk = A.T @ coef.reshape(8, 8) @ A
+                            planes[idx][
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = blk
                     mcu += 1
             # end-of-scan integrity: after the last MCU only pad bits may
             # remain before EOI (or a final RSTn). A truncated or
@@ -990,12 +1049,30 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 br.marker is not None and 0xFFD0 <= br.marker <= 0xFFD7
             ):
                 raise ValueError("entropy data does not terminate at EOI")
-            out = [
-                np.clip(
-                    np.floor(p[:h, :w] + 128.0 + 0.5 + 1e-9), 0, 255
+            out = []
+            for p, (_cid, hi, vi, _tq) in zip(planes, comps):
+                # crop to the component's true resolution (T.81 A.1.1:
+                # ceil(dim * factor / max)), round at COMPONENT res —
+                # same sample values a 1x1 decode would produce — then
+                # replicate up to full resolution (nearest upsampling)
+                cw = (w * hi + hmax - 1) // hmax
+                ch_ = (h * vi + vmax - 1) // vmax
+                ip = np.clip(
+                    np.floor(p[:ch_, :cw] + 128.0 + 0.5 + 1e-9), 0, 255
                 ).astype(np.int64)
-                for p in planes
-            ]
+                if hi != hmax or vi != vmax:
+                    if hmax % hi or vmax % vi:
+                        raise ValueError(
+                            "non-integer chroma sampling ratio"
+                        )
+                    ip = np.repeat(
+                        np.repeat(ip, vmax // vi, axis=0),
+                        hmax // hi,
+                        axis=1,
+                    )[:h, :w]
+                else:
+                    ip = ip[:h, :w]
+                out.append(ip)
             if len(out) == 3:  # JFIF YCbCr -> RGB, BT.601 full range
                 y, cb, cr = (o.astype(np.float64) for o in out)
                 r = y + 1.402 * (cr - 128.0)
@@ -1058,6 +1135,109 @@ def synth_jpeg_bytes(seed: int) -> bytes:
         for x in range(w)
     ]
     return encode_jpeg_bytes([plane], w, h, qtable=_FLAT_Q16)
+
+
+def synth_jpeg_progressive_stub(seed: int) -> bytes:
+    """A structurally real PROGRESSIVE-JPEG header (SOI, JFIF APP0, DQT,
+    SOF2 with 4:2:0 sampling, DHT, SOS + placeholder entropy + EOI) for
+    census fixtures: :func:`jpeg_header_metadata` profiles it like any
+    web JPEG (the walk stops at SOS), while :func:`jpeg_pixels`
+    quarantines it (SOF2) — exactly the mixed-corpus shape the kind
+    census measures. Dims follow :func:`synth_jpeg_dims`."""
+    w, h = synth_jpeg_dims(seed)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(0xFFDB, bytes([0x00]) + bytes(_FLAT_Q16))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, hv in ((1, 0x22), (2, 0x11), (3, 0x11)):  # 4:2:0
+        sof += bytes([cid, hv, 0])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS),
+    )
+    # first progressive scan header (DC, Ss=0 Se=0 Ah=0 Al=1)
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 1]))
+    out += bytes([0x00] * 8)  # placeholder entropy (census never reads it)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_jpeg420_dims(seed: int) -> tuple[int, int]:
+    """(width, height) of the synthetic 4:2:0 JPEG — whole 16x16 MCUs."""
+    return 16 * (1 + seed % 2), 16 * (1 + seed % 3)
+
+
+def synth_jpeg420_ycc(seed: int, mx: int, my: int) -> tuple[int, int, int]:
+    """Source (Y, Cb, Cr) of the constant 16x16 MCU at (mx, my)."""
+    return (
+        (seed * 7 + mx * 13 + my * 29) % 256,
+        (seed * 11 + mx * 17 + my * 23) % 256,
+        (seed * 5 + mx * 19 + my * 31) % 256,
+    )
+
+
+def _jpeg_q16_roundtrip(v: int) -> int:
+    """Constant-block DCT->flat-16-quant->IDCT round trip as the exact
+    integer formula the oracles recompute (same as synth_jpeg_pixel)."""
+    return min(255, max(0, 2 * ((v - 127) // 2) + 128))
+
+
+def synth_jpeg420_rgb(seed: int, mx: int, my: int) -> tuple[int, int, int]:
+    """DECODED (R, G, B) of every pixel in MCU (mx, my): each plane's
+    constant value survives the flat-16 round trip as
+    :func:`_jpeg_q16_roundtrip`, chroma replication keeps the MCU
+    constant, and the BT.601 conversion + round-half-up matches the
+    decoder's float64 expression term for term (the SQL twin recomputes
+    exactly this)."""
+    yv, cb, cr = (
+        float(_jpeg_q16_roundtrip(v)) for v in synth_jpeg420_ycc(seed, mx, my)
+    )
+    r = yv + 1.402 * (cr - 128.0)
+    g = yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = yv + 1.772 * (cb - 128.0)
+    import math
+
+    return tuple(
+        min(255, max(0, int(math.floor(c + 0.5 + 1e-9)))) for c in (r, g, b)
+    )
+
+
+def synth_jpeg420_bytes(seed: int) -> bytes:
+    """A real baseline 4:2:0 JFIF color file (the sampling of virtually
+    every camera/web JPEG): constant 16x16 YCbCr MCUs from
+    :func:`synth_jpeg420_ycc`, luma at full res (4 blocks/MCU), chroma
+    at quarter res (1 block/MCU), flat-16 quant — opens in any viewer,
+    decodes here to :func:`synth_jpeg420_rgb` exactly."""
+    w, h = synth_jpeg420_dims(seed)
+    yplane = [
+        synth_jpeg420_ycc(seed, x // 16, y // 16)[0]
+        for y in range(h)
+        for x in range(w)
+    ]
+    cbplane = [
+        synth_jpeg420_ycc(seed, x // 8, y // 8)[1]
+        for y in range(h // 2)
+        for x in range(w // 2)
+    ]
+    crplane = [
+        synth_jpeg420_ycc(seed, x // 8, y // 8)[2]
+        for y in range(h // 2)
+        for x in range(w // 2)
+    ]
+    return encode_jpeg_bytes(
+        [yplane, cbplane, crplane],
+        w,
+        h,
+        qtable=_FLAT_Q16,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    )
 
 
 def wav_pcm_features(payload: bytes, window: int = 16) -> dict:
@@ -1126,13 +1306,48 @@ def image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     return png_pixels(payload)
 
 
+_SOF_MARKERS = {
+    0xC0: "baseline",
+    0xC1: "extended",
+    0xC2: "progressive",
+    0xC3: "lossless",
+    0xC5: "diff-sequential",
+    0xC6: "diff-progressive",
+    0xC7: "diff-lossless",
+    0xC9: "arith-sequential",
+    0xCA: "arith-progressive",
+    0xCB: "arith-lossless",
+    0xCD: "arith-diff-sequential",
+    0xCE: "arith-diff-progressive",
+    0xCF: "arith-diff-lossless",
+}
+
+
+def _sampling_label(samps: list[tuple[int, int]]) -> str:
+    """Conventional chroma-subsampling name from per-component (Hi, Vi)
+    factors: gray / 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0, else 'other'."""
+    if len(samps) == 1:
+        return "gray"
+    if len(samps) == 3 and samps[1] == (1, 1) and samps[2] == (1, 1):
+        return {
+            (1, 1): "4:4:4",
+            (2, 1): "4:2:2",
+            (1, 2): "4:4:0",
+            (2, 2): "4:2:0",
+        }.get(samps[0], "other")
+    return "other"
+
+
 def jpeg_header_metadata(payload: bytes) -> dict:
     """Header-only JPEG metadata: marker walk that STOPS at SOS — no
     entropy decode, no IDCT — returning dims, component count, table
-    counts, restart interval, and the quant-value sum (a cheap checksum
-    of the quality setting). The corpus-profiling scan for image
-    datasets: billions of files can be characterized at ~hundreds of
-    bytes read each, three orders cheaper than decoding. Raises
+    counts, restart interval, the quant-value sum (a cheap checksum
+    of the quality setting), plus (r9) the SOF kind ('baseline' /
+    'progressive' / ...) and the conventional chroma-sampling label
+    ('gray' / '4:4:4' / '4:2:0' / ...). Unlike :func:`jpeg_pixels`,
+    every SOFn frame type is VALID metadata here — the census scan must
+    profile progressive files, not quarantine them; that is what turns
+    the decoder's coverage gap into a measured corpus number. Raises
     ValueError on structural corruption (same quarantine contract as
     :func:`jpeg_pixels`)."""
     d = payload
@@ -1183,9 +1398,14 @@ def jpeg_header_metadata(payload: bytes) -> dict:
                     raise ValueError("truncated DHT")
                 n_h += 1
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):
+        elif marker in _SOF_MARKERS:
             h, w = struct.unpack(">HH", body[1:5])
-            frame = (w, h, body[5])
+            nc = body[5]
+            samps = [
+                (body[6 + 3 * ci + 1] >> 4, body[6 + 3 * ci + 1] & 0x0F)
+                for ci in range(nc)
+            ]
+            frame = (w, h, nc, marker, samps)
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
@@ -1201,4 +1421,6 @@ def jpeg_header_metadata(payload: bytes) -> dict:
         "n_huffman_tables": n_h,
         "restart_interval": restart_interval,
         "quant_sum": quant_sum,
+        "sof_kind": _SOF_MARKERS[frame[3]],
+        "sampling": _sampling_label(frame[4]),
     }

@@ -209,6 +209,34 @@ def with_jpeg_media(
     return df.select(id_col).mapInPandas(gen, schema=f"{id_col} LONG, media BINARY")
 
 
+def with_jpeg420_media(
+    df: DataFrame, id_col: str = "doc_id", seed_col: str | None = None
+) -> DataFrame:
+    """Attach a REAL 4:2:0-subsampled baseline JFIF color payload per
+    row (the sampling of virtually every camera/web JPEG — r9): luma at
+    full resolution, chroma at quarter resolution, interleaved 6-block
+    MCUs. Synthesized deterministically from the id so the decode
+    oracle stays symbolic."""
+    from .codecs import synth_jpeg420_bytes
+
+    seed_col = seed_col or id_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [
+                        synth_jpeg420_bytes(int(s)) for s in pdf[seed_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} LONG, media BINARY"
+    )
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL image decode over the Arrow mapInPandas plumbing, dispatched
     by magic number: PNG (signature + CRC'd chunk walk, IDAT inflate,
@@ -751,7 +779,7 @@ def image_phash(
 JPEG_META_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, "
     "n_quant_tables int, n_huffman_tables int, restart_interval int, "
-    "quant_sum bigint"
+    "quant_sum bigint, sof_kind string, sampling string"
 )
 
 
@@ -775,10 +803,46 @@ def jpeg_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "n_huffman_tables",
                 "restart_interval",
                 "quant_sum",
+                "sof_kind",
+                "sampling",
             ):
                 out[k] = [s[k] for s in stats]
             yield pd.DataFrame(out)
 
     return df.select(id_col, "media").mapInPandas(
         meta, schema=JPEG_META_SCHEMA
+    )
+
+
+def with_mixed_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", seed_col: str | None = None
+) -> DataFrame:
+    """Attach a MIXED JPEG corpus per row — the shape a real image crawl
+    has (r9): id % 3 == 0 -> grayscale baseline, 1 -> 4:2:0 color
+    baseline, 2 -> progressive (header-only stub; the decoder
+    quarantines SOF2, the header census profiles it). This is the
+    fixture for measuring what fraction of a corpus each decode path
+    covers."""
+    from .codecs import (
+        synth_jpeg420_bytes,
+        synth_jpeg_bytes,
+        synth_jpeg_progressive_stub,
+    )
+
+    seed_col = seed_col or id_col
+    makers = [synth_jpeg_bytes, synth_jpeg420_bytes, synth_jpeg_progressive_stub]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [
+                        makers[int(s) % 3](int(s)) for s in pdf[seed_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} LONG, media BINARY"
     )

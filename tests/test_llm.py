@@ -1865,3 +1865,106 @@ def test_safety_screen_density_rule(spark, sf_dir):
     assert sum(r["total_hits"] for r in rows) >= n_planted
     for r in rows:
         assert r["n_dropped"] <= r["n_flagged"]
+
+
+# -- JPEG 4:2:0 chroma subsampling (r9) ---------------------------------------
+
+
+def test_jpeg_420_exact_roundtrip():
+    """Constant-MCU 4:2:0 color files decode to the exact per-MCU RGB
+    formula the oracle mirrors (flat-16 round trip + replication
+    upsample + BT.601), across every dims shape the synthesis makes."""
+    import numpy as np
+
+    from flux_spark.llm import codecs as C
+
+    for seed in range(24):
+        w, h, ch, pix = C.jpeg_pixels(C.synth_jpeg420_bytes(seed))
+        ew, eh = C.synth_jpeg420_dims(seed)
+        assert (w, h, ch) == (ew, eh, 3), seed
+        arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                exp = np.array(C.synth_jpeg420_rgb(seed, mx, my), np.uint8)
+                tile = arr[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+                assert (tile == exp).all(), (seed, mx, my)
+
+
+def test_jpeg_420_odd_dims_and_422():
+    """Non-MCU-multiple dims (plane padding + crop) and 4:2:2 sampling
+    both decode to the closed form; restart intervals don't change
+    output."""
+    import math
+
+    import numpy as np
+
+    from flux_spark.llm import codecs as C
+
+    def ycc(mx, my):
+        return (
+            (37 + mx * 13 + my * 29) % 256,
+            (91 + mx * 17 + my * 23) % 256,
+            (11 + mx * 19 + my * 31) % 256,
+        )
+
+    def expected(cy, cb, cr):
+        y, b_, r_ = (float(C._jpeg_q16_roundtrip(v)) for v in (cy, cb, cr))
+        rr = y + 1.402 * (r_ - 128.0)
+        gg = y - 0.344136 * (b_ - 128.0) - 0.714136 * (r_ - 128.0)
+        bb = y + 1.772 * (b_ - 128.0)
+        return tuple(
+            min(255, max(0, int(math.floor(c + 0.5 + 1e-9))))
+            for c in (rr, gg, bb)
+        )
+
+    # 24x40: partial MCU column under 4:2:0
+    w, h = 24, 40
+    Y = [ycc(x // 16, y // 16)[0] for y in range(h) for x in range(w)]
+    Cb = [ycc(x // 8, y // 8)[1] for y in range(h // 2) for x in range(w // 2)]
+    Cr = [ycc(x // 8, y // 8)[2] for y in range(h // 2) for x in range(w // 2)]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    p = C.encode_jpeg_bytes([Y, Cb, Cr], w, h, sampling=samp)
+    gw, gh, ch, pix = C.jpeg_pixels(p)
+    assert (gw, gh, ch) == (w, h, 3)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(arr[y, x]) == expected(*ycc(x // 16, y // 16)), (x, y)
+    # restart interval is output-invariant
+    p_dri = C.encode_jpeg_bytes([Y, Cb, Cr], w, h, sampling=samp,
+                                restart_interval=2)
+    assert C.jpeg_pixels(p_dri)[3] == pix
+    # 4:2:2: horizontal-only subsampling
+    w, h = 32, 16
+    Y = [ycc(x // 16, y // 16)[0] for y in range(h) for x in range(w)]
+    Cb = [ycc(x // 8, y // 8)[1] for y in range(h) for x in range(w // 2)]
+    Cr = [ycc(x // 8, y // 8)[2] for y in range(h) for x in range(w // 2)]
+    p = C.encode_jpeg_bytes([Y, Cb, Cr], w, h,
+                            sampling=[(2, 1), (1, 1), (1, 1)])
+    gw, gh, ch, pix = C.jpeg_pixels(p)
+    assert (gw, gh, ch) == (w, h, 3)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            cy = ycc(x // 16, y // 16)[0]
+            _, cb, cr = ycc(x // 16, y // 8)
+            assert tuple(arr[y, x]) == expected(cy, cb, cr), (x, y)
+
+
+def test_jpeg_kind_census_fields_and_quarantine():
+    """Header scan classifies SOF kind + sampling for all three corpus
+    classes; the full decoder still quarantines progressive (SOF2)."""
+    import pytest
+
+    from flux_spark.llm import codecs as C
+
+    for seed in (0, 1, 2, 5, 7):
+        m = C.jpeg_header_metadata(C.synth_jpeg_bytes(seed))
+        assert (m["sof_kind"], m["sampling"]) == ("baseline", "gray")
+        m = C.jpeg_header_metadata(C.synth_jpeg420_bytes(seed))
+        assert (m["sof_kind"], m["sampling"]) == ("baseline", "4:2:0")
+        assert (m["width"], m["height"]) == C.synth_jpeg420_dims(seed)
+        m = C.jpeg_header_metadata(C.synth_jpeg_progressive_stub(seed))
+        assert (m["sof_kind"], m["sampling"]) == ("progressive", "4:2:0")
+        with pytest.raises(ValueError):
+            C.jpeg_pixels(C.synth_jpeg_progressive_stub(seed))
