@@ -214,6 +214,51 @@ def parts_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str):
+    """Weighted co-purchase edge set (both directions, HAVING w >= 2),
+    built from ONE ordered half (a.partkey < b.partkey) and mirrored
+    after the count filter. Bit-identical to the bidirectional
+    self-join build — co-purchase counts are symmetric — but the
+    dominant shuffle (the (src, dst) pair groupBy, mostly-unique keys so
+    map-side combine can't shrink it) carries HALF the rows; the mirror
+    is two scans of the persisted half. r9 ladder: sf30 measured the
+    bidirectional build superlinear (85 s sf10 -> 428 s sf30, spill on
+    the pair exchange); the halved build is the fix, measured on both
+    rungs (see SCALE.md).
+
+    The half is built through the shared basket machinery
+    (operators.basket_group + pairs_from_basket, the market-basket /
+    association-rules build): ONE shuffle of the raw (order, part)
+    stream keyed by order (collect_set dedupes map-side — no separate
+    DISTINCT shuffle, no self-join), pairs expanded JVM-side from the
+    sorted array (a < b for free), then the pair count. r9 sf30
+    measurements: bidirectional self-join 428 s -> ordered-half
+    self-join 217 s -> basket build (this form) — see SCALE.md.
+
+    Returns (edges, half): ``edges`` is the bidirectional view over the
+    persisted half — callers must ``half.unpersist()`` when done or
+    rely on clearCache."""
+    from .operators import basket_group, pairs_from_basket
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    half = (
+        pairs_from_basket(basket_group(li, "l_orderkey", "l_partkey"))
+        .select(
+            F.col("item_a").alias("src"),
+            F.col("item_b").alias("dst"),
+            F.col("n_keys").cast("bigint").alias("w"),
+        )
+        .where(F.col("w") >= 2)
+        .persist()
+    )
+    mirrored = half.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+    )
+    return half.unionByName(mirrored), half
+
+
 def _lp_round_sql(prev: str, out: str) -> str:
     return f"""
     {out} AS (
@@ -260,27 +305,7 @@ def _lp_round_sql(prev: str, out: str) -> str:
     "a groupBy argmax; edges cache once; no driver-side data.",
 )
 def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("bigint").alias("w"))
-        .where(F.col("w") >= 2)
-        .persist()
-    )
+    edges, _half = _copurchase_edges(spark, sf_dir)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -352,28 +377,8 @@ def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "onto the edge stream; 1-row output.",
 )
 def parts_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("__w"))
-        .where(F.col("__w") >= 2)
-        .select("src", "dst")
-        .persist()
-    )
+    bidir, _half = _copurchase_edges(spark, sf_dir)
+    edges = bidir.select("src", "dst")
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
     pairs = (
         edges.join(F.broadcast(deg), "src")

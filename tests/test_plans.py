@@ -883,3 +883,23 @@ def test_weighted_sample_count_is_scalar_not_window(spark, sf):
 
     plan = executed_plan(LLM_QUERIES["doc_weighted_sample"].fn(spark, sf))
     assert "Window" not in plan
+
+
+def test_copurchase_edge_build_is_basket_half_then_mirrored(spark, sf):
+    # r9 ladder fix (sf30: 428 s self-join -> 114 s basket build): the
+    # co-purchase half comes from the shared basket machinery — ONE
+    # shuffle of the raw (order, part) stream (collect_set dedupes, no
+    # DISTINCT shuffle, no self-join), pairs exploded JVM-side from the
+    # sorted array (a < b for free) — and the bidirectional edge set is
+    # a Union over the persisted half.
+    # (label_propagation's final plan is a checkpoint scan, so assert on
+    # its twin assortativity, which keeps the full lineage in one plan)
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(
+        ANALYTICS_QUERIES["parts_degree_assortativity"].fn(spark, sf)
+    )
+    assert "Union" in plan
+    assert "collect_set" in plan  # basket build, not a lineitem self-join
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    spark.catalog.clearCache()
