@@ -660,11 +660,16 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
-    pts = freq.select(
-        (F.length(F.bin(F.row_number().over(w))) - 1)
-        .cast("bigint")
-        .alias("x"),
+    from ..analytics.operators import attach_global_order
+
+    # vocabulary rank via the two-pass range-partition pattern (r9):
+    # web-scale vocabularies run to billions of rare tokens, so even
+    # this "model-sized" window gets the no-single-partition form
+    ranked = attach_global_order(
+        freq, [F.col("c").desc(), F.col("tok").asc()], row_alias="__r"
+    )
+    pts = ranked.select(
+        (F.length(F.bin(F.col("__r"))) - 1).cast("bigint").alias("x"),
         (F.length(F.bin(F.col("c"))) - 1).cast("bigint").alias("y"),
     )
     sums = pts.agg(
