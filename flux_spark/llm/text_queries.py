@@ -1652,8 +1652,16 @@ def doc_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
         F.count("*").cast("bigint").alias("np"),
     )
+    # SHUFFLE_HASH, never broadcast: the tokenized-vocabulary side is
+    # "model-sized" only while the vocabulary is — a real web corpus
+    # (and the sf30 ladder's perturbed replicas) grows it into the
+    # multi-GB range, and Catalyst's size estimate for the recursive-CTE
+    # aggregate is far too low, so AQE picks a broadcast that dies at
+    # the 8 GiB cap (r9 ladder catch: bench crash at sf30). wtok is
+    # already hash-partitioned by word from its groupBy, so the hint
+    # shuffles only the occurrence stream.
     return (
-        dw.join(wtok, "word")
+        dw.join(wtok.hint("shuffle_hash"), "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_words"),

@@ -200,10 +200,11 @@ SHOWCASE = [
     ),
     (
         "parts_degree_assortativity",
-        "degree assortativity (r8 s5, benched r9): reuses the capped "
-        "co-purchase edge build, joins broadcast degree table onto "
-        "edges, then reduces to DECIMAL cross-product scalars — one "
-        "corpus-scaled shuffle, exact IEEE sqrt at the end",
+        "degree assortativity (r8 s5, benched r9): co-purchase edges "
+        "from the shared basket build (one (order, part) shuffle with "
+        "map-side collect_set, JVM-side pair explode — no DISTINCT "
+        "shuffle, no self-join; r9 sf30 fix, 428 -> 114 s), degrees "
+        "broadcast onto edges, DECIMAL cross-product scalars at the end",
     ),
     (
         "doc_pack_sequences",

@@ -903,3 +903,13 @@ def test_copurchase_edge_build_is_basket_half_then_mirrored(spark, sf):
     assert "collect_set" in plan  # basket build, not a lineitem self-join
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_wordpiece_vocab_join_is_shuffle_not_broadcast(spark, sf):
+    # r9 ladder catch: AQE broadcast the recursive-CTE tokenized vocab
+    # (size estimate far too low) and died at the 8 GiB cap at sf30.
+    # The word join must stay a shuffled hash join at every scale.
+    from flux_spark.llm.queries import LLM_QUERIES
+
+    plan = executed_plan(LLM_QUERIES["doc_wordpiece_tokenize"].fn(spark, sf))
+    assert "ShuffledHashJoin" in plan
