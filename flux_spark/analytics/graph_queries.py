@@ -305,30 +305,36 @@ def _lp_round_sql(prev: str, out: str) -> str:
     "a groupBy argmax; edges cache once; no driver-side data.",
 )
 def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges, _half = _copurchase_edges(spark, sf_dir)
+    edges, half = _copurchase_edges(spark, sf_dir)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lab"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(3):
-        win = Window.partitionBy("node").orderBy(
-            F.col("wsum").desc(), F.col("lab")
-        )
-        # localCheckpoint per round (connected_components pattern): without
-        # it round N's plan CONTAINS rounds 1..N-1 and re-executes them
-        labels = (
-            edges.join(
-                labels.select(F.col("node").alias("src"), "lab"), "src"
+    try:
+        for _ in range(3):
+            win = Window.partitionBy("node").orderBy(
+                F.col("wsum").desc(), F.col("lab")
             )
-            .groupBy(F.col("dst").alias("node"), "lab")
-            .agg(F.sum("w").cast("bigint").alias("wsum"))
-            .withColumn("rn", F.row_number().over(win))
-            .where(F.col("rn") == 1)
-            .select("node", "lab")
-            .localCheckpoint(eager=True)
-        )
+            # localCheckpoint per round (connected_components pattern):
+            # without it round N's plan CONTAINS rounds 1..N-1 and
+            # re-executes them
+            labels = (
+                edges.join(
+                    labels.select(F.col("node").alias("src"), "lab"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"), "lab")
+                .agg(F.sum("w").cast("bigint").alias("wsum"))
+                .withColumn("rn", F.row_number().over(win))
+                .where(F.col("rn") == 1)
+                .select("node", "lab")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # the final projection reads only the checkpointed labels, so the
+        # cached edge half is dead weight in a long-lived session
+        half.unpersist()
     comm = Window.partitionBy("lab")
     return labels.select(
         F.col("node").alias("part"),
@@ -377,7 +383,7 @@ def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "onto the edge stream; 1-row output.",
 )
 def parts_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bidir, _half = _copurchase_edges(spark, sf_dir)
+    bidir, half = _copurchase_edges(spark, sf_dir)
     edges = bidir.select("src", "dst")
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
     pairs = (
@@ -399,6 +405,12 @@ def parts_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
         F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
     )
+    try:
+        # pin the 1-row reduction so the edge cache can be released
+        # before the caller materializes the final projection
+        sums = sums.localCheckpoint(eager=True)
+    finally:
+        half.unpersist()
     num = F.col("k") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
     denx = F.col("k") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
     deny = F.col("k") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")

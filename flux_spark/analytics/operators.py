@@ -548,25 +548,43 @@ def skew_profile(
     ``percentile``, bit-compatible with DuckDB's ``quantile_cont``.
 
     Plan shape at 100 TB: the raw table reduces map-side to one row per
-    key; every later step is O(distinct keys) — one global sort for the
-    rank (the honest cost of an exact Gini) and scalar aggregates. The
-    raw fact table is scanned once and never re-shuffled.
+    key; every later step is O(distinct keys). The exact-Gini rank is
+    computed with the two-pass range-partition pattern
+    (:func:`attach_global_order`), so even a high-cardinality key (URLs,
+    user ids — the keys most worth profiling) never funnels through a
+    single-partition window; the hottest key is a TakeOrderedAndProject
+    (per-partition top-1, driver merge). The raw fact table is scanned
+    once and never re-shuffled.
+
+    top-10 share note: the sum of the 10 largest counts depends only on
+    the count MULTISET (boundary ties contribute equal values), so
+    ``rank-from-bottom > n_keys - 10`` over the ascending order sums the
+    same value as ``ROW_NUMBER() OVER (count DESC) <= 10`` — one global
+    order serves both the Gini and the top-10 leg.
     """
     counts = df.groupBy(F.col(key_col).alias("__k")).agg(
         F.count("*").alias("__c")
     )
-    w = Window.orderBy(F.asc("__c"), F.asc("__k"))
-    ranked = counts.withColumn("__i", F.row_number().over(w))
-    wd = Window.orderBy(F.desc("__c"), F.asc("__k"))
-    ranked = ranked.withColumn("__rd", F.row_number().over(wd))
+    ranked = attach_global_order(
+        counts,
+        [F.asc("__c"), F.asc("__k")],
+        row_alias="__i",
+        total_alias="__nk",
+    )
+    hot = (
+        counts.orderBy(F.desc("__c"), F.asc("__k"))
+        .limit(1)
+        .select(F.col("__k").cast("string").alias("hottest_key"))
+    )
     agg = ranked.agg(
         F.sum("__c").cast("bigint").alias("n_rows"),
         F.count("*").cast("bigint").alias("n_keys"),
         F.max("__c").cast("bigint").alias("max_count"),
-        F.min(F.when(F.col("__rd") == 1, F.col("__k").cast("string"))).alias(
-            "hottest_key"
-        ),
-        F.sum(F.when(F.col("__rd") <= 10, F.col("__c")).otherwise(0))
+        F.sum(
+            F.when(F.col("__i") > F.col("__nk") - 10, F.col("__c")).otherwise(
+                0
+            )
+        )
         .cast("bigint")
         .alias("__top10"),
         F.sum(F.col("__i").cast("bigint") * F.col("__c").cast("bigint"))
@@ -582,6 +600,7 @@ def skew_profile(
             "p99_count"
         ),
     )
+    agg = agg.crossJoin(F.broadcast(hot))
     n = F.col("n_keys")
     tot = F.col("n_rows")
     gini = (
@@ -715,7 +734,13 @@ def attach_global_order(
     """
     spark = df.sparkSession
     if n_partitions is None:
-        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # spark.sql.shuffle.partitions may be "auto" on AQE-managed
+        # deployments (e.g. Databricks) — fall back to the cluster's
+        # default parallelism rather than ValueError-ing every caller.
+        try:
+            n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            n_partitions = spark.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n_partitions, *order_exprs).withColumn(
         "__pid", F.spark_partition_id()
     )

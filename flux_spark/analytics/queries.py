@@ -536,16 +536,29 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d GROUP BY decile
     """,
     "NTILE bucketing: balance deciles under a deterministic total order "
-    "(balance desc, key asc) with per-decile exact-decimal totals. NTILE "
-    "needs one global sort — fine for dimension-sized inputs; for a fact "
-    "table at scale the percentile-cut form (events_value_percentiles) is "
-    "the scalable variant",
+    "(balance desc, key asc) with per-decile exact-decimal totals. The "
+    "global NTILE is computed with the two-pass range-partition pattern "
+    "(attach_global_order + the closed-form ntile_from_rank bucket "
+    "formula) — bit-identical to the unpartitioned-NTILE oracle, but the "
+    "sort parallelizes across range partitions, so the same query shape "
+    "works on a fact table, not just a dimension",
 )
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    d = c.select(
-        "c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile")
+    from flux_spark.analytics.operators import (
+        attach_global_order,
+        ntile_from_rank,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = attach_global_order(
+        c,
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        row_alias="__rank",
+        total_alias="__n",
+    )
+    d = ranked.select(
+        "c_acctbal",
+        ntile_from_rank(F.col("__rank"), F.col("__n"), 10).alias("decile"),
     )
     return d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count("*").alias("n_customers"),

@@ -892,17 +892,50 @@ def test_copurchase_edge_build_is_basket_half_then_mirrored(spark, sf):
     # DISTINCT shuffle, no self-join), pairs exploded JVM-side from the
     # sorted array (a < b for free) — and the bidirectional edge set is
     # a Union over the persisted half.
-    # (label_propagation's final plan is a checkpoint scan, so assert on
-    # its twin assortativity, which keeps the full lineage in one plan)
+    # (both registry callers now checkpoint before returning — r10
+    # unpersist fix — so assert on the shared edge builder directly,
+    # which keeps the full lineage in one plan)
+    from flux_spark.analytics.graph_queries import _copurchase_edges
+
+    edges, half = _copurchase_edges(spark, sf)
+    try:
+        plan = executed_plan(edges)
+        assert "Union" in plan
+        assert "collect_set" in plan  # basket build, not lineitem self-join
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    finally:
+        half.unpersist()
+    spark.catalog.clearCache()
+
+
+def test_balance_deciles_ntile_has_no_single_partition(spark, sf):
+    # r10: the last dimension-sized global NTILE moved onto
+    # attach_global_order + ntile_from_rank — no single-partition
+    # window survives, and no ntile expression remains in the plan.
     from flux_spark.analytics.queries import ANALYTICS_QUERIES
 
     plan = executed_plan(
-        ANALYTICS_QUERIES["parts_degree_assortativity"].fn(spark, sf)
+        ANALYTICS_QUERIES["customer_balance_deciles"].fn(spark, sf)
     )
-    assert "Union" in plan
-    assert "collect_set" in plan  # basket build, not a lineitem self-join
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    spark.catalog.clearCache()
+    assert "SinglePartition" not in plan
+    assert "ntile" not in plan
+    assert "windowspecdefinition(__pid" in plan
+
+
+def test_skew_profile_gini_rank_has_no_single_partition(spark, sf):
+    # r10: the exact-Gini rank over distinct keys is two-pass
+    # range-partitioned; the hottest key is a TakeOrderedAndProject
+    # (per-partition top-1 -> driver merge), never a global sort. The
+    # one SinglePartition allowed to remain is the final SCALAR
+    # aggregate — exactly one partially-aggregated row per partition
+    # crosses it (proved by the partial_percentile on its map side).
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_skew_profile"].fn(spark, sf))
+    assert plan.count("SinglePartition") == 1
+    assert "partial_percentile" in plan
+    assert "windowspecdefinition(__pid" in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_wordpiece_vocab_join_is_shuffle_not_broadcast(spark, sf):
