@@ -285,8 +285,11 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    import statistics
+
     timings: dict[str, float] = {}
     rates: dict[str, float] = {}
+    rates_best: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
 
     # -- 1. ingest: events -> 3-partition topic through the produce path --
@@ -305,9 +308,15 @@ def main() -> None:
         t0 = time.perf_counter()
         store.append(topic, events, ordering_col="seq")
         runs["ingest_events"].append(round(time.perf_counter() - t0, 4))
-    best = min(runs["ingest_events"])
-    timings["ingest_events"] = best
-    rates["ingest_events"] = round(n_events / best)
+    # r10 (VERDICT r9 #3): the throughput legs headline the MEDIAN, not
+    # the min — min-of-N inherits the box's full jitter band (r9 saw a
+    # -10% round-over-round "regression" with zero ingest-path code
+    # change), median makes round deltas signal; the per-run spread and
+    # the old best-of-N rate stay on the detail line for comparability.
+    med = statistics.median(runs["ingest_events"])
+    timings["ingest_events"] = med
+    rates["ingest_events"] = round(n_events / med)
+    rates_best["ingest_events"] = round(n_events / min(runs["ingest_events"]))
 
     # -- 2. consume: poll everything back (offset-bounded scan) -----------
     runs["consume_events"] = []
@@ -318,9 +327,12 @@ def main() -> None:
         got = consumer.poll().records.count()
         runs["consume_events"].append(round(time.perf_counter() - t0, 4))
         assert got == n_events, (got, n_events)
-    best = min(runs["consume_events"])
-    timings["consume_events"] = best
-    rates["consume_events"] = round(n_events / best)
+    med = statistics.median(runs["consume_events"])
+    timings["consume_events"] = med
+    rates["consume_events"] = round(n_events / med)
+    rates_best["consume_events"] = round(
+        n_events / min(runs["consume_events"])
+    )
 
     # -- 2b. single-record produce -> poll-visible round-trip latency -----
     # BASELINE.md's bench plan promises latency as well as throughput:
@@ -332,7 +344,9 @@ def main() -> None:
 
     lat_topic = "latency_probe"
     store.catalog.create_topic(lat_topic, 1)
-    lat_prod = FluxProducer(store)
+    # fast_path_max=0 pins the HONEST microbatch row: full Spark produce
+    # job + full Spark poll job per round trip (r9's published number)
+    lat_prod = FluxProducer(store, fast_path_max=0)
     lat_cons = FluxConsumer(store, group_id="latbench")
     lat_cons.assign({lat_topic: [0]})
     lat_n = max(1, int(os.environ.get("SPARK_GRAFT_LATENCY_N", "20")))
@@ -347,9 +361,32 @@ def main() -> None:
         if i > 0:
             lat_ms.append(dt_ms)
     lat_ms.sort()
+    # r10 second row (VERDICT r9 #5): the queue-user fast path — driver-
+    # side pyarrow produce (append_rows) + footer-pruned pyarrow tail
+    # read (read_since), both oracle-gated equivalent to the Spark paths
+    fast_topic = "latency_fast"
+    store.catalog.create_topic(fast_topic, 1)
+    fast_prod = FluxProducer(store)  # default: small flushes take append_rows
+    fast_ms: list[float] = []
+    nxt = 0
+    for i in range(lat_n + 1):
+        t0 = time.perf_counter()
+        fast_prod.send(fast_topic, value=f"probe-{i}", key="k")
+        fast_prod.flush()
+        recs = store.read_since(fast_topic, 0, nxt)
+        dt_ms = (time.perf_counter() - t0) * 1000.0
+        assert len(recs) == 1 and recs[0]["value"] == f"probe-{i}", (i, recs)
+        nxt = recs[0]["offset"] + 1
+        if i > 0:
+            fast_ms.append(dt_ms)
+    fast_ms.sort()
     latency_ms = {
         "p50": round(lat_ms[len(lat_ms) // 2], 1),
         "p99": round(lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 1),
+        "fast_p50": round(fast_ms[len(fast_ms) // 2], 2),
+        "fast_p99": round(
+            fast_ms[min(len(fast_ms) - 1, int(len(fast_ms) * 0.99))], 2
+        ),
     }
 
     # -- 3. analytics + LLM headline --------------------------------------
@@ -391,8 +428,6 @@ def main() -> None:
         timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 4)
-    import statistics
-
     medians = {
         name: round(statistics.median(rs), 4) for name, rs in runs.items()
     }
@@ -409,6 +444,8 @@ def main() -> None:
                 "n_events": n_events,
                 "skipped": sorted(skip),
                 "latency_ms_sorted": [round(x, 2) for x in lat_ms],
+                "latency_fast_ms_sorted": [round(x, 2) for x in fast_ms],
+                "records_per_s_best": rates_best,
             }
         )
     )

@@ -342,6 +342,157 @@ class LogStore:
                 intent.unlink(missing_ok=True)
             return stats
 
+    def append_rows(
+        self,
+        topic: str,
+        rows: list[dict],
+        batch_id: str | None = None,
+    ) -> dict[int, tuple[int, int]]:
+        """Small-batch fast-path append — the produce-side twin of
+        :meth:`read_since`. A queue-like caller producing a handful of
+        records pays a full Spark job (~0.5 s floor) through
+        :meth:`append`; for driver-sized batches the batch IS the
+        bottleneck, so this path routes, offsets, and writes entirely on
+        the driver with pyarrow — one parquet file per touched partition,
+        no JVM round trip.
+
+        Semantics are IDENTICAL to :meth:`append` and oracle-gated against
+        it (``log_fastpath_produce_parity``):
+
+        * routing priority explicit-valid -> murmur2(key) -> round-robin
+          on the arrival sequence (PartitionSelector.java:22-51), with the
+          same Python murmur2 the pandas UDF vectorizes;
+        * gap-free per-partition offsets continuing from the catalog hwm,
+          assigned in arrival order under the same cross-process write
+          lock;
+        * commit-then-visible: files land first, the hwm advances last, so
+          a crash between the two leaves an invisible torn tail that
+          :meth:`read`/:meth:`read_since` both clamp away;
+        * ``batch_id`` idempotency via the same intent-file protocol.
+
+        ``rows``: list of dicts in arrival order — ``value`` required;
+        ``partition``/``timestamp``/``key``/``headers`` optional;
+        ``seq`` (optional) is the explicit arrival sequence used for
+        round-robin placement (FluxProducer passes its global counter so
+        placement matches the Spark path bit-for-bit). Headers are
+        ``[(key, value-bytes), ...]`` pairs.
+
+        At 100 TB this path is still correct but the wrong tool — it
+        serializes through the driver. :meth:`append` remains the bulk
+        path; FluxProducer picks per flush based on batch size.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .murmur2 import partition_for_key
+
+        meta = self.catalog.get_topic(topic)
+        n = meta.num_partitions
+        marker = (
+            self.warehouse / topic / "_batch_commits" / str(batch_id)
+            if batch_id is not None
+            else None
+        )
+        with self._write_lock(topic):
+            if batch_id is not None and (
+                self.catalog.batch_committed(topic, batch_id)
+                or marker.exists()
+            ):
+                return {}
+            intent = None
+            if batch_id is not None:
+                intent = (
+                    self.warehouse
+                    / topic
+                    / "_batch_commits"
+                    / f"{batch_id}.intent"
+                )
+                if intent.exists():
+                    self.discard_uncommitted(topic)
+                intent.parent.mkdir(parents=True, exist_ok=True)
+                intent.touch()
+            meta = self.catalog.get_topic(topic)  # refresh under the lock
+
+            from datetime import datetime, timezone
+
+            now = datetime.now(timezone.utc)
+            routed: dict[int, list[tuple]] = {}
+            for i, row in enumerate(rows):
+                value = row.get("value")
+                if value is None:
+                    raise ValueError("record batch must have a 'value' column")
+                key = row.get("key")
+                p = row.get("partition")
+                if p is not None and 0 <= int(p) < n:
+                    part = int(p)
+                elif key is not None and len(key) > 0:
+                    part = partition_for_key(key, n)
+                else:
+                    part = int(row.get("seq", i)) % n
+                ts = row.get("timestamp") or now
+                headers = row.get("headers")
+                if headers is not None:
+                    headers = [
+                        {"key": k, "value": v} for k, v in headers
+                    ]
+                routed.setdefault(part, []).append(
+                    (ts, key, str(value), headers)
+                )
+
+            arrow_schema = pa.schema(
+                [
+                    ("offset", pa.int64()),
+                    ("timestamp", pa.timestamp("us", tz="UTC")),
+                    ("key", pa.string()),
+                    ("value", pa.string()),
+                    (
+                        "headers",
+                        pa.list_(
+                            pa.struct(
+                                [
+                                    ("key", pa.string()),
+                                    ("value", pa.binary()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            )
+            codec = "none" if self.compression == "uncompressed" else self.compression
+            stats: dict[int, tuple[int, int]] = {}
+            for part, recs in routed.items():
+                first = meta.next_offset(part)
+                offsets = list(range(first, first + len(recs)))
+                table = pa.table(
+                    {
+                        "offset": offsets,
+                        "timestamp": [r[0] for r in recs],
+                        "key": [r[1] for r in recs],
+                        "value": [r[2] for r in recs],
+                        "headers": [r[3] for r in recs],
+                    },
+                    schema=arrow_schema,
+                )
+                pdir = Path(self.topic_path(topic)) / f"partition={part}"
+                pdir.mkdir(parents=True, exist_ok=True)
+                pq.write_table(
+                    table,
+                    pdir / f"part-fast-{uuid.uuid4().hex}.parquet",
+                    compression=codec,
+                )
+                stats[part] = (first, offsets[-1])
+
+            # called even for an empty batch so a batch_id is marked
+            # committed exactly like the Spark path does
+            self.catalog.advance_hwm(
+                topic,
+                {p: last + 1 for p, (_, last) in stats.items()},
+                batch_id=batch_id,
+            )
+            if intent is not None:
+                intent.unlink(missing_ok=True)
+            return stats
+
     # -- read path (S8, S10, §3.2) -------------------------------------
     def read(
         self,
@@ -436,6 +587,92 @@ class LogStore:
             .collect()
         )
         return rows[0] if rows else None
+
+    def read_since(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_records: int | None = None,
+    ) -> list[dict]:
+        """Low-latency tail read for fresh appends — the fast-path twin of
+        ``read(start_offsets=...)`` that answers in milliseconds instead of
+        a Spark-job floor (~1.1 s p50 on this box, BENCH_r09 latency leg).
+
+        A queue user polling for records they *just* produced is reading a
+        metadata-sized tail of ONE partition; launching a distributed scan
+        for that is the wrong execution model. This path stays entirely on
+        the driver: list only the ``partition=<p>`` directory, skip whole
+        files/rowgroups via the Parquet footer min/max statistics on the
+        sorted ``offset`` column (the same index the reference keeps as
+        IndexEntries, IndexEntries.java:17-54 — here read directly instead
+        of through a Spark scan), and decode only the surviving rowgroups
+        with pyarrow.
+
+        Visibility contract is IDENTICAL to ``read()``: committed records
+        only — rows at or above the catalog high-water mark (a torn
+        append's tail) are filtered out, and in-flight files that fail to
+        parse are skipped (they are above the hwm by construction). The
+        equivalence is oracle-gated (``log_read_since_fastpath``) and
+        measured as the second latency row of bench.py.
+
+        Returns ``list[dict]`` in ascending offset order with the
+        RECORD_SCHEMA fields (topic, partition, offset, timestamp, key,
+        value, headers) — plain Python, no DataFrame, because the point of
+        the fast path is to never touch the JVM.
+        """
+        import pyarrow.parquet as pq
+
+        meta = self.catalog.get_topic(topic)
+        self._recover_swap(topic)
+        hwm = meta.next_offset(int(partition))
+        lo = int(offset)
+        if lo >= hwm:
+            return []
+        pdir = Path(self.topic_path(topic)) / f"partition={int(partition)}"
+        recs: list[dict] = []
+        if pdir.is_dir():
+            for fp in sorted(pdir.iterdir()):
+                if not fp.name.endswith(".parquet") or fp.name.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                try:
+                    pf = pq.ParquetFile(fp)
+                except Exception:
+                    # a writer-in-flight partial file: above the hwm by
+                    # construction (commit-then-visible), so skipping it
+                    # cannot hide committed data
+                    continue
+                for rg in range(pf.metadata.num_row_groups):
+                    rgm = pf.metadata.row_group(rg)
+                    st = None
+                    for ci in range(rgm.num_columns):
+                        col = rgm.column(ci)
+                        if col.path_in_schema == "offset":
+                            st = col.statistics
+                            break
+                    if (
+                        st is not None
+                        and st.has_min_max
+                        and (st.max < lo or st.min >= hwm)
+                    ):
+                        continue
+                    for rec in pf.read_row_group(rg).to_pylist():
+                        if lo <= rec["offset"] < hwm:
+                            rec["topic"] = topic
+                            rec["partition"] = int(partition)
+                            ts = rec.get("timestamp")
+                            if hasattr(ts, "to_pydatetime"):
+                                # ns-resolution arrow timestamps surface as
+                                # pandas Timestamps; the contract is plain
+                                # Python
+                                rec["timestamp"] = ts.to_pydatetime()
+                            recs.append(rec)
+        recs.sort(key=lambda r: r["offset"])
+        if max_records is not None:
+            recs = recs[:max_records]
+        return recs
 
     def high_water_marks(self, topic: str) -> dict[int, int]:
         """Next-offset-to-assign per partition, from the catalog."""

@@ -55,9 +55,20 @@ _BUFFER_SCHEMA = StructType(
 
 
 class FluxProducer:
-    def __init__(self, store: LogStore, batch_size: int = 100_000):
+    def __init__(
+        self,
+        store: LogStore,
+        batch_size: int = 100_000,
+        fast_path_max: int = 2_000,
+    ):
+        """``fast_path_max``: flushes of at most this many rows take the
+        driver-side pyarrow append (LogStore.append_rows — identical
+        semantics, oracle-gated, ~ms instead of a Spark-job floor);
+        larger flushes take the distributed plan. 0 disables the fast
+        path (bench.py uses that to time the honest microbatch leg)."""
         self.store = store
         self.batch_size = batch_size
+        self.fast_path_max = fast_path_max
         self._buffers: dict[str, list[tuple]] = {}
         self._seq = itertools.count()
         self._lock = threading.Lock()
@@ -96,6 +107,22 @@ class FluxProducer:
         results: dict[str, dict[int, tuple[int, int]]] = {}
         for t, rows in drained.items():
             if not rows:
+                continue
+            if len(rows) <= self.fast_path_max:
+                results[t] = self.store.append_rows(
+                    t,
+                    [
+                        {
+                            "seq": seq,
+                            "partition": part,
+                            "timestamp": ts,
+                            "key": key,
+                            "value": val,
+                            "headers": headers,
+                        }
+                        for seq, part, ts, key, val, headers in rows
+                    ],
+                )
                 continue
             df = self.store.spark.createDataFrame(rows, _BUFFER_SCHEMA)
             results[t] = self.store.append(t, df, ordering_col="__arrival_seq")

@@ -946,3 +946,135 @@ def test_route_to_dlq_quarantines_with_reason_and_contiguous_offsets(
         ("k4", "null_value"),
     ]
     assert dlq[0]["value"] == "" and dlq[1]["value"] == "x" * 600
+
+
+def test_read_since_fastpath_matches_spark_read(spark, store):
+    """The driver-side pyarrow tail read must return exactly what the
+    Spark read path returns on the same offsets, in offset order."""
+    store.catalog.create_topic("fast", 3)
+    for _ in range(2):  # two appends -> multiple files per partition
+        store.append("fast", _mk_records(spark, 60), ordering_col="seq")
+    for p in range(3):
+        hwm = store.high_water_marks("fast")[p]
+        for lo in (0, 7, hwm - 1, hwm, hwm + 5):
+            fast = store.read_since("fast", p, lo)
+            slow = (
+                store.read("fast", partitions=[p],
+                           start_offsets={p: lo})
+                .orderBy("offset")
+                .collect()
+            )
+            assert [r["offset"] for r in fast] == [
+                r["offset"] for r in slow
+            ], (p, lo)
+            assert [(r["key"], r["value"]) for r in fast] == [
+                (r["key"], r["value"]) for r in slow
+            ], (p, lo)
+    # max_records cap
+    capped = store.read_since("fast", 0, 0, max_records=3)
+    assert len(capped) == 3
+    assert [r["offset"] for r in capped] == [0, 1, 2]
+
+
+def test_read_since_hides_torn_append(spark, store, monkeypatch):
+    """Committed-only visibility: a torn append's files (written above
+    the hwm, never committed) must be invisible to the fast path too."""
+    import pytest as _pytest
+
+    store.catalog.create_topic("fasttorn", 1)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "seq long, value string"
+    )
+    store.append("fasttorn", df, ordering_col="seq", batch_id="b0")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash")
+
+    real = store.catalog.advance_hwm
+    monkeypatch.setattr(store.catalog, "advance_hwm", boom)
+    with _pytest.raises(RuntimeError):
+        store.append("fasttorn", df, ordering_col="seq", batch_id="b1")
+    monkeypatch.setattr(store.catalog, "advance_hwm", real)
+
+    got = store.read_since("fasttorn", 0, 0)
+    assert [r["offset"] for r in got] == list(range(10))  # torn tail hidden
+    assert store.read("fasttorn", include_uncommitted=True).count() == 20
+
+
+def test_append_rows_fastpath_matches_spark_append(spark, store):
+    """The driver-side pyarrow produce must assign identical
+    (partition, offset) placement to the Spark plan on a mixed batch:
+    explicit partitions (one invalid -> falls through to key), murmur2
+    keys, and unkeyed round-robin on the arrival sequence."""
+    rows = []
+    for i in range(60):
+        part = 1 if i % 5 == 0 else (99 if i % 5 == 1 else None)  # 99 invalid
+        key = f"k-{i % 7}" if i % 3 == 0 else ("" if i % 3 == 1 else None)
+        rows.append((i, part, key, f"v-{i}"))
+    df = spark.createDataFrame(
+        rows, "seq long, partition int, key string, value string"
+    )
+    store.catalog.create_topic("spark_path", 3)
+    store.append("spark_path", df, ordering_col="seq")
+    store.catalog.create_topic("fast_path", 3)
+    store.append_rows(
+        "fast_path",
+        [
+            {"seq": s, "partition": p, "key": k, "value": v}
+            for s, p, k, v in rows
+        ],
+    )
+    want = sorted(
+        (r["partition"], r["offset"], r["key"], r["value"])
+        for r in store.read("spark_path").collect()
+    )
+    got = sorted(
+        (r["partition"], r["offset"], r["key"], r["value"])
+        for r in store.read("fast_path").collect()
+    )
+    assert got == want
+    # and the fast read path agrees with the fast write path
+    for p in range(3):
+        fast = store.read_since("fast_path", p, 0)
+        assert [r["offset"] for r in fast] == list(range(len(fast)))
+
+
+def test_append_rows_idempotent_batch_id(spark, store):
+    store.catalog.create_topic("fastidem", 2)
+    recs = [{"value": f"v{i}", "key": f"k{i}"} for i in range(10)]
+    s1 = store.append_rows("fastidem", recs, batch_id="fb-1")
+    assert sum(hi - lo + 1 for lo, hi in s1.values()) == 10
+    assert store.append_rows("fastidem", recs, batch_id="fb-1") == {}
+    assert store.read("fastidem").count() == 10
+
+
+def test_producer_small_flush_takes_fastpath_and_headers_roundtrip(
+    spark, store
+):
+    from flux_spark.producer import FluxProducer
+
+    store.catalog.create_topic("fastprod", 2)
+    prod = FluxProducer(store)  # default fast_path_max covers 3 records
+    prod.send(
+        "fastprod",
+        value="v0",
+        key="a",
+        headers=[("h1", b"x"), ("h1", b"y"), ("h2", None)],
+    )
+    prod.send("fastprod", value="v1")
+    prod.send("fastprod", value="v2", partition=1)
+    prod.flush()
+    got = store.read("fastprod").orderBy("partition", "offset").collect()
+    assert len(got) == 3
+    hdrs = [r["headers"] for r in got if r["value"] == "v0"][0]
+    assert [(h["key"], h["value"]) for h in hdrs] == [
+        ("h1", b"x"),
+        ("h1", b"y"),
+        ("h2", None),
+    ]
+    # key placement parity with the vectorized path
+    from flux_spark.murmur2 import partition_for_key
+
+    for r in got:
+        if r["key"]:
+            assert r["partition"] == partition_for_key(r["key"], 2)
