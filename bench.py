@@ -50,6 +50,9 @@ ANALYTICS_HEADLINE = [
     "events_asof_purchase",
     "events_salted_user_stats",
     "doc_dedup_minhash_lsh",
+    # r10: the auto-banded twin (rows-per-band derived from corpus size —
+    # the scale path; the 4x4 gate config stays correctness-pinned)
+    "doc_dedup_minhash_lsh_auto",
     "doc_simhash",
     "ann_cosine_topk",
     # r8: _auto replaces the pinned-8-plane variant (fixed-config law:

@@ -247,6 +247,28 @@ def lsh_band_hashes(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def auto_band_rows(corpus_size: int, small: int = 4096) -> int:
+    """Rows-per-band for MinHash-LSH derived from the corpus size — the
+    banding twin of :func:`similarity.auto_planes`.
+
+    A band of ``r`` rows admits a pair as a candidate with probability
+    ``s^r`` (s = true Jaccard), so candidate volume across the corpus is
+    ``bands * sum_pairs s^r`` — at a FIXED r it grows with the square of
+    the duplicate mass (the measured sf10 wall: 54 s at the gate's 4-row
+    bands). Stepping r from 4 to 8 multiplies every band's false-candidate
+    rate by ``s^4`` (0.0625 at s = 0.5), which converts the quadratic tail
+    back to output-bound work, at the cost of raising the S-curve midpoint
+    from (1/4)^(1/4) ~ 0.71 to (1/2)^(1/8) ~ 0.92 — the right trade on
+    duplicate-heavy corpora where the mass being hunted is near-exact.
+    Beyond that, production scaling grows ``num_hashes`` with log(n) so
+    both recall and selectivity can be held; that knob is deliberately NOT
+    auto-derived here because the DuckDB oracle materializes the signature
+    construction statically (16 hashes), and a gate whose oracle cannot
+    re-derive it would be weaker, not stronger.
+    """
+    return 4 if corpus_size <= small else 8
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
