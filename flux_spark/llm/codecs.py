@@ -660,6 +660,12 @@ def encode_jpeg_bytes(
     samp = sampling or [(1, 1)] * ncomp
     if len(samp) != ncomp:
         raise ValueError("sampling length must match planes")
+    if ncomp == 1 and samp != [(1, 1)]:
+        # mirror of the decoder's T.81 A.2 rule (r9 advisor finding):
+        # single-component frames are coded non-interleaved and sampling
+        # factors do not apply — emitting them would produce a file this
+        # interleaving encoder cannot faithfully represent
+        raise ValueError("single-component frames must use 1x1 sampling")
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     A = _dct_matrix()
@@ -790,6 +796,275 @@ def _encode_jpeg_block(
         w.put(code, ln)
 
 
+# Huffman tables for the PROGRESSIVE encoder: the Annex K sequential AC
+# tables lack the EOBn symbols (r<<4 for r >= 1) progressive scans need,
+# so the progressive writer uses flat canonical tables — DC: symbols
+# 0..11 at length 4; AC: all 256 symbols split 128 at length 8 + 128 at
+# length 9 (a DHT bits byte caps at 255, and the split keeps the
+# all-ones code of the maximum length unused, T.81 C.2). Verbose but
+# fully legal; table choice never affects decoded VALUES, only size.
+_PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_DC_VALS = list(range(12))
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+
+
+def encode_jpeg_progressive_bytes(
+    planes: list,
+    width: int,
+    height: int,
+    qtable: list[int] | None = None,
+    sampling: list[tuple[int, int]] | None = None,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    ac_split: int = 5,
+) -> bytes:
+    """Encode 1 (grayscale) or 3 (YCbCr) planes as a REAL progressive
+    (SOF2) JFIF file — the T.81 G.2 scan script most web encoders emit:
+
+      1. interleaved DC-first scan at successive approximation ``dc_al``;
+      2. per component, AC-first scans split spectrally at ``ac_split``
+         (band [1, ac_split] then [ac_split+1, 63]) at approximation
+         ``ac_al``, with EOB-run coding across blocks;
+      3. DC refinement scans down to bit 0 (one raw bit per data unit);
+      4. per component, AC refinement scans down to bit 0 with the
+         G.1.2.3 correction-bit procedure (newly-significant coefficients
+         as size-1 run symbols + sign, history coefficients as buffered
+         correction bits, EOB runs carrying the covered blocks' bits).
+
+    The quantized coefficients are exactly :func:`encode_jpeg_bytes`'s
+    forward path (level shift, float DCT, round-half-up quantization),
+    so a progressive file and a baseline file of the same planes decode
+    to bit-identical pixels — the equivalence the roundtrip tests pin.
+    """
+    import numpy as np
+
+    q = list(qtable or _FLAT_Q16)
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError(f"1 or 3 components, got {ncomp}")
+    samp = sampling or [(1, 1)] * ncomp
+    if len(samp) != ncomp:
+        raise ValueError("sampling length must match planes")
+    if ncomp == 1 and samp != [(1, 1)]:
+        # mirror of the decoder's A.2 rule: single-component frames are
+        # non-interleaved and sampling factors do not apply
+        raise ValueError("single-component frames must use 1x1 sampling")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    A = _dct_matrix()
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    qm = np.array(q, dtype=np.float64)[np.argsort(ZIGZAG)].reshape(8, 8)
+
+    # forward-quantize every block once (identical math to the baseline
+    # encoder) into per-component zigzag coefficient stores
+    coefs = []
+    for p, (hi, vi) in zip(planes, samp):
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        arr = np.asarray(p, dtype=np.float64).reshape(ch, cw)
+        arr = np.pad(
+            arr,
+            ((0, mcuy * vi * 8 - ch), (0, mcux * hi * 8 - cw)),
+            mode="edge",
+        )
+        arr = arr - 128.0
+        czz = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for by in range(mcuy * vi):
+            for bx in range(mcux * hi):
+                blk = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = A @ blk @ A.T
+                qc = np.floor(coef / qm + 0.5 + 1e-9).astype(np.int64)
+                czz[by, bx] = qc.reshape(-1)[ZIGZAG]
+        coefs.append(czz)
+
+    dc_tab = _huff_codes(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_tab = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    comps_like = [
+        (ci + 1, samp[ci][0], samp[ci][1], 0) for ci in range(ncomp)
+    ]
+
+    def units_for(scan):
+        return _scan_mcus(
+            scan, comps_like, width, height, hmax, vmax, mcux, mcuy
+        )
+
+    def dc_first(wtr, al):
+        preds = [0] * ncomp
+        scan = [(ci, 0, 0) for ci in range(ncomp)]
+        for us in units_for(scan):
+            for ci, _dt, _at, by, bx in us:
+                v = int(coefs[ci][by, bx][0]) >> al  # arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _category(diff)
+                code, ln = dc_tab[s]
+                wtr.put(code, ln)
+                if s:
+                    wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def dc_refine(wtr, al):
+        scan = [(ci, 0, 0) for ci in range(ncomp)]
+        for us in units_for(scan):
+            for ci, _dt, _at, by, bx in us:
+                wtr.put((int(coefs[ci][by, bx][0]) >> al) & 1, 1)
+
+    def ac_first(wtr, ci, ss, se, al):
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_tab[nb << 4]
+            wtr.put(code, ln)
+            if nb:
+                wtr.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+        for us in units_for([(ci, 0, 0)]):
+            (_ci, _dt, _at, by, bx) = us[0]
+            blk = coefs[ci][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                t = int(blk[k])
+                t = (t >> al) if t >= 0 else -((-t) >> al)
+                if t == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    code, ln = ac_tab[0xF0]
+                    wtr.put(code, ln)
+                    r -= 16
+                s = _category(t)
+                code, ln = ac_tab[(r << 4) | s]
+                wtr.put(code, ln)
+                wtr.put(t if t >= 0 else t + (1 << s) - 1, s)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+    def ac_refine(wtr, ci, ss, se, al):
+        eobrun = 0
+        pend: list[int] = []  # correction bits of EOB-run-covered blocks
+
+        def flush():
+            nonlocal eobrun, pend
+            if not eobrun:
+                return
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_tab[nb << 4]
+            wtr.put(code, ln)
+            if nb:
+                wtr.put(eobrun - (1 << nb), nb)
+            for b in pend:
+                wtr.put(b, 1)
+            eobrun = 0
+            pend = []
+
+        for us in units_for([(ci, 0, 0)]):
+            (_ci, _dt, _at, by, bx) = us[0]
+            blk = coefs[ci][by, bx]
+            av = [abs(int(blk[k])) >> al for k in range(64)]
+            eobidx = max(
+                (k for k in range(ss, se + 1) if av[k] == 1), default=0
+            )
+            r = 0
+            br_bits: list[int] = []
+            for k in range(ss, se + 1):
+                t = av[k]
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs are emitted lazily at the next nonzero position,
+                # and only when a newly-significant coefficient follows
+                # (otherwise the zeros fold into the EOB run)
+                while r > 15 and k <= eobidx:
+                    flush()
+                    code, ln = ac_tab[0xF0]
+                    wtr.put(code, ln)
+                    r -= 16
+                    for b in br_bits:
+                        wtr.put(b, 1)
+                    br_bits = []
+                if t > 1:  # history-significant: buffered correction bit
+                    br_bits.append(t & 1)
+                    continue
+                flush()
+                code, ln = ac_tab[(r << 4) | 1]
+                wtr.put(code, ln)
+                wtr.put(1 if int(blk[k]) > 0 else 0, 1)
+                for b in br_bits:
+                    wtr.put(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                pend.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(0xFFDB, bytes([0x00]) + bytes(q))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += seg(
+        0xFFC4, bytes([0x00]) + bytes(_PROG_DC_BITS) + bytes(_PROG_DC_VALS)
+    )
+    out += seg(
+        0xFFC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    )
+
+    def sos(scan_comps, ss, se, ah, al, body_writer):
+        nonlocal out
+        hdr = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            hdr += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, hdr)
+        wtr = _BitWriter()
+        body_writer(wtr)
+        wtr.flush()
+        out += wtr.out
+
+    split = min(max(1, ac_split), 63)
+    sos(list(range(ncomp)), 0, 0, 0, dc_al, lambda w_: dc_first(w_, dc_al))
+    for ci in range(ncomp):
+        sos([ci], 1, split, 0, ac_al,
+            lambda w_, c=ci: ac_first(w_, c, 1, split, ac_al))
+        if split < 63:
+            sos([ci], split + 1, 63, 0, ac_al,
+                lambda w_, c=ci: ac_first(w_, c, split + 1, 63, ac_al))
+    for a in range(dc_al - 1, -1, -1):
+        sos(list(range(ncomp)), 0, 0, a + 1, a,
+            lambda w_, aa=a: dc_refine(w_, aa))
+    for a in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            sos([ci], 1, split, a + 1, a,
+                lambda w_, c=ci, aa=a: ac_refine(w_, c, 1, split, aa))
+            if split < 63:
+                sos([ci], split + 1, 63, a + 1, a,
+                    lambda w_, c=ci, aa=a: ac_refine(w_, c, split + 1, 63, aa))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader: de-stuffs FF00, stops at markers
     (exposing them for restart handling), byte-aligns on demand."""
@@ -813,11 +1088,15 @@ class _BitReader:
                 nxt = d[self.pos + 1]
                 if nxt == 0x00:  # stuffed FF data byte
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    self.marker = 0xFF00 | nxt  # RSTn / EOI: stop here
-                    return
                 else:
-                    raise ValueError(f"unexpected marker {nxt:#x} inside scan")
+                    # any real marker ends the entropy segment: RSTn/EOI
+                    # mid-scan (handled by restart()), or the next scan's
+                    # DHT/SOS/DQT in a progressive stream. A marker that
+                    # arrives while bits are still demanded surfaces as
+                    # "bit starvation" in bits() — same loud failure the
+                    # old unexpected-marker raise gave for corruption.
+                    self.marker = 0xFF00 | nxt
+                    return
             else:
                 self.pos += 1
             self._acc = (self._acc << 8) | b
@@ -865,20 +1144,279 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _scan_mcus(scan, comps, w, h, hmax, vmax, mcux, mcuy):
+    """MCU walk order for one scan as a list of MCUs, each a list of
+    (comp idx, dc table id, ac table id, block y, block x) data units.
+
+    T.81 A.2: a single-component scan is NON-interleaved — one data unit
+    per MCU, raster order over the component's OWN block grid
+    ``ceil(cw/8) x ceil(ch/8)`` (cw = ceil(w*Hi/Hmax)), sampling factors
+    not applied (the r9 advisor finding: a grayscale frame declaring
+    2x2 factors must decode as a 1x1 raster walk). A multi-component
+    scan interleaves Vi x Hi data units per component per MCU over the
+    frame MCU grid (A.2.3)."""
+    if len(scan) == 1:
+        idx, dct_id, act_id = scan[0]
+        _cid, hi, vi, _tq = comps[idx]
+        cw = (w * hi + hmax - 1) // hmax
+        ch_ = (h * vi + vmax - 1) // vmax
+        return [
+            [(idx, dct_id, act_id, by, bx)]
+            for by in range((ch_ + 7) // 8)
+            for bx in range((cw + 7) // 8)
+        ]
+    mcus = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            us = []
+            for idx, dct_id, act_id in scan:
+                _cid, hi, vi, _tq = comps[idx]
+                for v in range(vi):
+                    for h_ in range(hi):
+                        us.append(
+                            (idx, dct_id, act_id, my * vi + v, mx * hi + h_)
+                        )
+            mcus.append(us)
+    return mcus
+
+
+def _decode_seq_scan(br, scan, comps, coefs, htables, mcus, restart_interval):
+    """Baseline sequential scan: full DC diff + AC run-length per data
+    unit, written into the zigzag coefficient store."""
+    preds = [0] * len(comps)
+    mcu = 0
+    for us in mcus:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            br.restart()
+            preds = [0] * len(comps)
+        for idx, dct_id, act_id, by, bx in us:
+            dt = htables.get((0, dct_id))
+            at = htables.get((1, act_id))
+            if dt is None or at is None:
+                raise ValueError("scan uses undefined DHT")
+            blk = coefs[idx][by, bx]
+            s = _huff_decode(br, dt)
+            diff = _extend(br.bits(s), s) if s else 0
+            preds[idx] += diff
+            blk[0] = preds[idx]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, at)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                blk[k] = _extend(br.bits(size), size)
+                k += 1
+        mcu += 1
+
+
+def _decode_prog_scan(
+    br, scan, comps, coefs, htables, mcus, ss, se, ah, al, restart_interval
+):
+    """One progressive scan (T.81 G.2): spectral selection [Ss, Se],
+    successive approximation Ah -> Al.
+
+    * DC first (Ss=0, Ah=0): diff-coded DC / 2^Al (arithmetic shift),
+      stored shifted left by Al; interleaved or single-component.
+    * DC refinement (Ss=0, Ah>0): one raw bit per data unit, ORed in at
+      position Al.
+    * AC first (Ss>0, Ah=0): run-length symbols as in sequential, values
+      scaled by 2^Al, plus EOBn symbols — an EOB run of (1<<r)+bits(r)
+      blocks whose remaining band coefficients are all zero.
+    * AC refinement (Ss>0, Ah>0): the correction-bit procedure
+      (G.1.2.3): newly-significant coefficients arrive as run symbols
+      with size 1 and a sign bit; already-significant coefficients
+      consume one correction bit each as the run walk passes them; EOB
+      runs carry the covered blocks' correction bits after the symbol.
+    AC scans must be single-component (enforced by the caller)."""
+    preds = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << al
+    mcu = 0
+    for us in mcus:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            br.restart()
+            preds = [0] * len(comps)
+            eobrun = 0
+        for idx, dct_id, act_id, by, bx in us:
+            blk = coefs[idx][by, bx]
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    dt = htables.get((0, dct_id))
+                    if dt is None:
+                        raise ValueError("scan uses undefined DHT")
+                    s = _huff_decode(br, dt)
+                    diff = _extend(br.bits(s), s) if s else 0
+                    preds[idx] += diff
+                    blk[0] = preds[idx] << al
+                else:
+                    if br.bits(1):
+                        blk[0] |= p1
+                continue
+            at = htables.get((1, act_id))
+            if at is None:
+                raise ValueError("scan uses undefined DHT")
+            if ah == 0:  # AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _huff_decode(br, at)
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << run) - 1  # EOBn; this block counts
+                        if run:
+                            eobrun += br.bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("AC run past Se")
+                    blk[k] = _extend(br.bits(size), size) << al
+                    k += 1
+                continue
+            # AC refinement
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _huff_decode(br, at)
+                    run, size = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run < 15:
+                            eobrun = 1 << run  # EOBn (decremented below)
+                            if run:
+                                eobrun += br.bits(run)
+                            break
+                        # run == 15: skip 16 zero-history positions
+                    else:
+                        if size != 1:
+                            raise ValueError("bad AC refinement symbol")
+                        newval = p1 if br.bits(1) else -p1
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if br.bits(1) and not (v & p1):
+                                blk[k] = v + (p1 if v > 0 else -p1)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0 and br.bits(1) and not (v & p1):
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                    k += 1
+                eobrun -= 1
+        mcu += 1
+
+
+def _jpeg_idct_planes(coefs, comps, qtables, A):
+    """Dequantize + float IDCT every stored block into full sample
+    planes (the shared back half of sequential and progressive
+    decoding — identical arithmetic to the pre-r10 inline form)."""
+    import numpy as np
+
+    planes = []
+    for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("component uses undefined DQT")
+        qa = np.asarray(q, dtype=np.float64)
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = coefs[ci][by, bx] * qa
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    A.T @ coef.reshape(8, 8) @ A
+                )
+        planes.append(plane)
+    return planes
+
+
+def _jpeg_emit(planes, comps, w, h):
+    """Crop each plane to its component resolution, round, upsample
+    chroma by replication, color-convert, interleave — the output half
+    shared by the sequential and progressive paths (bit-identical to
+    the pre-r10 inline form)."""
+    import numpy as np
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out = []
+    for p, (_cid, hi, vi, _tq) in zip(planes, comps):
+        # crop to the component's true resolution (T.81 A.1.1:
+        # ceil(dim * factor / max)), round at COMPONENT res — same
+        # sample values a 1x1 decode would produce — then replicate up
+        # to full resolution (nearest upsampling)
+        cw = (w * hi + hmax - 1) // hmax
+        ch_ = (h * vi + vmax - 1) // vmax
+        ip = np.clip(
+            np.floor(p[:ch_, :cw] + 128.0 + 0.5 + 1e-9), 0, 255
+        ).astype(np.int64)
+        if hi != hmax or vi != vmax:
+            if hmax % hi or vmax % vi:
+                raise ValueError("non-integer chroma sampling ratio")
+            ip = np.repeat(
+                np.repeat(ip, vmax // vi, axis=0), hmax // hi, axis=1
+            )[:h, :w]
+        else:
+            ip = ip[:h, :w]
+        out.append(ip)
+    if len(out) == 3:  # JFIF YCbCr -> RGB, BT.601 full range
+        y, cb, cr = (o.astype(np.float64) for o in out)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = [
+            np.clip(np.floor(c + 0.5 + 1e-9), 0, 255).astype(np.int64)
+            for c in (r, g, b)
+        ]
+    arrs = [o.astype(np.uint8) for o in out]
+    pix = (
+        arrs[0].tobytes()
+        if len(arrs) == 1
+        else np.stack(arrs, axis=-1).tobytes()
+    )
+    return w, h, len(arrs), pix
+
+
 def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JPEG (SOF0, Huffman, 8-bit samples —
-    grayscale, 4:4:4, and subsampled 4:2:0/4:2:2/4:4:0 color, r9): full
-    marker walk, DQT/DHT as found in the file, byte de-stuffing, DRI
-    restart intervals, the T.81 A.2.3 interleaved-MCU walk (Vi x Hi
-    blocks per component per MCU), dequantize + float IDCT + level
-    shift per block, then chroma upsampling by sample replication
-    (nearest — the standard fast path) to full resolution. Color output
-    is JFIF YCbCr -> RGB (BT.601 full range). Returns (width, height,
-    channels, pixel_bytes) with samples interleaved row-major — the
-    same contract as :func:`png_pixels`, so transcode/resize pipelines
-    compose the two decoders interchangeably. Raises ValueError on
-    structural corruption, progressive (SOF2), non-integer sampling
-    ratios, or arithmetic-coded streams — the quarantine signal."""
+    """Decode a baseline sequential (SOF0/1) or PROGRESSIVE (SOF2, r10)
+    JPEG — Huffman, 8-bit samples; grayscale, 4:4:4, and subsampled
+    4:2:0/4:2:2/4:4:0 color: full marker walk, DQT/DHT as found in the
+    file, byte de-stuffing, DRI restart intervals, the T.81 A.2.3
+    interleaved-MCU walk (Vi x Hi blocks per component per MCU) for
+    interleaved scans and the A.2 raster walk for single-component
+    scans, progressive spectral-selection/successive-approximation scan
+    accumulation (G.2: DC first/refine, AC first/refine with EOB runs
+    and correction bits), then dequantize + float IDCT + level shift
+    per block and chroma upsampling by sample replication (nearest —
+    the standard fast path) to full resolution. Color output is JFIF
+    YCbCr -> RGB (BT.601 full range). Returns (width, height, channels,
+    pixel_bytes) with samples interleaved row-major — the same contract
+    as :func:`png_pixels`, so transcode/resize pipelines compose the
+    two decoders interchangeably. Raises ValueError on structural
+    corruption, non-integer sampling ratios, lossless/hierarchical
+    frames, or arithmetic-coded streams — the quarantine signal."""
     import numpy as np
 
     d = payload
@@ -887,7 +1425,10 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None  # (height, width, [(comp_id, tq)])
+    frame = None  # (height, width, [(comp_id, hi, vi, tq)])
+    progressive = False
+    coefs = None  # per-comp zigzag coefficient store (int64)
+    decoded = False
     restart_interval = 0
     A = _dct_matrix()
 
@@ -899,7 +1440,9 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated marker")
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("EOI before SOS (no image data)")
+            if not decoded:
+                raise ValueError("EOI before SOS (no image data)")
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
         if pos + 2 > len(d):
@@ -937,7 +1480,8 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                     (ln, code): sym for sym, (code, ln) in codes.items()
                 }
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError(f"only 8-bit precision, got {prec}")
@@ -948,11 +1492,19 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"bad sampling factor {hv:#x}")
                 comps.append((cid, hi, vi, tq))
+            if nc == 1:
+                # T.81 A.2: single-component frames are coded
+                # NON-interleaved; sampling factors do not apply (r9
+                # advisor finding: a grayscale file declaring 2x2
+                # factors — e.g. jpegtran -grayscale output — must walk
+                # a 1x1 raster grid, not a 2x2 MCU grid)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported SOF type {marker:#x} (progressive/arithmetic)"
+                f"unsupported SOF type {marker:#x} "
+                "(lossless/hierarchical/arithmetic)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -975,125 +1527,77 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 if idx is None:
                     raise ValueError(f"scan references unknown comp {cs}")
                 scan.append((idx, tabs >> 4, tabs & 0x0F))
-            if ns != len(comps):
-                raise ValueError("only single-scan (non-interleaved-full)")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-            planes = [
-                np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-                for (_cid, hi, vi, _tq) in comps
-            ]
-            br = _BitReader(d, pos + seglen)
-            preds = [0] * len(comps)
-            mcu = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if restart_interval and mcu and mcu % restart_interval == 0:
-                        br.restart()
-                        preds = [0] * len(comps)
-                    for idx, dct_id, act_id in scan:
-                        dt = htables.get((0, dct_id))
-                        at = htables.get((1, act_id))
-                        if dt is None or at is None:
-                            raise ValueError("scan uses undefined DHT")
-                        q = qtables.get(comps[idx][3])
-                        if q is None:
-                            raise ValueError("component uses undefined DQT")
-                        hi, vi = comps[idx][1], comps[idx][2]
-                        # T.81 A.2.3: Vi x Hi data units per MCU, raster
-                        for by, bx in (
-                            (my * vi + v, mx * hi + h_)
-                            for v in range(vi)
-                            for h_ in range(hi)
-                        ):
-                            zz = np.zeros(64, dtype=np.int64)
-                            s = _huff_decode(br, dt)
-                            diff = _extend(br.bits(s), s) if s else 0
-                            preds[idx] += diff
-                            zz[0] = preds[idx]
-                            k = 1
-                            while k < 64:
-                                sym = _huff_decode(br, at)
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, size = sym >> 4, sym & 0x0F
-                                if size == 0:
-                                    if run != 15:
-                                        raise ValueError("bad AC symbol")
-                                    k += 16  # ZRL
-                                    continue
-                                k += run
-                                if k > 63:
-                                    raise ValueError("AC run past block end")
-                                zz[k] = _extend(br.bits(size), size)
-                                k += 1
-                            coef = np.zeros(64, dtype=np.float64)
-                            coef[ZIGZAG] = zz * np.asarray(
-                                q, dtype=np.float64
-                            )
-                            blk = A.T @ coef.reshape(8, 8) @ A
-                            planes[idx][
-                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                            ] = blk
-                    mcu += 1
-            # end-of-scan integrity: after the last MCU only pad bits may
-            # remain before EOI (or a final RSTn). A truncated or
-            # zero-overwritten entropy tail that happened to keep
-            # decoding as valid symbols is caught here — the standard
-            # completeness check a quarantining decoder needs.
-            if br.marker is None:
-                br._fill()
-            if br.marker not in (0xFFD9,) and not (
-                br.marker is not None and 0xFFD0 <= br.marker <= 0xFFD7
-            ):
-                raise ValueError("entropy data does not terminate at EOI")
-            out = []
-            for p, (_cid, hi, vi, _tq) in zip(planes, comps):
-                # crop to the component's true resolution (T.81 A.1.1:
-                # ceil(dim * factor / max)), round at COMPONENT res —
-                # same sample values a 1x1 decode would produce — then
-                # replicate up to full resolution (nearest upsampling)
-                cw = (w * hi + hmax - 1) // hmax
-                ch_ = (h * vi + vmax - 1) // vmax
-                ip = np.clip(
-                    np.floor(p[:ch_, :cw] + 128.0 + 0.5 + 1e-9), 0, 255
-                ).astype(np.int64)
-                if hi != hmax or vi != vmax:
-                    if hmax % hi or vmax % vi:
-                        raise ValueError(
-                            "non-integer chroma sampling ratio"
-                        )
-                    ip = np.repeat(
-                        np.repeat(ip, vmax // vi, axis=0),
-                        hmax // hi,
-                        axis=1,
-                    )[:h, :w]
-                else:
-                    ip = ip[:h, :w]
-                out.append(ip)
-            if len(out) == 3:  # JFIF YCbCr -> RGB, BT.601 full range
-                y, cb, cr = (o.astype(np.float64) for o in out)
-                r = y + 1.402 * (cr - 128.0)
-                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-                b = y + 1.772 * (cb - 128.0)
-                out = [
-                    np.clip(np.floor(c + 0.5 + 1e-9), 0, 255).astype(
-                        np.int64
-                    )
-                    for c in (r, g, b)
+            if coefs is None:
+                coefs = [
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                    for (_cid, hi, vi, _tq) in comps
                 ]
-            arrs = [o.astype(np.uint8) for o in out]
-            pix = (
-                arrs[0].tobytes()
-                if len(arrs) == 1
-                else np.stack(arrs, axis=-1).tobytes()
-            )
-            return w, h, len(arrs), pix
+            br = _BitReader(d, pos + seglen)
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError(
+                        "only single-scan (non-interleaved-full)"
+                    )
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("bad baseline scan header")
+                mcus = _scan_mcus(scan, comps, w, h, hmax, vmax, mcux, mcuy)
+                _decode_seq_scan(
+                    br, scan, comps, coefs, htables, mcus, restart_interval
+                )
+                # end-of-scan integrity: after the last MCU only pad bits
+                # may remain before EOI (or a final RSTn). A truncated or
+                # zero-overwritten entropy tail that happened to keep
+                # decoding as valid symbols is caught here — the standard
+                # completeness check a quarantining decoder needs.
+                if br.marker is None:
+                    br._fill()
+                if br.marker not in (0xFFD9,) and not (
+                    br.marker is not None and 0xFFD0 <= br.marker <= 0xFFD7
+                ):
+                    raise ValueError("entropy data does not terminate at EOI")
+            else:
+                if ss > se or se > 63:
+                    raise ValueError("bad spectral selection")
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss > 0 and ns != 1:
+                    raise ValueError("AC scans must be single-component")
+                mcus = _scan_mcus(scan, comps, w, h, hmax, vmax, mcux, mcuy)
+                _decode_prog_scan(
+                    br,
+                    scan,
+                    comps,
+                    coefs,
+                    htables,
+                    mcus,
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    restart_interval,
+                )
+                # buffer any trailing pad bits so br.pos lands on the
+                # next marker (DHT/SOS/EOI of the following scan)
+                if br.marker is None:
+                    br._fill()
+                if br.marker is None:
+                    raise ValueError("scan does not terminate at a marker")
+            decoded = True
+            pos = br.pos
+            continue
         # APPn, COM, others: skip body
         pos += seglen
-    raise ValueError("no SOS marker (not a decodable JPEG)")
+    if not decoded:
+        raise ValueError("no SOS marker (not a decodable JPEG)")
+    h, w, comps = frame
+    planes = _jpeg_idct_planes(coefs, comps, qtables, A)
+    return _jpeg_emit(planes, comps, w, h)
 
 
 def decode_jpeg_bytes(payload: bytes) -> dict:
@@ -1137,36 +1641,40 @@ def synth_jpeg_bytes(seed: int) -> bytes:
     return encode_jpeg_bytes([plane], w, h, qtable=_FLAT_Q16)
 
 
-def synth_jpeg_progressive_stub(seed: int) -> bytes:
-    """A structurally real PROGRESSIVE-JPEG header (SOI, JFIF APP0, DQT,
-    SOF2 with 4:2:0 sampling, DHT, SOS + placeholder entropy + EOI) for
-    census fixtures: :func:`jpeg_header_metadata` profiles it like any
-    web JPEG (the walk stops at SOS), while :func:`jpeg_pixels`
-    quarantines it (SOF2) — exactly the mixed-corpus shape the kind
-    census measures. Dims follow :func:`synth_jpeg_dims`."""
+def synth_jpeg_progressive_bytes(seed: int) -> bytes:
+    """A REAL progressive (SOF2) 4:2:0 JFIF color file (r10 — replaces
+    the r9 header-only stub): constant 16x16 YCbCr MCUs from
+    :func:`synth_jpeg420_ycc` on the :func:`synth_jpeg_dims` grid,
+    flat-16 quant, encoded by :func:`encode_jpeg_progressive_bytes`
+    (interleaved DC-first + refine, split-band AC-first + refine — the
+    scan script web encoders emit). Opens in any viewer; decodes here to
+    :func:`synth_jpeg420_rgb` per MCU exactly, so the gate oracle stays
+    fully symbolic. The kind census profiles it as progressive/4:2:0
+    from the header alone, same as before."""
     w, h = synth_jpeg_dims(seed)
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(
-        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    yplane = [
+        synth_jpeg420_ycc(seed, x // 16, y // 16)[0]
+        for y in range(h)
+        for x in range(w)
+    ]
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    cbplane = [
+        synth_jpeg420_ycc(seed, x // 8, y // 8)[1]
+        for y in range(ch)
+        for x in range(cw)
+    ]
+    crplane = [
+        synth_jpeg420_ycc(seed, x // 8, y // 8)[2]
+        for y in range(ch)
+        for x in range(cw)
+    ]
+    return encode_jpeg_progressive_bytes(
+        [yplane, cbplane, crplane],
+        w,
+        h,
+        qtable=_FLAT_Q16,
+        sampling=[(2, 2), (1, 1), (1, 1)],
     )
-    out += seg(0xFFDB, bytes([0x00]) + bytes(_FLAT_Q16))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, hv in ((1, 0x22), (2, 0x11), (3, 0x11)):  # 4:2:0
-        sof += bytes([cid, hv, 0])
-    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
-    out += seg(
-        0xFFC4,
-        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS),
-    )
-    # first progressive scan header (DC, Ss=0 Se=0 Ah=0 Al=1)
-    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 1]))
-    out += bytes([0x00] * 8)  # placeholder entropy (census never reads it)
-    out += b"\xff\xd9"
-    return bytes(out)
 
 
 def synth_jpeg420_dims(seed: int) -> tuple[int, int]:

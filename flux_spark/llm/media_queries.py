@@ -236,6 +236,65 @@ def media_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LLM_QUERIES,
+    "media_decode_jpeg_progressive",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             8 * (2 + doc_id % 3) AS w,
+             8 * (1 + doc_id % 2) AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(list_sum(flatten(list_transform(
+             generate_series(0, (w - 1) // 16), mx ->
+               list_transform(
+                 generate_series(0, (h - 1) // 16), my ->
+                   least(16, w - 16 * mx) * least(16, h - 16 * my) *
+                   list_sum(list_transform([{
+                     'y': CAST(least(255, greatest(0,
+                       2 * CAST(floor((((doc_id * 7 + mx * 13 + my * 29)
+                         % 256) - 127) / 2.0) AS BIGINT) + 128)) AS DOUBLE),
+                     'cb': CAST(least(255, greatest(0,
+                       2 * CAST(floor((((doc_id * 11 + mx * 17 + my * 23)
+                         % 256) - 127) / 2.0) AS BIGINT) + 128)) AS DOUBLE),
+                     'cr': CAST(least(255, greatest(0,
+                       2 * CAST(floor((((doc_id * 5 + mx * 19 + my * 31)
+                         % 256) - 127) / 2.0) AS BIGINT) + 128)) AS DOUBLE)
+                   }], s ->
+                     least(255, greatest(0, CAST(floor(
+                       s.y + 1.402 * (s.cr - 128) + 0.5 + 1e-9)
+                       AS BIGINT)))
+                   + least(255, greatest(0, CAST(floor(
+                       s.y - 0.344136 * (s.cb - 128)
+                           - 0.714136 * (s.cr - 128) + 0.5 + 1e-9)
+                       AS BIGINT)))
+                   + least(255, greatest(0, CAST(floor(
+                       s.y + 1.772 * (s.cb - 128) + 0.5 + 1e-9)
+                       AS BIGINT))))))))) AS BIGINT) AS pixel_sum
+    FROM dims
+    """,
+    "REAL progressive (SOF2) JPEG decode (r10 — VERDICT r9's #1 gap, "
+    "the large web-JPEG minority the r9 kind census was built to "
+    "measure): per document a genuine progressive 4:2:0 color file is "
+    "synthesized (interleaved DC-first scan + DC refinement, split-band "
+    "AC-first scans + AC refinement with EOB runs and correction bits — "
+    "the T.81 G.2 script web encoders emit) and decoded back through "
+    "the multi-scan coefficient accumulator. Constant 16x16 MCUs "
+    "survive the flat-16 round trip as exact integer formulas, so the "
+    "oracle recomputes every decoded RGB pixel symbolically (partial "
+    "edge MCUs weighted by their true pixel count) — one corrupted bit "
+    "in the spectral-selection walk, successive-approximation shifts, "
+    "EOB-run bookkeeping, or correction-bit order fails the value hash",
+)
+def media_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_image(multimodal.with_jpeg_progressive_media(d))
+
+
+@register(
+    LLM_QUERIES,
     "media_decode_audio",
     """
     SELECT doc_id,
@@ -681,8 +740,10 @@ def media_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the measurement that tells you what fraction of a real crawl each "
     "decode path covers BEFORE burning decode cycles on it. Fixture "
     "corpus mixes grayscale baseline, 4:2:0 color baseline, and "
-    "progressive (SOF2) files; the oracle recomputes each class's "
-    "count + pixel volume symbolically from the synthesis formulas",
+    "progressive (SOF2) files — since r10 the progressive class is REAL "
+    "decodable files, so every class the census counts is also covered "
+    "by a decode gate; the oracle recomputes each class's count + pixel "
+    "volume symbolically from the synthesis formulas",
 )
 def media_jpeg_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")

@@ -237,6 +237,34 @@ def with_jpeg420_media(
     )
 
 
+def with_jpeg_progressive_media(
+    df: DataFrame, id_col: str = "doc_id", seed_col: str | None = None
+) -> DataFrame:
+    """Attach a REAL progressive (SOF2) 4:2:0 JFIF color payload per row
+    (r10 — the scan script web encoders emit: DC first + refine,
+    split-band AC first + refine). Synthesized deterministically from
+    the id so the decode oracle stays symbolic."""
+    from .codecs import synth_jpeg_progressive_bytes
+
+    seed_col = seed_col or id_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "media": [
+                        synth_jpeg_progressive_bytes(int(s))
+                        for s in pdf[seed_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} LONG, media BINARY"
+    )
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL image decode over the Arrow mapInPandas plumbing, dispatched
     by magic number: PNG (signature + CRC'd chunk walk, IDAT inflate,
@@ -819,18 +847,18 @@ def with_mixed_jpeg_media(
 ) -> DataFrame:
     """Attach a MIXED JPEG corpus per row — the shape a real image crawl
     has (r9): id % 3 == 0 -> grayscale baseline, 1 -> 4:2:0 color
-    baseline, 2 -> progressive (header-only stub; the decoder
-    quarantines SOF2, the header census profiles it). This is the
-    fixture for measuring what fraction of a corpus each decode path
-    covers."""
+    baseline, 2 -> progressive 4:2:0 (since r10 a REAL decodable SOF2
+    file, not a header stub — every class in the census corpus is now
+    decodable). Still the fixture for measuring what fraction of a
+    corpus each decode path covers."""
     from .codecs import (
         synth_jpeg420_bytes,
         synth_jpeg_bytes,
-        synth_jpeg_progressive_stub,
+        synth_jpeg_progressive_bytes,
     )
 
     seed_col = seed_col or id_col
-    makers = [synth_jpeg_bytes, synth_jpeg420_bytes, synth_jpeg_progressive_stub]
+    makers = [synth_jpeg_bytes, synth_jpeg420_bytes, synth_jpeg_progressive_bytes]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

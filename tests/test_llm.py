@@ -1951,11 +1951,9 @@ def test_jpeg_420_odd_dims_and_422():
             assert tuple(arr[y, x]) == expected(cy, cb, cr), (x, y)
 
 
-def test_jpeg_kind_census_fields_and_quarantine():
+def test_jpeg_kind_census_fields_and_decodability():
     """Header scan classifies SOF kind + sampling for all three corpus
-    classes; the full decoder still quarantines progressive (SOF2)."""
-    import pytest
-
+    classes; since r10 the progressive class is REAL decodable files."""
     from flux_spark.llm import codecs as C
 
     for seed in (0, 1, 2, 5, 7):
@@ -1964,7 +1962,116 @@ def test_jpeg_kind_census_fields_and_quarantine():
         m = C.jpeg_header_metadata(C.synth_jpeg420_bytes(seed))
         assert (m["sof_kind"], m["sampling"]) == ("baseline", "4:2:0")
         assert (m["width"], m["height"]) == C.synth_jpeg420_dims(seed)
-        m = C.jpeg_header_metadata(C.synth_jpeg_progressive_stub(seed))
+        m = C.jpeg_header_metadata(C.synth_jpeg_progressive_bytes(seed))
         assert (m["sof_kind"], m["sampling"]) == ("progressive", "4:2:0")
-        with pytest.raises(ValueError):
-            C.jpeg_pixels(C.synth_jpeg_progressive_stub(seed))
+        assert (m["width"], m["height"]) == C.synth_jpeg_dims(seed)
+        w, h, ch, _pix = C.jpeg_pixels(C.synth_jpeg_progressive_bytes(seed))
+        assert (w, h, ch) == (*C.synth_jpeg_dims(seed), 3)
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The hard pin for SOF2 support (r10): a progressive file and a
+    baseline file of the SAME planes (identical forward quantization)
+    must decode to bit-identical pixels — across grayscale and
+    subsampled color, partial blocks, deep successive approximation,
+    every spectral split, sparse blocks (ZRL + EOB-run paths), and
+    dense high-frequency blocks (correction-bit paths)."""
+    import numpy as np
+
+    from flux_spark.llm import codecs as C
+
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        w = int(rng.randint(8, 49))
+        h = int(rng.randint(8, 41))
+        kind = seed % 3
+        if kind == 0:
+            img = rng.randint(0, 256, size=(h, w))
+        elif kind == 1:  # flat with spikes -> sparse coefs, ZRL/EOB runs
+            img = np.full((h, w), 128)
+            for _ in range(4):
+                img[rng.randint(h), rng.randint(w)] = rng.choice([0, 255])
+        else:  # checkerboard -> dense late-band coefficients
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx + yy) % 2) * 255
+        plane = img.reshape(-1).tolist()
+        for q in (None, [1] * 64):
+            base = C.jpeg_pixels(C.encode_jpeg_bytes([plane], w, h, qtable=q))
+            for dc_al, ac_al, split in [(1, 1, 5), (3, 3, 2), (0, 2, 35)]:
+                prog = C.jpeg_pixels(
+                    C.encode_jpeg_progressive_bytes(
+                        [plane], w, h, qtable=q,
+                        dc_al=dc_al, ac_al=ac_al, ac_split=split,
+                    )
+                )
+                assert prog == base, (seed, q is None, dc_al, ac_al, split)
+    # color: 4:2:0 and 4:2:2 with odd dims
+    rng = np.random.RandomState(99)
+    for samp in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)]):
+        w, h = 35, 19
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        planes = []
+        for hi, vi in samp:
+            cw = (w * hi + hmax - 1) // hmax
+            ch = (h * vi + vmax - 1) // vmax
+            planes.append(
+                rng.randint(0, 256, size=(ch, cw)).reshape(-1).tolist()
+            )
+        base = C.jpeg_pixels(C.encode_jpeg_bytes(planes, w, h, sampling=samp))
+        prog = C.jpeg_pixels(
+            C.encode_jpeg_progressive_bytes(
+                planes, w, h, sampling=samp, dc_al=2, ac_al=2, ac_split=9
+            )
+        )
+        assert prog == base, samp
+
+
+def test_jpeg_progressive_synth_matches_formula():
+    """The gate fixture decodes to the symbolic per-MCU formula."""
+    import numpy as np
+
+    from flux_spark.llm import codecs as C
+
+    for seed in (0, 1, 2, 5, 11):
+        w, h = C.synth_jpeg_dims(seed)
+        gw, gh, ch, pix = C.jpeg_pixels(C.synth_jpeg_progressive_bytes(seed))
+        assert (gw, gh, ch) == (w, h, 3)
+        arr = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+        for my in range((h + 15) // 16):
+            for mx in range((w + 15) // 16):
+                exp = np.array(C.synth_jpeg420_rgb(seed, mx, my), np.uint8)
+                got = arr[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+                assert (got == exp).all(), (seed, mx, my)
+
+
+def test_jpeg_single_component_frame_ignores_sampling_factors():
+    """T.81 A.2 (r9 advisor finding): a grayscale FRAME declaring 2x2
+    sampling factors (e.g. jpegtran -grayscale output) is coded
+    non-interleaved — one data unit per MCU, raster at full resolution.
+    Build such a file by patching the SOF of a 1x1 encode; the decode
+    must be byte-identical to the unpatched file."""
+    import numpy as np
+
+    from flux_spark.llm import codecs as C
+
+    rng = np.random.RandomState(3)
+    w, h = 32, 16  # MCU-aligned either way: the silent-scramble shape
+    img = rng.randint(0, 256, size=(h, w))
+    p = C.encode_jpeg_bytes([img.reshape(-1).tolist()], w, h)
+    ref = C.jpeg_pixels(p)
+    sof = p.find(b"\xff\xc0")
+    assert sof > 0 and p[sof + 11] == 0x11  # (Hi=1, Vi=1) of component 1
+    patched = p[: sof + 11] + b"\x22" + p[sof + 12 :]  # declare 2x2
+    assert C.jpeg_pixels(patched) == ref
+    # encoder mirror: 1-plane input must reject non-1x1 sampling
+    import pytest
+
+    with pytest.raises(ValueError):
+        C.encode_jpeg_bytes(
+            [img.reshape(-1).tolist()], w, h, sampling=[(2, 2)]
+        )
+    with pytest.raises(ValueError):
+        C.encode_jpeg_progressive_bytes(
+            [img.reshape(-1).tolist()], w, h, sampling=[(2, 2)]
+        )
