@@ -507,17 +507,19 @@ def mp4_video_samples(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# JPEG — baseline sequential DCT on struct + numpy (the last format that
-# was library-blocked; VERDICT r7 stretch item). The DECODER is general:
-# it reads DQT/DHT from the file (any tables), handles byte stuffing,
-# restart intervals, 8/16-bit quant precision, grayscale, 4:4:4 YCbCr
-# color, and (r9, VERDICT r8 #2) subsampled 4:2:0/4:2:2/4:4:0 via the
-# T.81 A.2.3 interleaved-MCU walk with replication chroma upsampling —
-# the sampling of virtually every camera/web JPEG; it rejects
-# progressive/arithmetic streams with ValueError (the quarantine
-# signal) rather than guessing. The ENCODER emits real JFIF baseline
-# files (Annex K standard Huffman tables, any sampling grid) any
-# viewer opens.
+# JPEG — sequential + progressive DCT on struct + numpy (the last
+# format that was library-blocked; VERDICT r7 stretch item). The
+# DECODER is general: it reads DQT/DHT from the file (any tables),
+# handles byte stuffing, restart intervals, 8/16-bit quant precision,
+# grayscale, 4:4:4 YCbCr color, (r9, VERDICT r8 #2) subsampled
+# 4:2:0/4:2:2/4:4:0 via the T.81 A.2.3 interleaved-MCU walk with
+# replication chroma upsampling — the sampling of virtually every
+# camera/web JPEG — and (r10, VERDICT r9 #1) PROGRESSIVE (SOF2)
+# streams via multi-scan coefficient accumulation (G.2 spectral
+# selection + successive approximation, EOB runs, correction bits);
+# it rejects lossless/hierarchical/arithmetic streams with ValueError
+# (the quarantine signal) rather than guessing. The ENCODERS emit real
+# JFIF baseline and progressive files any viewer opens.
 # ---------------------------------------------------------------------------
 
 ZIGZAG = [
@@ -1854,8 +1856,9 @@ def jpeg_header_metadata(payload: bytes) -> dict:
     'progressive' / ...) and the conventional chroma-sampling label
     ('gray' / '4:4:4' / '4:2:0' / ...). Unlike :func:`jpeg_pixels`,
     every SOFn frame type is VALID metadata here — the census scan must
-    profile progressive files, not quarantine them; that is what turns
-    the decoder's coverage gap into a measured corpus number. Raises
+    profile even frame types the decoder quarantines; since r10 the
+    decoder covers progressive too, so the census's decodable share on
+    the fixture corpus is 100%. Raises
     ValueError on structural corruption (same quarantine contract as
     :func:`jpeg_pixels`)."""
     d = payload
