@@ -850,3 +850,30 @@ class TestAttachGlobalOrder:
             df, [F.col("k").asc()], row_alias="r", running_sum=("w", "rs")
         )
         assert out.count() == 0
+
+
+def test_attach_global_order_tolerates_auto_shuffle_partitions(
+    spark, monkeypatch
+):
+    """AQE-managed deployments report spark.sql.shuffle.partitions='auto'
+    (a managed-platform extension OSS Spark won't even let a test SET, so
+    the read is patched); the two-pass helper must fall back to
+    defaultParallelism instead of raising ValueError (r10 advisor fix)."""
+    from flux_spark.analytics.operators import attach_global_order
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "v int")
+    real_get = spark.conf.get
+
+    def fake_get(key, *args, **kwargs):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(key, *args, **kwargs)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    from pyspark.sql import functions as F
+
+    got = attach_global_order(
+        df, [F.asc("v")], row_alias="r", total_alias="n"
+    ).collect()
+    rows = sorted((x["v"], x["r"], x["n"]) for x in got)
+    assert rows == [(i, i + 1, 20) for i in range(20)]
