@@ -1808,7 +1808,8 @@ def encode_png_bytes(
 
 def image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """Magic-number dispatch to the right REAL pixel decoder: PNG
-    (:func:`png_pixels`) or baseline JPEG (:func:`jpeg_pixels`). The
+    (:func:`png_pixels`) or JPEG — baseline or progressive
+    (:func:`jpeg_pixels`). The
     uniform (w, h, channels, interleaved bytes) contract is what lets
     transcode/resize treat sources interchangeably."""
     if payload[:3] == b"\xff\xd8\xff":

@@ -7,7 +7,8 @@ sizing — is real and tested, and since round 5 so are two codecs:
 
 * :func:`decode_image` / :func:`resize_images` — REAL PNG (stdlib
   zlib/struct codec in ``codecs.py``: CRC-validated chunk walk, DEFLATE,
-  all five scanline filters) and REAL baseline JPEG (struct+numpy:
+  all five scanline filters) and REAL JPEG, baseline + progressive
+  (struct+numpy:
   Huffman entropy decode, dequant, IDCT — r8), dispatched by magic.
 * :func:`decode_audio` — REAL RIFF/WAVE PCM16 (stdlib ``wave`` parser).
 * :func:`sample_frames` — REAL container-level MP4 frame sampling
@@ -268,7 +269,8 @@ def with_jpeg_progressive_media(
 def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL image decode over the Arrow mapInPandas plumbing, dispatched
     by magic number: PNG (signature + CRC'd chunk walk, IDAT inflate,
-    all five scanline filters) and baseline JPEG (marker walk, Huffman
+    all five scanline filters) and JPEG, baseline + progressive
+    (marker walk, Huffman
     entropy decode, dequant + IDCT — codecs.py, r8). Returns (id, width,
     height, channels, pixel_sum). Unsupported payloads raise at
     execution; route them away first with :func:`sniff_media_type` — the
@@ -516,7 +518,8 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def transcode_to_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL format transcoding: decode any supported image payload (PNG
-    or baseline JPEG, dispatched by magic number) to pixels and
+    or JPEG, baseline + progressive, dispatched by magic number) to
+    pixels and
     re-encode as PNG — the normalize-to-one-format pass a multimodal
     ingestion pipeline runs so every downstream consumer handles a
     single codec. Pixel-exact by construction (PNG is lossless; the
@@ -541,7 +544,7 @@ def image_ahash(
     df: DataFrame, id_col: str = "doc_id", grid: int = 8
 ) -> DataFrame:
     """Perceptual average-hash over REAL decoded pixels — the multimodal
-    twin of SimHash: decode (PNG or baseline JPEG), integer grayscale
+    twin of SimHash: decode (PNG or JPEG), integer grayscale
     ``(sum of channels) // channels``, nearest-neighbor downsample to a
     ``grid x grid`` patch (same ``(i * src) // dst`` index rule as
     :func:`resize_images`), then one bit per cell: 1 iff
