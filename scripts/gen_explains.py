@@ -115,9 +115,10 @@ SHOWCASE = [
     ),
     (
         "events_skew_profile",
-        "key-skew profiler (late r8): the fact table reduces map-side "
-        "to one row per key; the global sort for the exact Gini ranks "
-        "only O(distinct keys) rows",
+        "key-skew profiler (late r8, two-passed r10): the fact table "
+        "reduces map-side to one row per key; the exact-Gini rank is a "
+        "two-pass range-partitioned order (no SinglePartition sort) and "
+        "the hottest key is a per-partition top-1 TakeOrderedAndProject",
     ),
     (
         "emb_top_component",
@@ -212,6 +213,19 @@ SHOWCASE = [
         "per-partition partial sums -> broadcast offsets, PARTITIONED "
         "window per range bucket — bit-identical to the global window "
         "with no Exchange SinglePartition anywhere",
+    ),
+    (
+        "customer_balance_deciles",
+        "global NTILE(10) via attach_global_order + ntile_from_rank "
+        "(r10): the decile rank rides the two-pass range partitioning — "
+        "no single-partition WindowExec over the customer dimension",
+    ),
+    (
+        "doc_dedup_minhash_lsh_auto",
+        "auto-banded MinHash-LSH (r10): rows-per-band derived from ONE "
+        "scalar COUNT pass, inlined as a literal — the banding join "
+        "stays the same co-partitioned band self-join as the fixed gate, "
+        "with s^4 tighter candidate admission at corpus scale",
     ),
 ]
 
