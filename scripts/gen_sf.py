@@ -87,20 +87,50 @@ def generate(src: str, dst: str, factor: int) -> None:
         print(f"{t}: copied through")
 
     for t, offsets in KEY_OFFSETS.items():
+        # deterministic output + replica-count check make reruns resumable:
+        # a prior partial run's completed tables are skipped, the table it
+        # died on is rewritten (COPY truncates)
+        dst_file = f"{dst}/{t}.parquet"
+        if os.path.exists(dst_file):
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{dst_file}')"
+                ).fetchone()[0]
+            except duckdb.Error:
+                n = -1  # torn file from a killed run: regenerate
+            if n == card[t] * factor:
+                print(f"{t}: exists with {n} rows, skipped")
+                continue
         cols = con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
         ).fetchall()
         exprs = []
         for name, typ, *_ in cols:
             if name in offsets:
+                base = card[offsets[name]]
+                # the offset base is >= every source value of this column
+                # (dense keys: the cardinality; user_id: the max+1 span),
+                # so base*(factor+1) bounds the largest emitted key — widen
+                # INT32 columns whose scaled range outgrows the type
+                # (ladder catch at factor=1000: events.event_id overflowed)
+                out_typ = typ
+                if (
+                    typ.upper() in ("INTEGER", "INT", "INT4", "INT32")
+                    and base * (factor + 1) >= 2**31
+                ):
+                    out_typ = "BIGINT"
                 exprs.append(
-                    f"CAST({name} + r.r * {card[offsets[name]]} AS {typ})"
+                    f"CAST({name} + r.r * {base} AS {out_typ})"
                     f" AS {name}"
                 )
             elif t == "events" and name == "ts":
+                # BIGINT microsecond math: the seconds form
+                # `(r.r * span) * INTERVAL 1 SECOND` casts the product to
+                # INT32 inside DuckDB's interval multiply, which overflows
+                # at factor >= ~1000 (second ladder catch at sf100)
                 exprs.append(
-                    f"CAST(ts + (r.r * {ts_span_s}) * INTERVAL 1 SECOND "
-                    f"AS {typ}) AS ts"
+                    f"CAST(ts + to_microseconds(CAST(r.r AS BIGINT) * "
+                    f"{ts_span_s} * 1000000) AS {typ}) AS ts"
                 )
             elif t == "documents" and name == "text":
                 # length-preserving, replica-distinct text: swap 'e' for a
