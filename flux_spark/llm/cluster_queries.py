@@ -243,12 +243,21 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # JVM fold stays in codegen (measured sf10: fold 133 s vs Arrow
         # 188 s; the brute branch keeps Arrow because its broadcast
         # crossJoin amortizes the query batch)
+        # bucket_cap=64: auto_planes holds EXPECTED occupancy at 16, but
+        # duplicated vectors share a bucket at any plane count, so
+        # duplicate-heavy corpora grow buckets linearly with the dup
+        # factor and the occupancy² bucket join goes quadratic (sf100
+        # ladder catch: 2M replica vectors -> median occupancy 182,
+        # 2,593 s uncapped). 64 = 6.4x the k=10 ask per probe, 18 probes
+        # deep — and a vector whose capped candidates are all far away
+        # is exactly the outlier the -1 rule flags conservatively.
         topk = similarity.lsh_topk(
             e,
             e,
             k=_K_OUT,
             n_planes=similarity.auto_planes(n, target_bucket=16),
             use_arrow=False,
+            bucket_cap=64,
         )
     kth = (
         e.select("vec_id")

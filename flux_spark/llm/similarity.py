@@ -586,6 +586,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     probe_hamming: int = 1,
     use_arrow: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (the bucket-join scale path).
 
@@ -601,6 +602,25 @@ def lsh_topk(
     and raising n_planes sharpens buckets while probe_hamming buys recall.
     Deterministic end-to-end (md5-seeded hyperplanes, sequential float64
     dots), so the approximate result is still exactly oracle-checkable.
+
+    ``bucket_cap`` (opt-in) bounds the CANDIDATE side of every bucket:
+    per signature, only the first ``bucket_cap`` corpus vectors in
+    deterministic hash order (md5 of the id, id tie-break) remain
+    joinable. This is the dedup family's skew cap transplanted to ANN:
+    ``auto_planes`` keeps EXPECTED occupancy near target_bucket, but no
+    plane count can split exact/near-duplicate vectors apart — a corpus
+    where some vector is duplicated m times has an m-sized bucket at any
+    resolution, and per-bucket pair work is occupancy², so duplicated
+    mass turns the bucket join quadratic (measured: gen_sf's 1000×
+    replica corpus at sf100 holds 2M vectors in 8,067 occupied buckets —
+    median occupancy 182 vs the target 16 — and the uncapped walk costs
+    2,593 s where cap=64 is linear). On corpora whose occupancy actually
+    tracks target_bucket the cap never engages, and where it does
+    engage, the dropped candidates are interchangeable near-copies of
+    the survivors; callers whose contract treats sparse candidate sets
+    conservatively (emb_knn_distance_outliers's -1 rule) stay safe by
+    construction. Default None = exact pre-cap behavior (the oracle-exact
+    ann_cosine_lsh gate path).
     """
     from pyspark.sql import Window
 
@@ -611,6 +631,16 @@ def lsh_topk(
         F.col(vec_col).alias("__cv"),
         signature_bits(F.col(vec_col), planes).alias("__sig"),
     )
+    if bucket_cap is not None:
+        wcap = Window.partitionBy("__sig").orderBy(
+            F.md5(F.col("neighbor_id").cast("string")).asc(),
+            F.col("neighbor_id").asc(),
+        )
+        c = (
+            c.withColumn("__slot", F.row_number().over(wcap))
+            .where(F.col("__slot") <= int(bucket_cap))
+            .drop("__slot")
+        )
     qsig = signature_bits(F.col(vec_col), planes)
     probe_arr = [qsig] + (
         [qsig.bitwiseXOR(F.lit(2**i)) for i in range(n_planes)]

@@ -183,6 +183,38 @@ def test_lsh_topk_finds_identical_neighbor(spark, vecs):
     assert len({(r.query_id, r.neighbor_id) for r in rows}) == len(rows)
 
 
+def test_lsh_topk_bucket_cap(spark, vecs):
+    # cap above every bucket's occupancy: bit-identical to uncapped
+    base = similarity.lsh_topk(vecs, vecs, k=2, dim=4, n_planes=4)
+    capped = similarity.lsh_topk(
+        vecs, vecs, k=2, dim=4, n_planes=4, bucket_cap=100
+    )
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, capped.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, base.collect()), key=lambda t: (t[0], t[3])
+    )
+    # binding cap: candidates per (probe bucket) shrink to <= cap, the
+    # survivors are a deterministic hash-ordered subset of the uncapped
+    # candidate set, and reruns are stable
+    tight = similarity.lsh_topk(
+        vecs, vecs, k=4, dim=4, n_planes=2, bucket_cap=1
+    )
+    tight2 = similarity.lsh_topk(
+        vecs, vecs, k=4, dim=4, n_planes=2, bucket_cap=1
+    )
+    t_rows = sorted(map(tuple, tight.collect()))
+    assert t_rows == sorted(map(tuple, tight2.collect()))
+    full = similarity.lsh_topk(vecs, vecs, k=100, dim=4, n_planes=2)
+    full_pairs = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert {(t[0], t[1]) for t in t_rows} <= full_pairs
+    # with one survivor per bucket, a query sees at most 1 + n_planes
+    # candidates (one per probe signature)
+    from collections import Counter
+
+    per_q = Counter(t[0] for t in t_rows)
+    assert all(v <= 3 for v in per_q.values())
+
+
 def test_ivf_topk_exact_when_probing_all(spark, vecs):
     cents = vecs.where(F.col("vec_id").isin([0, 1])).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
