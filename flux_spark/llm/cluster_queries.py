@@ -217,9 +217,12 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) and only run up to 1,000 vectors (measured: the Arrow pair transfer is the bound — 4M brute pairs cost 16.8 s where the 6-probe LSH path scores the same corpus in ~3 s) (the gate SF takes this
     branch, so the brute oracle stays exact); past that, candidates come
     from sign-LSH buckets + Hamming-1 multiprobe (auto_planes keeps
-    bucket volume ~constant as n grows). A vector whose probed buckets
-    hold fewer than k candidates has no k-th neighbor NEARBY — exactly
-    the outlier signal — and is flagged with kth_cos_sim = -1.
+    EXPECTED bucket volume ~constant as n grows, and bucket_cap=64
+    bounds the actual per-bucket candidate mass where duplicated
+    vectors defeat plane scaling — the sf100 ladder catch). A vector
+    whose probed buckets hold fewer than k candidates has no k-th
+    neighbor NEARBY — exactly the outlier signal — and is flagged with
+    kth_cos_sim = -1.
 
     The 5% flag is a global rank over (vec_id, kth_cos) pairs, computed
     with the two-pass range-partition pattern (attach_global_order) —
