@@ -1286,32 +1286,61 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.day
     """,
     "activity metrics: DAU / trailing-7-day WAU / trailing-30-day MAU "
-    "and DAU-over-MAU stickiness per day — computed from the (day, user) "
-    "DISTINCT activity set (cardinality bounded by days x users, far "
-    "smaller than the event stream) range-joined against the day spine",
+    "and DAU-over-MAU stickiness per day — each (day, user) DISTINCT "
+    "activity row EXPLODES into the <= 30 spine days it contributes to "
+    "(a bounded-constant fan-out equi-join, never an inequality join) "
+    "and membership flags pre-aggregate per (day, user) before the "
+    "day-level counts",
 )
 def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (sf100 ladder catch): the natural range-join form
+    ``days JOIN acts ON day <= d AND day > d - 30`` has no equi-key, so
+    Spark runs it as BroadcastNestedLoopJoin — O(spine_days × acts)
+    comparisons, which walled at 1000× bench data (~25k spine days ×
+    30M activity rows). Instead each activity row generates its 30
+    target days (``sequence`` + ``explode``, constant fan-out), the
+    day spine filters via a broadcast equi-join, and DAU/WAU membership
+    collapses to per-(day, user) flags map-side before the day-level
+    sum — one linear shuffle on (day, user), one model-sized one on
+    day. Bit-identical to the range-join form (d ∈ [day, day+29] ⟺
+    day <= d < day+30; count_distinct's NULL-skip matches the explicit
+    isNotNull filter because the range join never matched NULL days)."""
     e = load_table(spark, sf_dir, "events")
-    acts = e.select(
-        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
-    ).distinct()
+    acts = (
+        e.where(F.col("user_id").isNotNull())
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+    )
     days = acts.select("day").distinct().select(F.col("day").alias("d"))
-    j = days.join(
-        acts,
-        (F.col("day") <= F.col("d"))
-        & (F.col("day") > F.col("d") - F.expr("INTERVAL 30 DAY")),
+    contrib = acts.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 29 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
     )
-    dau_user = F.when(F.col("day") == F.col("d"), F.col("user_id"))
-    wau_user = F.when(
-        F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAY"), F.col("user_id")
+    j = contrib.join(F.broadcast(days), "d")
+    per_user = j.groupBy("d", "user_id").agg(
+        F.max(
+            F.when(F.col("day") == F.col("d"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("is_dau"),
+        F.max(
+            F.when(
+                F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAY"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("is_wau"),
     )
-    return j.groupBy(F.col("d").alias("day")).agg(
-        F.count_distinct(dau_user).alias("dau"),
-        F.count_distinct(wau_user).alias("wau"),
-        F.count_distinct("user_id").alias("mau"),
+    return per_user.groupBy(F.col("d").alias("day")).agg(
+        F.sum("is_dau").cast("bigint").alias("dau"),
+        F.sum("is_wau").cast("bigint").alias("wau"),
+        F.count("*").cast("bigint").alias("mau"),
         (
-            F.count_distinct(dau_user).cast("double")
-            / F.count_distinct("user_id").cast("double")
+            F.sum("is_dau").cast("double") / F.count("*").cast("double")
         ).alias("stickiness"),
     )
 

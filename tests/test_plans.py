@@ -237,6 +237,21 @@ def test_media_metadata_query_prunes_payload_column(spark, sf):
     assert "width" in schema
 
 
+def test_dau_wau_mau_no_nested_loop_join(spark, sf):
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    plan = executed_plan(ANALYTICS_QUERIES["events_dau_wau_mau"].fn(spark, sf))
+    # the trailing-window membership is an explode + broadcast EQUI-join
+    # on the day spine — the range form compiles to BroadcastNestedLoopJoin
+    # and walls at O(spine_days x activity rows) (sf100 ladder catch)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # membership flags collapse per (day, user) before the day-level agg:
+    # exactly two corpus-scaled exchanges (the acts DISTINCT on (day,
+    # user_id) reuses the same partitioning), plus the tiny spine's
+    assert "Expand" not in plan  # no count_distinct triple-expansion
+
+
 def test_funnel_three_windows_share_one_exchange(spark, sf):
     from flux_spark.analytics.queries import ANALYTICS_QUERIES
 
