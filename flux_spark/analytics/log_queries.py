@@ -956,8 +956,14 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _ingest_events(spark, sf_dir)
     src = stream_topic(store, "events")
+    # spaced trigger: stateful queries never self-terminate under
+    # AvailableNow (back-to-back empty batches service the timeouts), so
+    # the drain stops them in the idle gap between processing-time
+    # triggers — a clean stop that can't interrupt a state commit
     out = drain_available_now(
-        stateful_running_totals(src), output_mode="update"
+        stateful_running_totals(src, state_timeout_ms=1500),
+        output_mode="update",
+        trigger_interval_ms=1000,
     )
     return out.select("key", "total", "n")
 

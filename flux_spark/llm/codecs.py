@@ -640,6 +640,7 @@ def encode_jpeg_bytes(
     qtable: list[int] | None = None,
     restart_interval: int = 0,
     sampling: list[tuple[int, int]] | None = None,
+    exif_orientation: int | None = None,
 ) -> bytes:
     """Encode 1 (grayscale) or 3 (YCbCr) component planes into a REAL
     baseline JFIF file: JFIF APP0, DQT, SOF0, the four Annex K DHTs, SOS,
@@ -730,6 +731,8 @@ def encode_jpeg_bytes(
     out += seg(
         0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
     )
+    if exif_orientation is not None:
+        out += seg(0xFFE1, exif_app1_segment(exif_orientation))
     out += seg(0xFFDB, bytes([0x00]) + bytes(q))  # DQT id 0, 8-bit
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for ci in range(ncomp):
@@ -1630,17 +1633,30 @@ def synth_jpeg_pixel(seed: int, bx: int, by: int) -> int:
     return min(255, max(0, 2 * ((v - 127) // 2) + 128))
 
 
+def synth_jpeg_orientation(seed: int) -> int:
+    """EXIF orientation of the synthetic baseline JPEG — cycles all eight
+    legal values so the metadata gate exercises the full tag range."""
+    return 1 + seed % 8
+
+
 def synth_jpeg_bytes(seed: int) -> bytes:
     """A real baseline JFIF grayscale file: constant 8x8 blocks with
-    values from :func:`synth_jpeg_block`, flat-16 quant table — opens in
-    any viewer, decodes here to :func:`synth_jpeg_pixel` exactly."""
+    values from :func:`synth_jpeg_block`, flat-16 quant table, and (r11)
+    an EXIF APP1 carrying :func:`synth_jpeg_orientation` — opens in any
+    viewer, decodes here to :func:`synth_jpeg_pixel` exactly."""
     w, h = synth_jpeg_dims(seed)
     plane = [
         synth_jpeg_block(seed, x // 8, y // 8)
         for y in range(h)
         for x in range(w)
     ]
-    return encode_jpeg_bytes([plane], w, h, qtable=_FLAT_Q16)
+    return encode_jpeg_bytes(
+        [plane],
+        w,
+        h,
+        qtable=_FLAT_Q16,
+        exif_orientation=synth_jpeg_orientation(seed),
+    )
 
 
 def synth_jpeg_progressive_bytes(seed: int) -> bytes:
@@ -1849,13 +1865,65 @@ def _sampling_label(samps: list[tuple[int, int]]) -> str:
     return "other"
 
 
+def exif_app1_segment(orientation: int) -> bytes:
+    """Minimal EXIF APP1 body: big-endian TIFF header + a one-entry IFD0
+    holding tag 0x0112 (Orientation, type SHORT, count 1) — the layout of
+    TIFF 6.0 / EXIF 2.3 §4.6.2 that every EXIF reader walks. Orientation
+    1..8 per the spec (1 = upright; 3/6/8 the common rotations)."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"EXIF orientation must be 1..8, got {orientation}")
+    return (
+        b"Exif\x00\x00"
+        + b"MM\x00\x2a"  # big-endian TIFF, magic 42
+        + struct.pack(">I", 8)  # IFD0 offset
+        + struct.pack(">H", 1)  # one entry
+        + struct.pack(">HHI", 0x0112, 3, 1)  # Orientation, SHORT, count 1
+        + struct.pack(">HH", orientation, 0)  # value, left-justified pad
+        + struct.pack(">I", 0)  # no next IFD
+    )
+
+
+def _parse_exif_orientation(tiff: bytes) -> int | None:
+    """Walk a TIFF blob (the bytes after the APP1 ``Exif\\0\\0`` prefix)
+    and return IFD0's Orientation (tag 0x0112) if present and valid.
+    Handles both byte orders; malformed EXIF returns None (the scan must
+    never quarantine a file over a broken vendor APP1)."""
+    if len(tiff) < 8:
+        return None
+    if tiff[:2] == b"II":
+        endian = "<"
+    elif tiff[:2] == b"MM":
+        endian = ">"
+    else:
+        return None
+    (magic,) = struct.unpack_from(endian + "H", tiff, 2)
+    if magic != 42:
+        return None
+    (ifd_off,) = struct.unpack_from(endian + "I", tiff, 4)
+    if ifd_off + 2 > len(tiff):
+        return None
+    (n_entries,) = struct.unpack_from(endian + "H", tiff, ifd_off)
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(tiff):
+            return None
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", tiff, e)
+        if tag == 0x0112 and typ == 3 and cnt >= 1:
+            (val,) = struct.unpack_from(endian + "H", tiff, e + 8)
+            return val if 1 <= val <= 8 else None
+    return None
+
+
 def jpeg_header_metadata(payload: bytes) -> dict:
     """Header-only JPEG metadata: marker walk that STOPS at SOS — no
     entropy decode, no IDCT — returning dims, component count, table
     counts, restart interval, the quant-value sum (a cheap checksum
     of the quality setting), plus (r9) the SOF kind ('baseline' /
     'progressive' / ...) and the conventional chroma-sampling label
-    ('gray' / '4:4:4' / '4:2:0' / ...). Unlike :func:`jpeg_pixels`,
+    ('gray' / '4:4:4' / '4:2:0' / ...), and (r11) the EXIF orientation
+    from the APP1 IFD0 walk (tag 0x0112; default 1 = upright when absent
+    — a rotated image is a different training example, so the corpus
+    profile must surface it before decode). Unlike :func:`jpeg_pixels`,
     every SOFn frame type is VALID metadata here — the census scan must
     profile even frame types the decoder quarantines; since r10 the
     decoder covers progressive too, so the census's decodable share on
@@ -1869,6 +1937,7 @@ def jpeg_header_metadata(payload: bytes) -> dict:
     n_q = n_h = 0
     quant_sum = 0
     restart_interval = 0
+    orientation = 1  # EXIF default: absent APP1/tag means upright
     frame = None
     while pos < len(d):
         if d[pos] != 0xFF:
@@ -1920,6 +1989,8 @@ def jpeg_header_metadata(payload: bytes) -> dict:
             frame = (w, h, nc, marker, samps)
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            orientation = _parse_exif_orientation(body[6:]) or orientation
         elif marker == 0xDA:
             break
         pos += seglen
@@ -1935,4 +2006,5 @@ def jpeg_header_metadata(payload: bytes) -> dict:
         "quant_sum": quant_sum,
         "sof_kind": _SOF_MARKERS[frame[3]],
         "sampling": _sampling_label(frame[4]),
+        "orientation": orientation,
     }

@@ -699,12 +699,15 @@ def media_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(0 AS INTEGER) AS restart_interval,
            CAST(1024 AS BIGINT) AS quant_sum,
            'baseline' AS sof_kind,
-           'gray' AS sampling
+           'gray' AS sampling,
+           CAST(1 + doc_id % 8 AS INTEGER) AS orientation
     FROM documents
     """,
     "header-only JPEG metadata scan (marker walk STOPS at SOS — no "
     "entropy decode, no IDCT): dims, component count, DQT/DHT counts, "
-    "restart interval, quant-value checksum. The corpus-profiling pass "
+    "restart interval, quant-value checksum, EXIF orientation (r11: "
+    "APP1 TIFF IFD0 walk, tag 0x0112 — a rotated image is a different "
+    "training example). The corpus-profiling pass "
     "for image datasets — billions of files characterized at a few "
     "hundred bytes read each, orders cheaper than decoding; the oracle "
     "recomputes every field symbolically from the synthesis formulas, "
@@ -721,7 +724,9 @@ def media_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sof_kind, sampling,
            CAST(COUNT(*) AS BIGINT) AS n_files,
-           CAST(SUM(w * h) AS BIGINT) AS total_pixels
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+           CAST(SUM(CASE WHEN orientation <> 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rotated
     FROM (
       SELECT CASE WHEN doc_id % 3 = 2 THEN 'progressive'
                   ELSE 'baseline' END AS sof_kind,
@@ -730,7 +735,9 @@ def media_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 3 = 1 THEN 16 * (1 + doc_id % 2)
                   ELSE 8 * (2 + doc_id % 3) END AS w,
              CASE WHEN doc_id % 3 = 1 THEN 16 * (1 + doc_id % 3)
-                  ELSE 8 * (1 + doc_id % 2) END AS h
+                  ELSE 8 * (1 + doc_id % 2) END AS h,
+             CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 8
+                  ELSE 1 END AS orientation
       FROM documents)
     GROUP BY sof_kind, sampling
     """,
@@ -742,8 +749,10 @@ def media_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus mixes grayscale baseline, 4:2:0 color baseline, and "
     "progressive (SOF2) files — since r10 the progressive class is REAL "
     "decodable files, so every class the census counts is also covered "
-    "by a decode gate; the oracle recomputes each class's count + pixel "
-    "volume symbolically from the synthesis formulas",
+    "by a decode gate; r11 adds per-class n_rotated (EXIF orientation "
+    "<> 1 — the files whose pixels need a rotate before training); the "
+    "oracle recomputes each class's count + pixel volume + rotated "
+    "share symbolically from the synthesis formulas",
 )
 def media_jpeg_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -753,4 +762,7 @@ def media_jpeg_kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("width").cast("bigint") * F.col("height").cast("bigint"))
         .cast("bigint")
         .alias("total_pixels"),
+        F.sum(F.when(F.col("orientation") != 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rotated"),
     )

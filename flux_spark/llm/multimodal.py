@@ -810,7 +810,7 @@ def image_phash(
 JPEG_META_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, "
     "n_quant_tables int, n_huffman_tables int, restart_interval int, "
-    "quant_sum bigint, sof_kind string, sampling string"
+    "quant_sum bigint, sof_kind string, sampling string, orientation int"
 )
 
 
@@ -836,6 +836,7 @@ def jpeg_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "quant_sum",
                 "sof_kind",
                 "sampling",
+                "orientation",
             ):
                 out[k] = [s[k] for s in stats]
             yield pd.DataFrame(out)

@@ -88,6 +88,7 @@ def drain_available_now(
     checkpoint: str | None = None,
     timeout_s: int = 120,
     output_mode: str = "append",
+    trigger_interval_ms: int | None = None,
 ) -> DataFrame:
     """Run a bounded drain of everything currently in the log — the
     poll-until-READ_COMPLETION loop as a single Trigger.AvailableNow run
@@ -97,11 +98,20 @@ def drain_available_now(
     "update"): in append mode a window only emits once a *later* batch
     advances the watermark past its end, so a bounded drain of an
     aggregation would come back empty.
+
+    For stateful operators (applyInPandasWithState with processing-time
+    timeouts) pass ``trigger_interval_ms``: AvailableNow never terminates
+    for them — the engine schedules empty microbatches BACK-TO-BACK to
+    service pending timeouts, so there is no idle window and a ``stop()``
+    lands mid-state-commit (ERROR-level MicroBatchWrite abort, zero data
+    impact but log noise). A processing-time trigger spaces the empty
+    batches ``trigger_interval_ms`` apart, and the quiesced stop below is
+    guaranteed to land in the idle gap between triggers — a clean stop.
     """
     import time as _time
 
     name = f"drain_{uuid.uuid4().hex[:8]}"
-    q = (
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
@@ -109,9 +119,12 @@ def drain_available_now(
             "checkpointLocation",
             checkpoint or tempfile.mkdtemp(prefix="flux-drain-ckpt-"),
         )
-        .trigger(availableNow=True)
-        .start()
     )
+    if trigger_interval_ms is not None:
+        writer = writer.trigger(processingTime=f"{trigger_interval_ms} milliseconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     # Plain AvailableNow queries terminate on their own. Stateful operators
     # with processing-time timeouts do NOT: the engine keeps scheduling
     # empty microbatches until the timeouts fire (hours away), so a drain
@@ -125,14 +138,37 @@ def drain_available_now(
             break
         prog = q.recentProgress
         if len(prog) >= 2 and all(p["numInputRows"] == 0 for p in prog[-2:]):
-            q.stop()
-            q.awaitTermination(30)
+            _stop_quiesced(q)
             break
     else:
         # deadline hit with the query still running: never leak it
-        q.stop()
-        q.awaitTermination(30)
+        _stop_quiesced(q)
     return stream_df.sparkSession.table(name)
+
+
+def _stop_quiesced(q, settle_s: float = 15.0) -> None:
+    """Stop a streaming query without interrupting an in-flight trigger.
+
+    ``q.stop()`` interrupts the microbatch thread; if that thread is
+    mid-state-checkpoint (HDFSStateStore commit of an EMPTY no-data batch
+    — all real data was already drained), the interrupt surfaces as an
+    ERROR-level CANNOT_WRITE_STATE_STORE / MicroBatchWrite abort in the
+    logs even though nothing was lost. Wait for ``isTriggerActive`` to
+    clear (the engine is idle between triggers) before stopping, so the
+    interrupt never lands inside a commit.
+    """
+    import time as _time
+
+    settle_deadline = _time.time() + settle_s
+    while _time.time() < settle_deadline:
+        try:
+            if not q.status.get("isTriggerActive", False):
+                break
+        except Exception:
+            break  # query already terminated on its own
+        _time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(30)
 
 
 def stream_export(
@@ -164,8 +200,7 @@ def stream_export(
     if not q.awaitTermination(timeout_s):
         # don't leak a stuck run; the checkpoint + sink manifest make the
         # next invocation resume without loss or duplication
-        q.stop()
-        q.awaitTermination(30)
+        _stop_quiesced(q)
 
 
 def stream_windowed_counts(
@@ -388,25 +423,31 @@ _STATE_SCHEMA = "total DOUBLE, n LONG"
 _OUT_SCHEMA = "key STRING, total DOUBLE, n LONG"
 
 
-def _running_totals_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-):
-    """Per-key running (sum, count) over the stream; state survives across
-    microbatches and is dropped after the processing-time timeout."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    total, n = state.get if state.exists else (0.0, 0)
-    for pdf in pdfs:
-        vals = pd.to_numeric(pdf["value"], errors="coerce").fillna(0.0)
-        total += float(vals.sum())
-        n += int(len(pdf))
-    state.update((total, n))
-    state.setTimeoutDuration(3600 * 1000)
-    yield pd.DataFrame({"key": [key[0]], "total": [total], "n": [n]})
+def _make_running_totals_fn(state_timeout_ms: int):
+    def _running_totals_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ):
+        """Per-key running (sum, count) over the stream; state survives
+        across microbatches and is dropped after the processing-time
+        timeout."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            vals = pd.to_numeric(pdf["value"], errors="coerce").fillna(0.0)
+            total += float(vals.sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame({"key": [key[0]], "total": [total], "n": [n]})
+
+    return _running_totals_fn
 
 
-def stateful_running_totals(records: DataFrame) -> DataFrame:
+def stateful_running_totals(
+    records: DataFrame, state_timeout_ms: int = 3600 * 1000
+) -> DataFrame:
     """Custom stateful streaming operator: per-key running totals of the
     numeric interpretation of ``value``.
 
@@ -414,9 +455,15 @@ def stateful_running_totals(records: DataFrame) -> DataFrame:
     per-key and partition-local (one shuffle on the grouping key), so it
     scales horizontally with keys — the Spark-native replacement for the
     reference's (stubbed) stateful consumer-side tracking.
+
+    ``state_timeout_ms`` is the per-key state-eviction horizon (output is
+    unaffected — a timed-out key just drops its state). Bounded drains pass
+    a short horizon so the AvailableNow run terminates on its own once the
+    timeouts fire, instead of needing a ``stop()`` that can interrupt an
+    in-flight empty-batch state commit (ERROR-level abort noise).
     """
     return records.groupBy("key").applyInPandasWithState(
-        _running_totals_fn,
+        _make_running_totals_fn(state_timeout_ms),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
@@ -468,38 +515,44 @@ _PROGRESS_STATE_SCHEMA = "hwm LONG, n LONG, replays LONG"
 _PROGRESS_OUT_SCHEMA = "key STRING, hwm LONG, n_records LONG, n_replays LONG"
 
 
-def _offset_progress_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-):
-    """Track each key's offset high-water mark across microbatches. A record
-    is *fresh* if its offset strictly advances past the key's hwm and is the
-    first occurrence in its batch; everything else counts as a replay —
-    exactly the signal a consumer needs to observe the at-least-once
-    redelivery of ``stream_ingest`` (foreachBatch) downstream."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    hwm, n, replays = state.get if state.exists else (-1, 0, 0)
-    for pdf in pdfs:
-        offs = pdf["offset"]
-        fresh = offs[offs > hwm]
-        replays += int(len(offs)) - int(fresh.nunique())
-        n += int(len(offs))
-        if len(fresh):
-            hwm = max(hwm, int(fresh.max()))
-    state.update((hwm, n, replays))
-    state.setTimeoutDuration(3600 * 1000)
-    yield pd.DataFrame(
-        {
-            "key": [key[0]],
-            "hwm": [hwm],
-            "n_records": [n],
-            "n_replays": [replays],
-        }
-    )
+def _make_offset_progress_fn(state_timeout_ms: int):
+    def _offset_progress_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ):
+        """Track each key's offset high-water mark across microbatches. A
+        record is *fresh* if its offset strictly advances past the key's hwm
+        and is the first occurrence in its batch; everything else counts as
+        a replay — exactly the signal a consumer needs to observe the
+        at-least-once redelivery of ``stream_ingest`` (foreachBatch)
+        downstream."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        hwm, n, replays = state.get if state.exists else (-1, 0, 0)
+        for pdf in pdfs:
+            offs = pdf["offset"]
+            fresh = offs[offs > hwm]
+            replays += int(len(offs)) - int(fresh.nunique())
+            n += int(len(offs))
+            if len(fresh):
+                hwm = max(hwm, int(fresh.max()))
+        state.update((hwm, n, replays))
+        state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "hwm": [hwm],
+                "n_records": [n],
+                "n_replays": [replays],
+            }
+        )
+
+    return _offset_progress_fn
 
 
-def stateful_offset_progress(records: DataFrame) -> DataFrame:
+def stateful_offset_progress(
+    records: DataFrame, state_timeout_ms: int = 3600 * 1000
+) -> DataFrame:
     """Custom stateful operator: per-key offset high-water mark + replay
     counter. One shuffle on the key; state is per-key and partition-local,
     so it scales horizontally with key cardinality — at 100 TB/day the
@@ -507,9 +560,10 @@ def stateful_offset_progress(records: DataFrame) -> DataFrame:
     time timeout. (Spark 4's transformWithStateInPandas would give the
     same shape with typed state + timers; this environment's Python
     runner lacks its protobuf dependency, and applyInPandasWithState is
-    the stable API.)"""
+    the stable API.) ``state_timeout_ms`` as in
+    ``stateful_running_totals``."""
     return records.groupBy("key").applyInPandasWithState(
-        _offset_progress_fn,
+        _make_offset_progress_fn(state_timeout_ms),
         outputStructType=_PROGRESS_OUT_SCHEMA,
         stateStructType=_PROGRESS_STATE_SCHEMA,
         outputMode="update",

@@ -1983,6 +1983,46 @@ def test_jpeg_420_odd_dims_and_422():
             assert tuple(arr[y, x]) == expected(cy, cb, cr), (x, y)
 
 
+def test_jpeg_exif_orientation():
+    """EXIF APP1 orientation: all eight legal values round-trip through
+    encode -> header scan; little-endian TIFF parses too; absent or
+    malformed EXIF falls back to the spec default (1 = upright); decode
+    ignores the APP1 entirely."""
+    import struct
+
+    from flux_spark.llm import codecs as C
+
+    for seed in range(16):
+        m = C.jpeg_header_metadata(C.synth_jpeg_bytes(seed))
+        assert m["orientation"] == C.synth_jpeg_orientation(seed) == 1 + seed % 8
+    # 4:2:0 / progressive synths carry no EXIF -> default 1
+    assert C.jpeg_header_metadata(C.synth_jpeg420_bytes(3))["orientation"] == 1
+    assert (
+        C.jpeg_header_metadata(C.synth_jpeg_progressive_bytes(3))["orientation"]
+        == 1
+    )
+    # little-endian TIFF body
+    le = (
+        b"II\x2a\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHI", 0x0112, 3, 1)
+        + struct.pack("<HH", 6, 0)
+        + struct.pack("<I", 0)
+    )
+    assert C._parse_exif_orientation(le) == 6
+    # malformed: bad byte order, bad magic, truncated IFD, out-of-range value
+    assert C._parse_exif_orientation(b"XX" + le[2:]) is None
+    assert C._parse_exif_orientation(b"II\x2b\x00" + le[4:]) is None
+    assert C._parse_exif_orientation(le[:10]) is None
+    bad_val = le[:18] + struct.pack("<HH", 9, 0) + le[22:]
+    assert C._parse_exif_orientation(bad_val) is None
+    # EXIF presence must not change decoded pixels
+    w, h, ch, pix = C.jpeg_pixels(C.synth_jpeg_bytes(5))
+    assert (w, h) == C.synth_jpeg_dims(5) and ch == 1
+    assert pix[0] == C.synth_jpeg_pixel(5, 0, 0)
+
+
 def test_jpeg_kind_census_fields_and_decodability():
     """Header scan classifies SOF kind + sampling for all three corpus
     classes; since r10 the progressive class is REAL decodable files."""

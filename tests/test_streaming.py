@@ -56,8 +56,10 @@ def test_stateful_running_totals(filled_store, spark):
     src = streaming.stream_topic(filled_store, "src").withColumn(
         "value", F.lit(2.5)
     )
-    totals = streaming.stateful_running_totals(src)
-    out = streaming.drain_available_now(totals, output_mode="update")
+    totals = streaming.stateful_running_totals(src, state_timeout_ms=1500)
+    out = streaming.drain_available_now(
+        totals, output_mode="update", trigger_interval_ms=1000
+    )
     got = {r.key: (r.total, r.n) for r in out.collect()}
     assert got == {f"k{i}": (30.0, 12) for i in range(5)}
 
@@ -202,7 +204,9 @@ def test_stateful_offset_progress_detects_replays(filled_store, spark, tmp_path)
     base.unionAll(base).coalesce(2).write.parquet(dup_dir)
     stream = spark.readStream.schema("key string, offset long").parquet(dup_dir)
     out = streaming.drain_available_now(
-        streaming.stateful_offset_progress(stream), output_mode="update"
+        streaming.stateful_offset_progress(stream, state_timeout_ms=1500),
+        output_mode="update",
+        trigger_interval_ms=1000,
     )
     got = {r.key: r for r in out.collect()}
     total = filled_store.read("src").count()
