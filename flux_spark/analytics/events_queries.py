@@ -1303,14 +1303,20 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to per-(day, user) flags map-side before the day-level
     sum — one linear shuffle on (day, user), one model-sized one on
     day. Bit-identical to the range-join form (d ∈ [day, day+29] ⟺
-    day <= d < day+30; count_distinct's NULL-skip matches the explicit
-    isNotNull filter because the range join never matched NULL days)."""
+    day <= d < day+30) with NO data assumption: NULL-user activity rows
+    stay in the candidate set (the oracle's range join matches them, so
+    a NULL-only window still emits a dau=0 row) and are skipped only in
+    the counts, mirroring COUNT(DISTINCT ...)'s NULL-skip; the
+    stickiness division is NULL-guarded to match DuckDB's 0/0 = NULL."""
     e = load_table(spark, sf_dir, "events")
-    acts = (
-        e.where(F.col("user_id").isNotNull())
-        .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
-        .distinct()
-    )
+    # acts keeps NULL-user activity rows (advisor r10 catch): the oracle's
+    # range join matches them, so a spine day whose trailing window holds
+    # ONLY NULL-user activity still emits a dau=0/mau=0 row — the NULL-skip
+    # happens in the COUNTS (the when-guards below), not in the candidate
+    # set. Bit-identical to the oracle with no data assumption.
+    acts = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
     days = acts.select("day").distinct().select(F.col("day").alias("d"))
     contrib = acts.select(
         "user_id",
@@ -1335,12 +1341,28 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("is_wau"),
     )
-    return per_user.groupBy(F.col("d").alias("day")).agg(
-        F.sum("is_dau").cast("bigint").alias("dau"),
-        F.sum("is_wau").cast("bigint").alias("wau"),
-        F.count("*").cast("bigint").alias("mau"),
-        (
-            F.sum("is_dau").cast("double") / F.count("*").cast("double")
+    notnull = F.col("user_id").isNotNull()
+    agg = per_user.groupBy(F.col("d").alias("day")).agg(
+        F.sum(F.when(notnull, F.col("is_dau")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dau"),
+        F.sum(F.when(notnull, F.col("is_wau")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("wau"),
+        F.sum(F.when(notnull, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("mau"),
+    )
+    # mau=0 (NULL-only window) -> NULL, matching DuckDB's 0/0 double = NULL
+    # (Spark's unguarded double division would give NaN there)
+    return agg.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        F.when(
+            F.col("mau") > 0,
+            F.col("dau").cast("double") / F.col("mau").cast("double"),
         ).alias("stickiness"),
     )
 

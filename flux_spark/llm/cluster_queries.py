@@ -203,9 +203,10 @@ _DIM = 64
     "threshold with vec_id tie-break — no float percentile cut). Scale "
     "shape: auto-switches the candidate generator at 1,000 vectors from "
     "brute all-pairs (the gate branch — oracle stays exact) to "
-    "Arrow-scored sign-LSH multiprobe buckets with auto_planes; probed "
-    "buckets with < k candidates flag as kth_cos_sim = -1 (no near "
-    "k-th neighbor IS the outlier signal).",
+    "Arrow-scored sign-LSH multiprobe buckets with auto_planes and the "
+    "occupancy-derived auto_bucket_cap (r11); probed buckets with < k "
+    "candidates flag as kth_cos_sim = -1 (no near k-th neighbor IS the "
+    "outlier signal).",
 )
 def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-training quarantine filter: vectors whose k-th neighbor is
@@ -217,9 +218,10 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) and only run up to 1,000 vectors (measured: the Arrow pair transfer is the bound — 4M brute pairs cost 16.8 s where the 6-probe LSH path scores the same corpus in ~3 s) (the gate SF takes this
     branch, so the brute oracle stays exact); past that, candidates come
     from sign-LSH buckets + Hamming-1 multiprobe (auto_planes keeps
-    EXPECTED bucket volume ~constant as n grows, and bucket_cap=64
-    bounds the actual per-bucket candidate mass where duplicated
-    vectors defeat plane scaling — the sf100 ladder catch). A vector
+    EXPECTED bucket volume ~constant as n grows, and the
+    occupancy-derived auto_bucket_cap bounds ACTUAL per-bucket candidate
+    mass where duplicated vectors defeat plane scaling — the sf100
+    ladder catch, its hand-tuned 64 now derived from p99). A vector
     whose probed buckets hold fewer than k candidates has no k-th
     neighbor NEARBY — exactly the outlier signal — and is flagged with
     kth_cos_sim = -1.
@@ -246,21 +248,26 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # JVM fold stays in codegen (measured sf10: fold 133 s vs Arrow
         # 188 s; the brute branch keeps Arrow because its broadcast
         # crossJoin amortizes the query batch)
-        # bucket_cap=64: auto_planes holds EXPECTED occupancy at 16, but
-        # duplicated vectors share a bucket at any plane count, so
-        # duplicate-heavy corpora grow buckets linearly with the dup
-        # factor and the occupancy² bucket join goes quadratic (sf100
-        # ladder catch: 2M replica vectors -> median occupancy 182,
-        # 2,593 s uncapped). 64 = 6.4x the k=10 ask per probe, 18 probes
-        # deep — and a vector whose capped candidates are all far away
-        # is exactly the outlier the -1 rule flags conservatively.
+        # auto_bucket_cap (r11, was hand-picked 64): auto_planes holds
+        # EXPECTED occupancy at 16, but duplicated vectors share a bucket
+        # at any plane count, so duplicate-heavy corpora grow buckets
+        # linearly with the dup factor and the occupancy² bucket join
+        # goes quadratic (sf100 ladder catch: 2M replica vectors ->
+        # median occupancy 182, 2,593 s uncapped). One occupancy pass
+        # derives cap = max(4k, min(p99, 64)): healthy corpora keep
+        # their full buckets (sf0.1: p99 34 -> cap 40 >= max occupancy
+        # 40, never engages), duplicated ones clamp to the rail (sf100:
+        # p99 909 -> cap 64, exactly the r10 hand-tuned value) — and a
+        # vector whose capped candidates are all far away is exactly
+        # the outlier the -1 rule flags conservatively.
         topk = similarity.lsh_topk(
             e,
             e,
             k=_K_OUT,
             n_planes=similarity.auto_planes(n, target_bucket=16),
             use_arrow=False,
-            bucket_cap=64,
+            bucket_cap="auto",
+            target_bucket=16,
         )
     kth = (
         e.select("vec_id")

@@ -30,6 +30,8 @@ parity rather than murmur2).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -267,6 +269,28 @@ def auto_band_rows(corpus_size: int, small: int = 4096) -> int:
     re-derive it would be weaker, not stronger.
     """
     return 4 if corpus_size <= small else 8
+
+
+def auto_max_doc_freq(corpus_size: int, floor: int = 16) -> int:
+    """Shingle document-frequency cap for the inverted-index pair
+    enumerators (:func:`containment_pairs` / :func:`ngram_jaccard_pairs`)
+    derived from the corpus size — the winnowing prefilter promoted to a
+    measured knob (r11, VERDICT r10 #6).
+
+    Why a df cap bounds the quadratic: a shingle shared by df documents
+    admits df·(df−1)/2 candidate pairs, and total candidate volume is
+    Σ df² over surviving shingles ≤ cap · Σ df = cap · (total shingle
+    instances) — LINEAR in the corpus for a bounded cap, where the
+    unfiltered enumeration is output-bound (quadratic) on duplicate-heavy
+    corpora (the documented SCALE.md law). A shingle in more than ~a few
+    dozen documents is boilerplate (navigation chrome, license headers,
+    the synthetic corpus's 30-word vocabulary) and carries no containment
+    signal the rare shingles don't; ``2·ceil(log2 n)`` grows the cap
+    gently with corpus size so mid-frequency shingles keep their recall
+    at small n (floor 16) without re-admitting the quadratic at large n
+    (500k docs → 38, 1B → 60). Re-derivable in SQL from COUNT(*) — the
+    doc_containment_auto gate pins exactly that."""
+    return max(floor, 2 * math.ceil(math.log2(max(2, corpus_size))))
 
 
 def minhash_lsh_pairs(

@@ -339,6 +339,50 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LLM_QUERIES,
+    "doc_containment_auto",
+    _CORPUS_CTE
+    + _SHINGLE_CTES
+    + """
+, params AS (
+  SELECT GREATEST(16, 2 * CAST(CEIL(log2(CAST(cnt AS DOUBLE))) AS BIGINT))
+         AS maxdf
+  FROM (SELECT COUNT(*) AS cnt FROM corpus))
+, __ex0 AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __rare AS (
+  SELECT g FROM __ex0 GROUP BY g
+  HAVING COUNT(*) <= (SELECT maxdf FROM params))
+, __ex AS (SELECT e.doc_id, e.n_sh, e.g FROM __ex0 e JOIN __rare r USING (g))
+, __common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS cc
+  FROM __ex a JOIN __ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       CAST(cc AS DOUBLE) / na AS containment_a_in_b,
+       CAST(cc AS DOUBLE) / nb AS containment_b_in_a,
+       CAST(cc AS DOUBLE) / (na + nb - cc) AS jaccard
+FROM __common
+WHERE greatest(CAST(cc AS DOUBLE) / na, CAST(cc AS DOUBLE) / nb) >= 0.8
+""",
+    "containment with the DERIVED shingle-df winnowing prefilter (r11, "
+    "VERDICT r10 #6): max_doc_freq = max(16, 2*ceil(log2 n)) drops "
+    "boilerplate shingles BEFORE the inverted-index self-join, bounding "
+    "candidate volume at cap x corpus (linear) where the unfiltered "
+    "enumeration is output-bound on duplicate-heavy corpora; containment "
+    "denominators stay the FULL shingle counts. Oracle re-derives the "
+    "cap from COUNT(*) and applies the identical df filter",
+)
+def doc_containment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir)
+    return dedup.containment_pairs(
+        corpus,
+        threshold=0.8,
+        max_doc_freq=dedup.auto_max_doc_freq(corpus.count()),
+    )
+
+
+@register(
+    LLM_QUERIES,
     "doc_simhash",
     _simhash_sql(),
     "32-bit SimHash signature per document over shingle features",
@@ -949,6 +993,39 @@ def doc_duplication_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_verified_pairs(dup_corpus(spark, sf_dir))
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_edit_verify_auto",
+    f"""
+    {_CORPUS_CTE}
+    , pairs AS (SELECT * FROM ({{lsh}}) q)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           CAST(levenshtein(a.text, b.text) AS INT) AS lev_dist,
+           CASE WHEN greatest(length(a.text), length(b.text)) = 0 THEN 1.0
+                ELSE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                     / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+           END AS edit_sim,
+           (CASE WHEN greatest(length(a.text), length(b.text)) = 0 THEN 1.0
+                 ELSE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                      / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+            END) >= 0.8 AS verified
+    FROM pairs p
+    JOIN corpus a ON a.doc_id = p.id_a
+    JOIN corpus b ON b.doc_id = p.id_b
+    """.replace("{lsh}", _minhash_lsh_auto_sql()),
+    "edit verification over AUTO-banded LSH candidates (r11, VERDICT r10 "
+    "#6): rows-per-band derived from COUNT(*) (auto_band_rows) shrinks "
+    "per-band candidate admission by s^4 beyond 4096 docs, so the "
+    "Levenshtein kernel — O(len_a*len_b) PER PAIR — runs over an "
+    "output-bound candidate set instead of the fixed-band quadratic on "
+    "duplicate-heavy corpora; same 0.8 edit threshold as the pinned gate",
+)
+def doc_dedup_edit_verify_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir)
+    rows = dedup.auto_band_rows(corpus.count())
+    return dedup.edit_verified_pairs(corpus, bands=16 // rows)
 
 
 @register(

@@ -275,6 +275,105 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
+def _lsh_autocap_sql(n_planes: int = 8, k: int = 5) -> str:
+    sig = similarity.sql_signature_bits("embedding", _PLANES, _DIM)
+    masks = ", ".join(f"CAST({2**i} AS BIGINT)" for i in range(n_planes))
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT e.vec_id + 1000000000 * j.j AS vec_id, e.embedding
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 41)) AS j) j
+      WHERE e.vec_id % 7 = 0),
+    c0 AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             CAST({sig} AS BIGINT) AS sig
+      FROM aug),
+    occ AS (SELECT sig, COUNT(*) AS c FROM c0 GROUP BY sig),
+    p99 AS (
+      SELECT MAX(c) AS p99c FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, sig ASC) AS r,
+               COUNT(*) OVER () AS b
+        FROM occ)
+      WHERE r <= CAST(CEIL(0.99 * b) AS BIGINT)),
+    capv AS (SELECT GREATEST({4 * k}, LEAST(p99c, 64)) AS cap FROM p99),
+    c AS (
+      SELECT neighbor_id, cv, sig FROM (
+        SELECT c0.*, ROW_NUMBER() OVER (
+          PARTITION BY sig
+          ORDER BY md5(CAST(neighbor_id AS VARCHAR)) ASC, neighbor_id ASC
+        ) AS slot
+        FROM c0)
+      WHERE slot <= (SELECT cap FROM capv)),
+    qs AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             CAST({sig} AS BIGINT) AS qsig
+      FROM embeddings WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, qsig AS sig FROM qs
+      UNION ALL
+      SELECT query_id, qv, xor(qsig, m.m) AS sig
+      FROM qs CROSS JOIN (SELECT unnest([{masks}]) AS m) m),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             {similarity.sql_cosine("p.qv", "c.cv", _DIM)} AS cos_sim
+      FROM probes p JOIN c USING (sig)
+      WHERE c.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS "rank"
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    LLM_QUERIES,
+    "ann_cosine_lsh_autocap",
+    _lsh_autocap_sql(),
+    "LSH ANN with the OCCUPANCY-DERIVED bucket cap (r11 — the r10 sf100 "
+    "bucket-occupancy catch promoted from a hand-picked constant to a "
+    "measured knob): a 40x-replica-augmented corpus gives some buckets "
+    "duplicated mass; one occupancy pass derives cap = max(4k, min(p99, "
+    "4*target_bucket)) and the oracle RE-DERIVES the cap from the same "
+    "aggregate in SQL (rank-based p99, no interpolation) plus the same "
+    "md5-order slot filter — so the knob itself is oracle-pinned, not "
+    "just the capped result",
+)
+def ann_cosine_lsh_autocap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-mass ANN with a measured bucket cap. The corpus takes
+    every vec_id % 7 == 0 vector 40 extra times (ids offset by j*1e9 —
+    collision-free below 1e9 base ids, the SCALE.md r7 id-scheme lesson),
+    the exact shape that defeats plane scaling: no plane count splits
+    identical vectors, so their bucket grows with the dup factor and the
+    occupancy² bucket join goes quadratic (the r10 sf100 catch, 2,593 s
+    uncapped vs 700 s at the hand-tuned cap=64). auto_bucket_cap measures
+    actual occupancy p99 and clamps it to the [4k, 4*target_bucket]
+    rails — healthy corpora keep their full buckets (p99 ~2x target,
+    below the rail), duplicated ones clamp to the rail (sf100: p99 909
+    -> cap 64, the hand-tuned value, now derived)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reps = (
+        e.where(F.col("vec_id") % 7 == 0)
+        .crossJoin(F.broadcast(spark.range(1, 41).select(F.col("id").alias("__j"))))
+        .select(
+            (F.col("vec_id") + F.col("__j") * F.lit(1_000_000_000)).alias(
+                "vec_id"
+            ),
+            "embedding",
+        )
+    )
+    corpus = e.unionAll(reps)
+    return similarity.lsh_topk(
+        corpus,
+        e.where(F.col("vec_id") < 5),
+        k=5,
+        n_planes=8,
+        bucket_cap="auto",
+    )
+
+
 def _ivf_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
     cos_vc = similarity.sql_cosine("vv", "cv", _DIM)
     return f"""

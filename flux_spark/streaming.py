@@ -83,6 +83,39 @@ def stream_topic(
     )
 
 
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark, enabled: bool = True) -> None:
+    """Flip the streaming state-store provider to RocksDB (stock Spark).
+
+    The default HDFSBackedStateStoreProvider keeps every partition's
+    ENTIRE keyed state in executor JVM memory — correct at test scale,
+    wrong at 100 TB key cardinality (per-user running state over billions
+    of users would need the whole map resident per partition, and each
+    commit rewrites the full snapshot). RocksDB spills state to local
+    disk with an in-memory working set, supports changelog checkpointing
+    (delta-only commits), and is the standard choice for large-state
+    production jobs. The conf is read at STREAM START, so set it before
+    ``writeStream.start()``; running queries keep their provider.
+
+    When to flip it (SCALE.md): keyed state (stateful totals, dedup
+    watermark maps, stream-stream join buffers) beyond ~10M keys per
+    executor, or any workload where state size rivals executor memory.
+    Leave the default for small-state jobs — HDFS-backed commits are
+    cheaper when the whole map fits comfortably in heap."""
+    if enabled:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            ROCKSDB_STATE_STORE,
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def drain_available_now(
     stream_df: DataFrame,
     checkpoint: str | None = None,

@@ -57,9 +57,42 @@ COPY_THROUGH = ("region", "nation")
 # generate lake-like splittability instead.
 ROW_GROUP_SIZES = {"documents": 2048, "embeddings": 2048}
 
+# bump when the perturbation/offset scheme changes so stale outputs from an
+# older scheme are regenerated even when their row count happens to match
+GENERATOR_VERSION = 3
+
+
+def _manifest(src: str, factor: int) -> dict:
+    return {
+        "src": os.path.abspath(src),
+        "factor": factor,
+        "generator_version": GENERATOR_VERSION,
+    }
+
 
 def generate(src: str, dst: str, factor: int) -> None:
+    import json
+
     os.makedirs(dst, exist_ok=True)
+    # resume guard (advisor r10): the per-table row-count check alone would
+    # silently keep a leftover file from a run with a DIFFERENT src dir or
+    # an older perturbation scheme whose count happens to match — pin the
+    # (src, factor, generator_version) triple in a manifest and regenerate
+    # everything when it disagrees
+    manifest_path = os.path.join(dst, "_gen_manifest.json")
+    want = _manifest(src, factor)
+    have = None
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                have = json.load(fh)
+        except (OSError, ValueError):
+            have = None
+    resume_ok = have == want
+    if not resume_ok and have is not None:
+        print(f"manifest mismatch ({have} != {want}): regenerating all tables")
+    with open(manifest_path, "w") as fh:
+        json.dump(want, fh)
     con = duckdb.connect()
     card: dict[str, int] = {}
     for t in KEY_OFFSETS:
@@ -91,7 +124,7 @@ def generate(src: str, dst: str, factor: int) -> None:
         # a prior partial run's completed tables are skipped, the table it
         # died on is rewritten (COPY truncates)
         dst_file = f"{dst}/{t}.parquet"
-        if os.path.exists(dst_file):
+        if resume_ok and os.path.exists(dst_file):
             try:
                 n = con.execute(
                     f"SELECT count(*) FROM read_parquet('{dst_file}')"

@@ -189,7 +189,6 @@ def test_lsh_topk_bucket_cap(spark, vecs):
     capped = similarity.lsh_topk(
         vecs, vecs, k=2, dim=4, n_planes=4, bucket_cap=100
     )
-    key = lambda r: (r.query_id, r.rank)
     assert sorted(map(tuple, capped.collect()), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, base.collect()), key=lambda t: (t[0], t[3])
     )
@@ -213,6 +212,46 @@ def test_lsh_topk_bucket_cap(spark, vecs):
 
     per_q = Counter(t[0] for t in t_rows)
     assert all(v <= 3 for v in per_q.values())
+
+
+def test_auto_bucket_cap(spark, vecs):
+    """occupancy_p99 is the exact rank-based percentile (histogram walk),
+    and auto_bucket_cap applies the [k_mult*k, target_mult*target] rails:
+    healthy occupancy passes through, duplicated mass clamps to the upper
+    rail, tiny corpora floor at the lower rail."""
+    # exact p99 on a known distribution: 99 buckets of occ 1, 1 of occ 50
+    occ = spark.createDataFrame(
+        [(i, 1) for i in range(99)] + [(99, 50)], "sig long, count long"
+    )
+    # rank ceil(0.99*100) = 99 -> still in the occ-1 mass
+    assert similarity.occupancy_p99(occ) == 1
+    occ2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "sig long, count long"
+    )
+    # rank ceil(0.99*10) = 10 -> the max
+    assert similarity.occupancy_p99(occ2) == 10
+    # rails: tiny corpus -> lower rail k_mult*k
+    cap = similarity.auto_bucket_cap(vecs, n_planes=4, dim=4, k=5)
+    assert cap == 20  # p99 of 5 vectors < 20 -> floor engages
+    # duplicated mass -> upper rail target_mult*target_bucket
+    dup = vecs.crossJoin(
+        F.broadcast(spark.range(0, 200).select(F.col("id").alias("__j")))
+    ).select(
+        (F.col("vec_id") * 1000 + F.col("__j")).alias("vec_id"), "embedding"
+    )
+    cap_dup = similarity.auto_bucket_cap(dup, n_planes=4, dim=4, k=5)
+    assert cap_dup == 64  # p99 ~200+ clamps to 4*16
+    # the fused lsh_topk(bucket_cap="auto") lane derives the same cap:
+    # bit-identical to passing the standalone value explicitly
+    auto = similarity.lsh_topk(
+        dup, vecs, k=2, dim=4, n_planes=4, bucket_cap="auto"
+    )
+    explicit = similarity.lsh_topk(
+        dup, vecs, k=2, dim=4, n_planes=4, bucket_cap=cap_dup
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
 
 
 def test_ivf_topk_exact_when_probing_all(spark, vecs):

@@ -897,6 +897,91 @@ def test_multiprocess_ingest_hammer(spark, store):
             assert len(parts) <= 3
 
 
+def test_concurrent_soak_produce_consume_maintenance(spark, store):
+    """The composition proof (VERDICT r10 #7): 2 producer processes, 2
+    committing consumer groups, and a maintenance loop (retention +
+    small-file compaction + offsets compaction at an aggressive
+    threshold) run CONCURRENTLY against one warehouse from separate
+    JVMs. Asserts exactly-once landing under compaction swaps, complete
+    gap-free delivery to every group, committed offsets draining to the
+    high-water marks (zero lag), and that maintenance actually ran
+    mid-traffic — the flock + atomic-swap + recovery machinery
+    composing, not just passing its per-role tests."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    n_producers, n_batches, rows = 2, 5, 200
+    groups = ["soak-g1", "soak-g2"]
+    store.catalog.create_topic("soak", 3)
+    ctrl = os.path.join(store.warehouse, "_soak_ctrl")
+    os.makedirs(ctrl, exist_ok=True)
+    child = os.path.join(os.path.dirname(__file__), "soak_child.py")
+
+    def launch(*args):
+        return subprocess.Popen(
+            [_sys.executable, child, store.warehouse, ctrl, *map(str, args)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+
+    procs = (
+        [launch("producer", i, n_batches, rows) for i in range(n_producers)]
+        + [launch("consumer", g, n_producers) for g in groups]
+        + [launch("maintenance", n_producers)]
+    )
+    fails = []
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:  # never leak child JVMs on a starved box
+                q.kill()
+            raise
+        if p.returncode != 0:
+            fails.append((i, p.returncode, err.decode()[-2000:]))
+    assert not fails, fails
+
+    expected = {
+        f"p{c}-b{b}-r{r}"
+        for c in range(n_producers)
+        for b in range(n_batches)
+        for r in range(rows)
+    }
+    # topic landed exactly-once with contiguous offsets (under compaction)
+    got = store.read("soak").select("partition", "offset", "value").collect()
+    assert {r["value"] for r in got} == expected and len(got) == len(expected)
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for p_, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"partition {p_}"
+    # every group saw every record exactly once, offsets gap-free per group
+    for g in groups:
+        with open(os.path.join(ctrl, f"consumer-{g}.out")) as fh:
+            seen = json.load(fh)
+        assert {v for _, _, v in seen} == expected, g
+        per_part = {}
+        for part, off, _ in seen:
+            per_part.setdefault(part, []).append(off)
+        for p_, offs in per_part.items():
+            assert sorted(offs) == list(range(len(offs))), (g, p_)
+    # lag drained to zero: committed offsets == high-water marks
+    from flux_spark.consumer import OffsetStore
+
+    hwm = store.high_water_marks("soak")
+    offsets = OffsetStore(store)
+    for g in groups:
+        committed = offsets.fetch(g)
+        for (topic, part), next_off in committed.items():
+            assert topic == "soak" and next_off == hwm[part], (g, part)
+    # maintenance ran at least once while producers were still writing
+    with open(os.path.join(ctrl, "maintenance.out")) as fh:
+        maint = json.load(fh)
+    assert maint["mid_traffic"] >= 1 and maint["passes"] >= maint["mid_traffic"]
+
+
 def test_route_to_dlq_quarantines_with_reason_and_contiguous_offsets(
     store, spark
 ):

@@ -877,3 +877,62 @@ def test_attach_global_order_tolerates_auto_shuffle_partitions(
     ).collect()
     rows = sorted((x["v"], x["r"], x["n"]) for x in got)
     assert rows == [(i, i + 1, 20) for i in range(20)]
+
+
+def test_dau_wau_mau_null_user_days_match_oracle(spark, tmp_path):
+    """A day whose events ALL carry NULL user_id must still emit a
+    dau=0/mau=0 row (the oracle's range join matches NULL-user activity;
+    only the COUNTs skip NULLs), and its stickiness must be NULL, matching
+    DuckDB's 0/0 double = NULL (advisor r10 catch — previously the NULL
+    rows were filtered before the join and the day vanished)."""
+    import datetime
+
+    import duckdb
+
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # day 0-1: real users; day 2: ONLY NULL-user events; day 40: isolated
+    # NULL-only day whose whole trailing window is empty of real users
+    for d, uid in [(0, 1), (0, 2), (1, 1), (2, None), (40, None)]:
+        rows.append(
+            (
+                len(rows),
+                base + datetime.timedelta(days=d, hours=3),
+                uid,
+                "click",
+                1.0,
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    def daykey(d):
+        return d.date() if hasattr(d, "date") else d
+
+    q = ANALYTICS_QUERIES["events_dau_wau_mau"]
+    got = {
+        daykey(r["day"]): (r["dau"], r["wau"], r["mau"], r["stickiness"])
+        for r in q.fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    want = {
+        daykey(r[0]): (r[1], r[2], r[3], r[4])
+        for r in con.execute(q.oracle).fetchall()
+    }
+    assert set(got) == set(want) and len(got) == 4
+    for day in want:
+        assert got[day] == want[day], (day, got[day], want[day])
+    # the NULL-only isolated day emits with NULL stickiness
+    d40 = (base + datetime.timedelta(days=40)).date()
+    assert got[d40] == (0, 0, 0, None)

@@ -382,3 +382,35 @@ def test_left_outer_join_emits_nulls_after_watermark(store, spark):
     }
     # wm = min(13:00, 13:00) - 30min = 12:30 > 10:30 horizon of k2's row
     assert out == {("k1", "0"): "1", ("k2", "2"): None}, out
+
+
+def test_rocksdb_state_store_stateful_gates(spark, sf_dir):
+    """The stateful registry gates run green under the RocksDB state
+    store provider (stock Spark) — the provider a 100 TB deployment
+    flips on when keyed state outgrows executor memory. Results must be
+    identical to the HDFS-backed default."""
+    from flux_spark.analytics.log_queries import LOG_QUERIES
+    from flux_spark.analytics.queries import ANALYTICS_QUERIES
+
+    reg = {**LOG_QUERIES, **ANALYTICS_QUERIES}
+    qs = {
+        n: q.fn
+        for n, q in reg.items()
+        if n in ("stream_stateful_totals", "stream_cdc_apply")
+    }
+    assert len(qs) == 2
+    baseline = {
+        n: sorted(map(tuple, fn(spark, sf_dir).collect()))
+        for n, fn in qs.items()
+    }
+    streaming.use_rocksdb_state_store(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == streaming.ROCKSDB_STATE_STORE
+        )
+        for n, fn in qs.items():
+            got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+            assert got == baseline[n], n
+    finally:
+        streaming.use_rocksdb_state_store(spark, enabled=False)
