@@ -65,6 +65,12 @@ ANALYTICS_HEADLINE = [
     "doc_ngram_repetition",
     "doc_contamination",
     "ann_cosine_lsh",
+    # r11 additions: the occupancy-derived bucket cap on a 40x-replica
+    # corpus (the duplicated-mass ANN scale path) and containment with
+    # the derived df winnowing prefilter (candidate volume <= cap x
+    # corpus — the scale path of the gate-only uncapped enumeration)
+    "ann_cosine_lsh_autocap",
+    "doc_containment_auto",
     "events_kmv_sketch",
     "events_rolling_1h",
     "doc_pii_scrub",
@@ -113,7 +119,11 @@ ANALYTICS_HEADLINE = [
     "doc_markup_stats",
     "events_skew_profile",
     "emb_top_component",
-    "doc_dedup_edit_verify",
+    # r11: the auto-banded twin replaces the fixed-band form (same
+    # precedent as minhash/near-dup: the gate config stays
+    # correctness-pinned, the bench times the scale path whose candidate
+    # admission tracks corpus size before the Levenshtein kernel)
+    "doc_dedup_edit_verify_auto",
     "events_seasonal_anomaly",
     # drift report ranks only distinct (type, value) rows after a
     # map-side combine; the interval join is the bucketed equi-join
