@@ -227,6 +227,21 @@ SHOWCASE = [
         "stays the same co-partitioned band self-join as the fixed gate, "
         "with s^4 tighter candidate admission at corpus scale",
     ),
+    (
+        "ann_cosine_lsh_autocap",
+        "occupancy-derived bucket cap (r11): the signature column is "
+        "localCheckpointed once, a histogram-sized occupancy aggregate "
+        "derives cap = max(4k, min(p99, 64)) on the driver, and the cap "
+        "window + multiprobe bucket join read the materialized frame — "
+        "the corpus' interpreted signature folds run exactly once",
+    ),
+    (
+        "doc_containment_auto",
+        "df-winnowed containment (r11): the derived max_doc_freq filter "
+        "joins the exploded shingles against the RARE-shingle set before "
+        "the inverted-index self-join — candidate volume <= cap x corpus "
+        "(linear), denominators keep the full per-doc shingle counts",
+    ),
 ]
 
 
