@@ -187,8 +187,13 @@ def _stop_quiesced(q, settle_s: float = 15.0) -> None:
     — all real data was already drained), the interrupt surfaces as an
     ERROR-level CANNOT_WRITE_STATE_STORE / MicroBatchWrite abort in the
     logs even though nothing was lost. Wait for ``isTriggerActive`` to
-    clear (the engine is idle between triggers) before stopping, so the
-    interrupt never lands inside a commit.
+    clear (the engine is idle between triggers) before stopping. This is
+    BEST-EFFORT, not a guarantee: between observing idle and ``q.stop()``
+    landing, the next scheduled trigger (e.g. a 1000 ms processing-time
+    interval) can start, so the abort noise can still occur occasionally
+    — the window is just shrunk from "anywhere in a trigger" to the
+    check-then-act gap (ADVICE r11). Harmless either way: the batch that
+    gets interrupted is an empty no-data batch.
     """
     import time as _time
 
@@ -490,10 +495,16 @@ def stateful_running_totals(
     reference's (stubbed) stateful consumer-side tracking.
 
     ``state_timeout_ms`` is the per-key state-eviction horizon (output is
-    unaffected — a timed-out key just drops its state). Bounded drains pass
-    a short horizon so the AvailableNow run terminates on its own once the
-    timeouts fire, instead of needing a ``stop()`` that can interrupt an
-    in-flight empty-batch state commit (ERROR-level abort noise).
+    unaffected — a timed-out key just drops its state). Bounded drains of
+    stateful streams run under a processing-time trigger
+    (``drain_available_now``'s ``trigger_interval_ms`` path, which never
+    self-terminates); termination comes from the drain's empty-batch
+    detector — two consecutive zero-input batches, the second being the
+    no-data batch that fires timed-out keys — followed by
+    ``_stop_quiesced``'s best-effort idle-gap stop (ADVICE r11: the
+    earlier wording claimed the AvailableNow run ends on its own, which
+    stopped being the mechanism when the drain moved to the
+    processing-time trigger).
     """
     return records.groupBy("key").applyInPandasWithState(
         _make_running_totals_fn(state_timeout_ms),

@@ -91,8 +91,14 @@ def generate(src: str, dst: str, factor: int) -> None:
     resume_ok = have == want
     if not resume_ok and have is not None:
         print(f"manifest mismatch ({have} != {want}): regenerating all tables")
-    with open(manifest_path, "w") as fh:
-        json.dump(want, fh)
+    # ADVICE r11: the manifest is written only AFTER the generation loop
+    # completes — writing it up front meant a scheme-change run killed
+    # mid-loop left a matching manifest over stale old-scheme tables
+    # (whose row counts equal card[t]*factor, so the count check can't
+    # catch them). On mismatch, drop the stale manifest first so an
+    # interrupted regen can never be mistaken for a valid resume.
+    if not resume_ok and os.path.exists(manifest_path):
+        os.remove(manifest_path)
     con = duckdb.connect()
     card: dict[str, int] = {}
     for t in KEY_OFFSETS:
@@ -197,6 +203,9 @@ def generate(src: str, dst: str, factor: int) -> None:
             f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
         ).fetchone()[0]
         print(f"{t}: {card.get(t)} -> {n}")
+
+    with open(manifest_path, "w") as fh:
+        json.dump(want, fh)
 
 
 if __name__ == "__main__":
