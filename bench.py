@@ -393,12 +393,39 @@ def main() -> None:
         if i > 0:
             fast_ms.append(dt_ms)
     fast_ms.sort()
+    # r12 third row (VERDICT r11 #3): the fast lane through the CONSUMER
+    # API — FluxConsumer.poll() itself serves small drains via read_since
+    # (positions/commit/group semantics included), so a queue user no
+    # longer drops to the LogStore to reach the ms class. The round trip
+    # is fast produce -> poll -> .rows (plain Python; the DataFrame is
+    # lazy and untouched here).
+    cons_topic = "latency_consumer"
+    store.catalog.create_topic(cons_topic, 1)
+    cons_prod = FluxProducer(store)
+    cons_cons = FluxConsumer(store, group_id="latconsbench")
+    cons_cons.assign({cons_topic: [0]})
+    cons_ms: list[float] = []
+    for i in range(lat_n + 1):
+        t0 = time.perf_counter()
+        cons_prod.send(cons_topic, value=f"probe-{i}", key="k")
+        cons_prod.flush()
+        res = cons_cons.poll()
+        dt_ms = (time.perf_counter() - t0) * 1000.0
+        assert res.count == 1 and res.rows is not None, (i, res.count)
+        assert res.rows[0]["value"] == f"probe-{i}"
+        if i > 0:
+            cons_ms.append(dt_ms)
+    cons_ms.sort()
     latency_ms = {
         "p50": round(lat_ms[len(lat_ms) // 2], 1),
         "p99": round(lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 1),
         "fast_p50": round(fast_ms[len(fast_ms) // 2], 2),
         "fast_p99": round(
             fast_ms[min(len(fast_ms) - 1, int(len(fast_ms) * 0.99))], 2
+        ),
+        "consumer_fast_p50": round(cons_ms[len(cons_ms) // 2], 2),
+        "consumer_fast_p99": round(
+            cons_ms[min(len(cons_ms) - 1, int(len(cons_ms) * 0.99))], 2
         ),
     }
 
@@ -458,6 +485,9 @@ def main() -> None:
                 "skipped": sorted(skip),
                 "latency_ms_sorted": [round(x, 2) for x in lat_ms],
                 "latency_fast_ms_sorted": [round(x, 2) for x in fast_ms],
+                "latency_consumer_fast_ms_sorted": [
+                    round(x, 2) for x in cons_ms
+                ],
                 "records_per_s_best": rates_best,
             }
         )

@@ -256,6 +256,49 @@ def log_latest_reset_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     LOG_QUERIES,
+    "log_consumer_fast_poll_parity",
+    _ROUTED_CTE
+    + """
+    , hw AS (SELECT part_id, COUNT(*) AS n FROM routed GROUP BY part_id)
+    SELECT r.part_id, r.record_offset, r.event_ts, r.rec_key, r.rec_value
+    FROM routed r JOIN hw USING (part_id)
+    WHERE r.record_offset >= hw.n - 300
+    """,
+    "consumer-API fast poll (r12, VERDICT r11 #3): a tail drain within "
+    "fast_path_max is served by the driver-side pyarrow read_since lane "
+    "through FluxConsumer.poll itself — same positions/pause/commit "
+    "bookkeeping as the Spark lane, ms-class instead of the ~1 s "
+    "microbatch floor. The gate seeks every partition 300 records "
+    "before its hwm, polls, ASSERTS the fast lane actually served it "
+    "(rows is not None), and the oracle replays [hwm-300, hwm) per "
+    "partition in SQL — row-exact including timestamps and keys",
+)
+def log_consumer_fast_poll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..consumer import FluxConsumer
+
+    store = _ingest_events(spark, sf_dir)
+    cons = FluxConsumer(store, group_id="fastpoll-gate")
+    cons.assign({"events": [0, 1, 2]})
+    hwm = store.high_water_marks("events")
+    for p in (0, 1, 2):
+        cons.seek("events", p, max(0, hwm.get(p, 0) - 300))
+    res = cons.poll()
+    if res.rows is None:
+        raise AssertionError(
+            f"expected the pyarrow fast-poll lane for a {res.count}-record "
+            f"tail drain (fast_path_max={cons.fast_path_max})"
+        )
+    return res.records.select(
+        F.col("partition").alias("part_id"),
+        F.col("offset").alias("record_offset"),
+        F.col("timestamp").alias("event_ts"),
+        F.col("key").alias("rec_key"),
+        F.col("value").alias("rec_value"),
+    )
+
+
+@register(
+    LOG_QUERIES,
     "log_consume_from_offset",
     _ROUTED_CTE
     + """

@@ -947,6 +947,247 @@ def _centroid_assign_arrow(cents: list[tuple[int, list[float]]]):
     return _assign
 
 
+def hier_branches(k: int) -> int:
+    """Branch count for two-level centroid assignment: exact integer
+    ceil(sqrt(k)), so both routing stages are ~sqrt(K) wide.
+
+    This is THE scale fix for the auto-K assignment lanes (VERDICT r11
+    top item): :func:`auto_centroids` makes K ∝ n, so scoring every
+    vector against all K centroids is n*K = n²/256 — measured ~24× wall
+    at 10× data on the r11 sf100 ladder. Two-level routing scores each
+    vector against b = ceil(sqrt(K)) branch REPRESENTATIVES (the b
+    lowest-id centroids), then only the fine centroids grouped under
+    the 2 best representatives: n*(b + 2*branch) ≈ n*3√K — ~30-70× less
+    assignment work at sf100's K, and the lane is back to ~linear.
+
+    The full rule (deterministic and oracle-derivable in SQL — see
+    emb_hier_route_gate):
+      * representatives = the b lowest-id centroids;
+      * each fine centroid joins the branch of its max-cosine
+        representative (ties -> lowest branch) — PROXIMITY grouping, so
+        branches are angularly coherent. (Consecutive-id grouping was
+        measured first and rejected: incoherent branches concentrate the
+        routed mass, inflating SemDeDup's within-cluster pair volume
+        Σ|cluster|² 7.5× at sf10; proximity grouping + 2-branch routing
+        keeps it within 1.15× of flat assignment — r12 balance
+        experiment, SCALE.md.)
+      * each vector routes to its 2 best representatives' branches
+        (cos DESC, branch ASC) and argmaxes over their union
+        (cos DESC, cid ASC). For k <= 4, b <= 2 means BOTH branches are
+        always probed and two-level assignment degenerates exactly to
+        the flat argmax.
+    """
+    import math
+
+    b = math.isqrt(k)
+    if b * b < k:
+        b += 1
+    return b
+
+
+_HIER_COARSE_PROBES = 2
+
+
+def _hier_model(cents: list[tuple[int, list[float]]]):
+    """Driver-side two-level model from the collected centroid list:
+    (ids, C, n_branches, members) where members[b] = ascending positions
+    of the fine centroids grouped under representative b (each
+    centroid's max-cosine representative, ties -> lowest branch; the
+    representatives are C's first n_branches rows). Cost K*sqrt(K) dots
+    — model-sized driver work, same class as collecting the centroids.
+    """
+    import numpy as np
+
+    ids = np.asarray([c[0] for c in cents], dtype=np.int64)
+    C = np.asarray([c[1] for c in cents], dtype=np.float64)
+    n_b = hier_branches(len(cents))
+    cbr = np.argmax(_dimloop_cosine(C, C[:n_b]), axis=1)
+    members = [np.where(cbr == b)[0] for b in range(n_b)]
+    return ids, C, n_b, members
+
+
+def _hier_route2(A, C, n_b):
+    """(rows x min(2, n_b)) routed branch ids, best first: stable argsort
+    of -cosine over the representatives (C's first n_b rows), so equal
+    cosines keep ascending-branch order — the ROW_NUMBER (cos DESC,
+    branch ASC) oracle rule."""
+    import numpy as np
+
+    cos = _dimloop_cosine(A, C[:n_b])
+    p = min(_HIER_COARSE_PROBES, n_b)
+    return np.argsort(-cos, axis=1, kind="stable")[:, :p]
+
+
+def _centroid_assign_hier_arrow(cents: list[tuple[int, list[float]]]):
+    """Two-level twin of :func:`_centroid_assign_arrow`: route each batch
+    vector to its 2 max-cosine branch representatives, then argmax over
+    the union of those branches' fine centroids (ties -> lowest centroid
+    id, exactly the flat kernel's rule over the reduced candidate set).
+
+    Bit-exactness: cosine for any (vector, centroid) pair is the same
+    left-to-right dimension-loop float64 fold regardless of which other
+    centroids share the matrix, so every score here is bit-identical to
+    the flat kernel's and to the Catalyst/DuckDB fold — the routing rule
+    changes WHICH centroids are scored, never their values, and the
+    oracle replays the identical rule. ``cents`` must be sorted by
+    centroid id ascending (argmax first-occurrence = lowest id/branch).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ids_l = [c[0] for c in cents]
+    cmat = [c[1] for c in cents]
+    # the branch model is computed ONCE driver-side (K*sqrt(K) dots) and
+    # shipped as plain lists — executors never repeat the grouping
+    _ids, _C, n_b, members_np = _hier_model(cents)
+    members_l = [m.tolist() for m in members_np]
+
+    @pandas_udf("long")
+    def _assign(v):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.asarray(ids_l, dtype=np.int64)
+        C = np.asarray(cmat, dtype=np.float64)
+        A = np.array(v.tolist(), dtype=np.float64)
+        if A.ndim != 2 or len(A) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        routed = _hier_route2(A, C, n_b)
+        best_cos = np.full(A.shape[0], -np.inf)
+        best_cid = np.full(A.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
+        for b in np.unique(routed):
+            mem = np.asarray(members_l[b], dtype=np.int64)
+            m = (routed == b).any(axis=1)
+            if mem.size == 0 or not m.any():
+                continue
+            cos = _dimloop_cosine(A[m], C[mem])
+            loc = np.argmax(cos, axis=1)  # first occurrence -> lowest cid
+            val = cos[np.arange(cos.shape[0]), loc]
+            cand = ids[mem[loc]]
+            idx = np.where(m)[0]
+            upd = (val > best_cos[idx]) | (
+                (val == best_cos[idx]) & (cand < best_cid[idx])
+            )
+            best_cos[idx[upd]] = val[upd]
+            best_cid[idx[upd]] = cand[upd]
+        return pd.Series(best_cid)
+
+    return _assign
+
+
+def _centroid_probe_hier_arrow(cents: list[tuple[int, list[float]]], nprobe: int):
+    """Two-level twin of :func:`_centroid_probe_arrow`: route to the 2
+    max-cosine branches, then return the ``nprobe`` nearest fine
+    centroids over their UNION (cos DESC, cid ASC; fewer when the routed
+    branches hold fewer than ``nprobe`` centroids). Per branch the
+    within-branch top-``nprobe`` is computed vectorized; the global
+    top-``nprobe`` is a per-row merge of <= 2*nprobe candidates."""
+    from pyspark.sql.functions import pandas_udf
+
+    ids_l = [c[0] for c in cents]
+    cmat = [c[1] for c in cents]
+    _ids, _C, n_b, members_np = _hier_model(cents)
+    members_l = [m.tolist() for m in members_np]
+
+    @pandas_udf("array<long>")
+    def _probe(v):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.asarray(ids_l, dtype=np.int64)
+        C = np.asarray(cmat, dtype=np.float64)
+        vals = v.tolist()
+        good = [x for x in vals if x is not None]
+        if not good:
+            return pd.Series([None] * len(vals))
+        A = np.array(good, dtype=np.float64)
+        routed = _hier_route2(A, C, n_b)
+        cand: list[list] = [[] for _ in range(A.shape[0])]
+        for b in np.unique(routed):
+            mem = np.asarray(members_l[b], dtype=np.int64)
+            m = (routed == b).any(axis=1)
+            if mem.size == 0 or not m.any():
+                continue
+            cos = _dimloop_cosine(A[m], C[mem])
+            # stable sort on -cos: equal cosines keep ascending-id order
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            take = cos[np.arange(cos.shape[0])[:, None], order]
+            cid = ids[mem[order]]
+            for r, cs, cds in zip(np.where(m)[0], take, cid):
+                cand[r].extend(zip(cs.tolist(), cds.tolist()))
+        res = []
+        for lst in cand:
+            lst.sort(key=lambda t: (-t[0], t[1]))
+            res.append([c for _, c in lst[:nprobe]])
+        probed = iter(res)
+        return pd.Series([None if x is None else next(probed) for x in vals])
+
+    return _probe
+
+
+def _dimloop_cosine(A, C):
+    """Batch cosine with the module's canonical left-to-right
+    dimension-loop float64 fold (see :func:`_centroid_assign_arrow`) —
+    bit-identical per (row, centroid) pair for any column subset."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], C.shape[0]))
+    na = np.zeros(A.shape[0])
+    nc = np.zeros(C.shape[0])
+    for i in range(A.shape[1]):
+        acc += A[:, i, None] * C[None, :, i]
+        na += A[:, i] * A[:, i]
+        nc += C[:, i] * C[:, i]
+    return acc / (np.sqrt(na)[:, None] * np.sqrt(nc)[None, :])
+
+
+def centroid_branches(
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> "list[tuple[int, int]]":
+    """(centroid_id, branch) pairs of the two-level model — the
+    proximity grouping :func:`hier_branches` documents, exposed so gates
+    and callers can see the split the kernels will use. Driver-side
+    (model-sized, like the centroid collect itself)."""
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id_col, vec_col).collect()
+    )
+    ids, _C, _n_b, members = _hier_model(cents)
+    out = []
+    for b, mem in enumerate(members):
+        out.extend((int(ids[p]), b) for p in mem)
+    return sorted(out)
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    hierarchical: bool = False,
+) -> DataFrame:
+    """(id, cluster_id) for every corpus vector: max-cosine centroid via
+    the Arrow kernel — flat (n*K) or two-level (n*2√K, see
+    :func:`hier_branches`). One narrow corpus pass, centroids are a
+    driver-collected model; the shared assignment stage of
+    semantic_dedup / IVF, exposed for derivation gates and pipelines
+    that only need the routing."""
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id_col, vec_col).collect()
+    )
+    assign = (
+        _centroid_assign_hier_arrow(cents)
+        if hierarchical
+        else _centroid_assign_arrow(cents)
+    )
+    return corpus.select(
+        F.col(id_col), assign(F.col(vec_col)).alias("cluster_id")
+    )
+
+
 def _centroid_probe_arrow(cents: list[tuple[int, list[float]]], nprobe: int):
     """Arrow pandas UDF: the ``nprobe`` nearest centroid ids (cosine DESC,
     centroid id ASC) for each batch vector — the multi-probe twin of
@@ -1001,6 +1242,7 @@ def knn_label_vote_ivf(
     label_col: str = "label",
     centroid_id_col: str = "centroid_id",
     broadcast_index: bool = True,
+    hierarchical: bool = False,
 ) -> DataFrame:
     """Corpus-scale kNN label propagation over an IVF index (VERDICT r6
     #3): predict a label for EVERY vector of ``unlabeled`` (the corpus —
@@ -1040,8 +1282,17 @@ def knn_label_vote_ivf(
         (int(r[0]), [float(x) for x in r[1]])
         for r in centroids.select(centroid_id_col, vec_col).collect()
     )
-    assign = _centroid_assign_arrow(cents)
-    probe = _centroid_probe_arrow(cents, nprobe)
+    # hierarchical=True (auto-K lanes): both the seed assignment AND the
+    # corpus probe are n*K stages under the flat kernels — two-level
+    # routing (hier_branches) drops each to n*~3√K; the probe then
+    # returns the nprobe nearest over the 2 routed branches' union
+    # (VERDICT r11 top item; the SQL oracle replays the same rule).
+    if hierarchical:
+        assign = _centroid_assign_hier_arrow(cents)
+        probe = _centroid_probe_hier_arrow(cents, nprobe)
+    else:
+        assign = _centroid_assign_arrow(cents)
+        probe = _centroid_probe_arrow(cents, nprobe)
     idx = labeled.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -1103,6 +1354,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     centroid_id_col: str = "centroid_id",
     threshold: float = 0.95,
+    hierarchical: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-
     threshold semantic deduplication. Each vector is assigned to its
@@ -1142,7 +1394,18 @@ def semantic_dedup(
         (r[0], [float(x) for x in r[1]])
         for r in centroids.select(centroid_id_col, vec_col).collect()
     )
-    assign = _centroid_assign_arrow(cents)
+    # hierarchical=True is the auto-K production posture (VERDICT r11
+    # top item): with K ∝ n from auto_centroids, the flat kernel's
+    # n*K scoring is n²/256 — two-level routing (hier_branches) makes
+    # it n*~3√K while staying oracle-exact (the SQL twin replays the
+    # same branch rule) and keeps cluster balance (proximity branches:
+    # Σ|cluster|² within ~1.15x of flat — the pair stage depends on it).
+    # Flat stays the default for pinned small-K callers.
+    assign = (
+        _centroid_assign_hier_arrow(cents)
+        if hierarchical
+        else _centroid_assign_arrow(cents)
+    )
     # persisted (MEMORY_AND_DISK): the assignment pass (corpus scan +
     # K-centroid scoring) feeds the pair join's a-side, b-side, AND the
     # final left join — without this it runs 3x (the r4 weak plan), same

@@ -187,24 +187,68 @@ def emb_near_dup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hier_params_sql(cnt_src: str, target: int = 256) -> str:
+    """params CTE body deriving (k, b) from COUNT(*) with exact integer
+    math: k = auto_centroids (ceil(n/target), floored at 1), b =
+    ceil(sqrt(k)) (FLOOR(SQRT()) guarded ±1 against float error — exact
+    integer ceil-sqrt for any realistic k). Mirrors
+    similarity.hier_branches."""
+    return f"""
+  SELECT k, CASE WHEN (b0-1)*(b0-1) >= k THEN b0-1
+                 WHEN b0*b0 >= k THEN b0 ELSE b0+1 END AS b
+  FROM (SELECT k, CAST(FLOOR(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS b0
+        FROM (SELECT GREATEST(1, CAST(CEIL(cnt / {target}.0) AS BIGINT)) AS k
+              FROM ({cnt_src})))"""
+
+
+# two-level (hierarchical) assignment CTEs shared by the auto-K oracles
+# (the exact rule of similarity._centroid_assign_hier_arrow, documented
+# on similarity.hier_branches): cen gets 0-based positions in
+# ascending-cid order; the representatives are the b lowest positions
+# (reps); every fine centroid joins its max-cosine representative's
+# branch (cbr, ties -> lowest branch — PROXIMITY grouping); each vector
+# routes to its 2 best representatives (rn <= 2) and argmaxes over the
+# union of those branches' members (ties -> lowest cid).
+def _hier_route_sql(src: str, idc: str, vc: str, n: int = 2) -> str:
+    return f"""
+  SELECT {idc}, {vc}, branch FROM (
+    SELECT s.{idc}, s.{vc}, r.branch,
+           ROW_NUMBER() OVER (PARTITION BY s.{idc}
+                              ORDER BY {similarity.sql_cosine(f"s.{vc}", "r.cv", _DIM)} DESC,
+                                       r.branch ASC) AS rn
+    FROM {src} s CROSS JOIN reps r) WHERE rn <= {n}"""
+
+
+_HIER_CBR_SQL = f"""
+  SELECT cid, cv, branch FROM (
+    SELECT c.cid, c.cv, r.branch,
+           ROW_NUMBER() OVER (PARTITION BY c.cid
+                              ORDER BY {similarity.sql_cosine("c.cv", "r.cv", _DIM)} DESC,
+                                       r.branch ASC) AS rn
+    FROM cen c CROSS JOIN reps r) WHERE rn = 1"""
+
+
 @register(
     LLM_QUERIES,
     "emb_semantic_dedup_auto",
     _EMB_AUG_CTE
     + f"""
-, params AS (
-  SELECT GREATEST(1, CAST(CEIL(cnt / 256.0) AS INT)) AS k
-  FROM (SELECT COUNT(*) AS cnt FROM aug)),
+, params AS ({_hier_params_sql("SELECT COUNT(*) AS cnt FROM aug")}),
 cen AS (
-  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pos
   FROM embeddings WHERE vec_id < (SELECT k FROM params)),
+reps AS (SELECT pos AS branch, cv FROM cen WHERE pos < (SELECT b FROM params)),
+cbr AS ({_HIER_CBR_SQL}),
+route AS ({_hier_route_sql("aug", "vec_id", "v")}),
 asg AS (
   SELECT vec_id, v, cid AS cluster_id FROM (
-    SELECT a.vec_id, a.v, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                              ORDER BY {similarity.sql_cosine("a.v", "c.cv", _DIM)} DESC,
+    SELECT t.vec_id, t.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {similarity.sql_cosine("t.v", "c.cv", _DIM)} DESC,
                                        c.cid ASC) AS rn
-    FROM aug a CROSS JOIN cen c) WHERE rn = 1),
+    FROM route t JOIN cbr c USING (branch))
+  WHERE rn = 1),
 dups AS (
   SELECT b.vec_id, MIN(a.vec_id) AS dup_of
   FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
@@ -214,10 +258,14 @@ SELECT g.vec_id, g.cluster_id, d.dup_of, d.dup_of IS NULL AS is_kept
 FROM asg g LEFT JOIN dups d ON d.vec_id = g.vec_id
 """,
     "SemDeDup with the centroid count DERIVED from the corpus size "
-    "(auto_centroids: ceil(n/256), floored at 1) instead of pinned at 8 "
-    "— K must track n to keep the sum(|cluster|^2) pair cost linear "
-    "(sf0.01 -> 3 centroids, sf10 -> 834). The oracle re-derives K from "
-    "COUNT(*) in SQL; same min-id survivor rule and 0.98 threshold",
+    "(auto_centroids: ceil(n/256), floored at 1) AND two-level "
+    "hierarchical assignment (r12, the r11 sf100 wall catch: flat "
+    "assignment is n*K = n^2/256 — ~24x wall at 10x data; routing via "
+    "ceil(sqrt(K)) proximity-grouped branch representatives then the 2 "
+    "best branches' fine centroids is n*~3sqrt(K), back to ~linear, "
+    "and keeps sum(|cluster|^2) within ~1.15x of flat). The oracle "
+    "re-derives K, b, the proximity grouping AND the two-stage argmax "
+    "from COUNT(*) in SQL; same min-id survivor rule and 0.98 threshold",
 )
 def emb_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _aug_embeddings(spark, sf_dir)
@@ -228,7 +276,91 @@ def emb_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     return similarity.semantic_dedup(
-        corpus, centroids, vec_col="v", id_col="vec_id", threshold=0.98
+        corpus,
+        centroids,
+        vec_col="v",
+        id_col="vec_id",
+        threshold=0.98,
+        hierarchical=True,
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_hier_route_gate",
+    _EMB_AUG_CTE
+    + f"""
+, params AS ({_hier_params_sql("SELECT COUNT(*) AS cnt FROM aug")}),
+cen AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pos
+  FROM embeddings WHERE vec_id < (SELECT k FROM params)),
+reps AS (SELECT pos AS branch, cv FROM cen WHERE pos < (SELECT b FROM params)),
+cbr AS ({_HIER_CBR_SQL}),
+route AS ({_hier_route_sql("aug", "vec_id", "v")}),
+asg AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT t.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {similarity.sql_cosine("t.v", "c.cv", _DIM)} DESC,
+                                       c.cid ASC) AS rn
+    FROM route t JOIN cbr c USING (branch))
+  WHERE rn = 1),
+vb AS (
+  SELECT c.branch, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM asg a JOIN cbr c ON c.cid = a.cluster_id GROUP BY c.branch),
+fb AS (
+  SELECT branch, CAST(COUNT(*) AS BIGINT) AS n_fine FROM cbr GROUP BY branch)
+SELECT f.branch, f.n_fine, COALESCE(v.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
+       (SELECT k FROM params) AS k, (SELECT b FROM params) AS b
+FROM fb f LEFT JOIN vb v USING (branch)
+""",
+    "derivation gate for the two-level assignment model (r12, the "
+    "ann_cosine_lsh_autocap mold): k = auto_centroids(COUNT(*)) and "
+    "b = ceil(sqrt(k)) are re-derived by the oracle from COUNT(*) with "
+    "exact integer math, and the per-branch fine-centroid counts "
+    "(proximity grouping under the b lowest-id representatives) plus "
+    "routed-vector counts pin the full two-stage argmax — so the scale "
+    "knob AND the branch model are oracle-pinned, not just the "
+    "downstream dedup/vote results that consume them",
+)
+def emb_hier_route_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-branch occupancy of the hierarchical router: n_fine = fine
+    centroids grouped under each representative, n_vecs = corpus vectors
+    whose ASSIGNED centroid lives in that branch. The oracle recomputes
+    the grouping and both two-stage argmaxes from scratch in SQL."""
+    corpus = _aug_embeddings(spark, sf_dir)
+    k = similarity.auto_centroids(corpus.count(), target_cluster=256)
+    b = similarity.hier_branches(k)
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    asg = similarity.assign_centroids(
+        corpus, centroids, vec_col="v", id_col="vec_id", hierarchical=True
+    )
+    spark_ = spark
+    cbr = spark_.createDataFrame(
+        similarity.centroid_branches(centroids, vec_col="v"),
+        "centroid_id long, branch long",
+    )
+    vecs = (
+        asg.join(
+            F.broadcast(cbr), asg["cluster_id"] == cbr["centroid_id"]
+        )
+        .groupBy("branch")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+    fine = cbr.groupBy("branch").agg(
+        F.count("*").cast("bigint").alias("n_fine")
+    )
+    return fine.join(vecs, "branch", "left").select(
+        "branch",
+        "n_fine",
+        F.coalesce(F.col("n_vecs"), F.lit(0)).cast("bigint").alias("n_vecs"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.lit(b).cast("bigint").alias("b"),
     )
 
 
@@ -902,24 +1034,92 @@ def emb_knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AUTO_CEN_PRED = (
-    "vec_id < (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 256.0) AS INT)) "
-    "FROM embeddings WHERE vec_id % 4 <> 0)"
-)
+def _knn_vote_ivf_hier_sql(k: int = 5, nprobe: int = 2) -> str:
+    """Two-level twin of :func:`_knn_vote_ivf_sql` for the auto-K lane:
+    (k, b) derive from the seed-set COUNT(*); fine centroids group under
+    their max-cosine representative (proximity branches, cbr); the seed
+    assignment and the corpus probe both route through their 2 best
+    representatives and rank over the union of those branches' members
+    (exact rule of similarity._centroid_{assign,probe}_hier_arrow — the
+    probe takes the ``nprobe`` nearest over the union, fewer when the
+    routed branches hold fewer centroids)."""
+    cnt = "SELECT COUNT(*) AS cnt FROM embeddings WHERE vec_id % 4 <> 0"
+    return f"""
+    WITH params AS ({_hier_params_sql(cnt)}),
+    cen AS (
+      SELECT vec_id AS cid, embedding AS cv,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pos
+      FROM embeddings WHERE vec_id < (SELECT k FROM params)),
+    reps AS (SELECT pos AS branch, cv FROM cen
+             WHERE pos < (SELECT b FROM params)),
+    cbr AS ({_HIER_CBR_SQL}),
+    lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
+            FROM embeddings WHERE vec_id % 4 <> 0),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+          FROM embeddings WHERE vec_id % 4 = 0),
+    lroute AS (
+      SELECT neighbor_id, lv, nl, branch FROM (
+        SELECT l.*, r.branch,
+               ROW_NUMBER() OVER (PARTITION BY l.neighbor_id
+                                  ORDER BY {similarity.sql_cosine("l.lv", "r.cv", _DIM)} DESC,
+                                           r.branch ASC) AS rn
+        FROM lab l CROSS JOIN reps r) WHERE rn <= 2),
+    lasg AS (
+      SELECT neighbor_id, lv, nl, cid AS bucket FROM (
+        SELECT t.neighbor_id, t.lv, t.nl, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.neighbor_id
+                                  ORDER BY {similarity.sql_cosine("t.lv", "c.cv", _DIM)} DESC,
+                                           c.cid ASC) AS rn
+        FROM lroute t JOIN cbr c USING (branch)) WHERE rn = 1),
+    qroute AS (
+      SELECT query_id, qv, true_label, branch FROM (
+        SELECT z.*, r.branch,
+               ROW_NUMBER() OVER (PARTITION BY z.query_id
+                                  ORDER BY {similarity.sql_cosine("z.qv", "r.cv", _DIM)} DESC,
+                                           r.branch ASC) AS rn
+        FROM q z CROSS JOIN reps r) WHERE rn <= 2),
+    probes AS (
+      SELECT query_id, qv, cid AS bucket FROM (
+        SELECT t.query_id, t.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.query_id
+                                  ORDER BY {similarity.sql_cosine("t.qv", "c.cv", _DIM)} DESC,
+                                           c.cid ASC) AS rn
+        FROM qroute t JOIN cbr c USING (branch)) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, l.neighbor_id, l.nl,
+             {similarity.sql_cosine("p.qv", "l.lv", _DIM)} AS cos_sim
+      FROM probes p JOIN lasg l USING (bucket)
+      WHERE l.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored),
+    votes AS (
+      SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rnk <= {k} GROUP BY query_id, nl),
+    win AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nl ASC) AS vr
+      FROM votes)
+    SELECT w.query_id, w.nl AS predicted_label, w.n_votes, q.true_label,
+           w.nl = q.true_label AS correct
+    FROM win w JOIN q USING (query_id) WHERE vr = 1
+    """
 
 
 @register(
     LLM_QUERIES,
     "emb_knn_label_vote_ivf_auto",
-    _knn_vote_ivf_sql(cen_pred=_AUTO_CEN_PRED),
+    _knn_vote_ivf_hier_sql(),
     "IVF label propagation with the centroid count DERIVED from the "
-    "seed-set size (auto_centroids: ceil(n/256)) instead of pinned at 8 "
-    "— the production/bench path (r8, same fixed-configuration law as "
-    "emb_semantic_dedup_auto): with K fixed, each probe scans "
-    "|seeds|/8, so candidate volume grows quadratically with the corpus "
-    "(117M pairs at sf1, 9.9 s); with K ∝ n the probed bucket stays "
-    "~256 seeds and the scan stays linear. The oracle re-derives K from "
-    "COUNT(*) in SQL; everything else identical to emb_knn_label_vote_ivf",
+    "seed-set size (auto_centroids: ceil(n/256)) AND two-level "
+    "hierarchical routing (r12, the r11 sf100 wall catch: flat "
+    "assign/probe score n*K = n^2/256 — 1,678 s at sf100, ~24x wall at "
+    "10x data; routing via ceil(sqrt(K)) proximity-grouped branch "
+    "representatives then the 2 best branches is n*~3sqrt(K), back to "
+    "~linear). The oracle re-derives K, b and the proximity grouping "
+    "from COUNT(*) in SQL and replays both routing stages; vote/rank "
+    "tie rules identical to emb_knn_label_vote_ivf",
 )
 def emb_knn_label_vote_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -934,6 +1134,7 @@ def emb_knn_label_vote_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=centroids,
         k=5,
         nprobe=2,
+        hierarchical=True,
     )
 
 

@@ -771,6 +771,141 @@ def test_auto_centroids_tracks_corpus_size():
     assert 10_000 <= auto_centroids(100_000_000, target_cluster=9000) <= 12_000
 
 
+def test_hier_branches_properties():
+    """b = exact integer ceil(sqrt(k)) for any k — the two-stage probe
+    cost b + 2*avg_branch is O(sqrt(k))."""
+    from flux_spark.llm.similarity import hier_branches
+
+    for k in list(range(1, 600)) + [841, 20_000, 5_000_000, 2**40 + 7]:
+        b = hier_branches(k)
+        assert b * b >= k and (b - 1) * (b - 1) < k, (k, b)
+
+
+def _hier_reference(A, C):
+    """Independent numpy reference of the two-level rule (normalized
+    matmul — a different summation order than the kernel's dim-loop, so
+    agreement is a semantics check, not a copy): fine centroids group
+    under their max-cosine representative (the ceil(sqrt(K)) lowest-id
+    centroids); each vector routes to its 2 best representatives and
+    argmaxes over the union of those branches' members."""
+    import math
+
+    import numpy as np
+
+    K = len(C)
+    b = math.isqrt(K)
+    b += b * b < K
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cbr = np.argmax(Cn @ Cn[:b].T, axis=1)
+    routed = np.argsort(-(An @ Cn[:b].T), axis=1, kind="stable")[:, :2]
+    out = np.empty(len(A), dtype=np.int64)
+    for i in range(len(A)):
+        mem = np.where(np.isin(cbr, routed[i]))[0]
+        out[i] = mem[int(np.argmax(An[i] @ Cn[mem].T))]
+    return cbr, routed, out
+
+
+def test_hier_assign_matches_two_level_reference(spark):
+    """The Arrow kernel implements exactly the proximity + 2-branch
+    rule: same assigned centroid as an independent numpy reference, and
+    the assigned centroid's branch is always one of the 2 routed ones."""
+    import numpy as np
+
+    from flux_spark.llm.similarity import assign_centroids, centroid_branches
+
+    rng = np.random.RandomState(7)
+    K, n, dim = 10, 60, 8
+    C = rng.randn(K, dim)
+    A = rng.randn(n, dim)
+    cbr_ref, routed_ref, assign_ref = _hier_reference(A, C)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]]) for i in range(n)],
+        "vec_id long, v array<double>",
+    )
+    cen = spark.createDataFrame(
+        [(j, [float(x) for x in C[j]]) for j in range(K)],
+        "centroid_id long, v array<double>",
+    )
+    # the exposed branch model agrees with the reference grouping
+    assert centroid_branches(cen, vec_col="v") == [
+        (j, int(cbr_ref[j])) for j in range(K)
+    ]
+    got = {
+        r.vec_id: r.cluster_id
+        for r in assign_centroids(
+            corpus, cen, vec_col="v", hierarchical=True
+        ).collect()
+    }
+    for i in range(n):
+        assert got[i] == assign_ref[i], (i, got[i], assign_ref[i])
+        assert cbr_ref[got[i]] in routed_ref[i]
+
+
+def test_hier_assign_equals_flat_for_tiny_k(spark):
+    """b <= 2 (k <= 4): both branches are always routed, so two-level
+    assignment degenerates exactly to the flat argmax."""
+    import numpy as np
+
+    from flux_spark.llm.similarity import assign_centroids
+
+    rng = np.random.RandomState(11)
+    A = rng.randn(40, 6)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]]) for i in range(len(A))],
+        "vec_id long, v array<double>",
+    )
+    for k in (1, 2, 3, 4):
+        C = rng.randn(k, 6)
+        cen = spark.createDataFrame(
+            [(j, [float(x) for x in C[j]]) for j in range(k)],
+            "centroid_id long, v array<double>",
+        )
+        flat = assign_centroids(corpus, cen, vec_col="v").collect()
+        hier = assign_centroids(
+            corpus, cen, vec_col="v", hierarchical=True
+        ).collect()
+        assert sorted(map(tuple, flat)) == sorted(map(tuple, hier)), k
+
+
+def test_hier_probe_union_of_routed_branches(spark):
+    """The hierarchical probe returns the nprobe nearest centroids over
+    the UNION of the 2 routed branches — every returned centroid lives
+    in a routed branch, ordered (cos DESC, cid ASC), and fewer are
+    returned when the union holds fewer than nprobe centroids."""
+    import numpy as np
+
+    from flux_spark.llm import similarity
+
+    rng = np.random.RandomState(3)
+    K, dim = 10, 8
+    C = rng.randn(K, dim)
+    A = np.vstack([C[9] + 0.01 * rng.randn(dim),
+                   C[0] + 0.01 * rng.randn(dim)])
+    cbr_ref, routed_ref, _ = _hier_reference(A, C)
+    cents = [(j, [float(x) for x in C[j]]) for j in range(K)]
+    probe = similarity._centroid_probe_hier_arrow(cents, nprobe=3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]]) for i in range(len(A))],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        r.vec_id: r.p
+        for r in corpus.select(
+            "vec_id", probe(F.col("v")).alias("p")
+        ).collect()
+    }
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for i in (0, 1):
+        union = np.where(np.isin(cbr_ref, routed_ref[i]))[0]
+        expect = sorted(
+            union.tolist(), key=lambda c: (-(An[i] @ Cn[c]), c)
+        )[:3]
+        assert got[i] == expect, (i, got[i], expect)
+        assert len(got[i]) == min(3, len(union))
+
+
 def test_perplexity_buckets_per_language(spark):
     """CCNet bucketing: NTILE is per-language (ranks are not comparable
     across languages) and bucket 1 is the most-fluent head."""
