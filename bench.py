@@ -49,10 +49,13 @@ ANALYTICS_HEADLINE = [
     "events_sessionize",
     "events_asof_purchase",
     "events_salted_user_stats",
-    "doc_dedup_minhash_lsh",
-    # r10: the auto-banded twin (rows-per-band derived from corpus size —
-    # the scale path; the 4x4 gate config stays correctness-pinned)
-    "doc_dedup_minhash_lsh_auto",
+    # r12 (VERDICT r11 #4): the COLLAPSING twin replaces the pair
+    # enumerators (doc_dedup_minhash_lsh, _lsh_auto) in the headline —
+    # pair output is quadratic in the duplicate mass by the r9
+    # output-bound law (the three recorded sf100 wall skips), while the
+    # per-doc verdict form is linear-output at every scale. The pair
+    # forms stay correctness-gated at sf0.01.
+    "doc_dedup_minhash_collapse",
     "doc_simhash",
     "ann_cosine_topk",
     # r8: _auto replaces the pinned-8-plane variant (fixed-config law:
@@ -119,11 +122,12 @@ ANALYTICS_HEADLINE = [
     "doc_markup_stats",
     "events_skew_profile",
     "emb_top_component",
-    # r11: the auto-banded twin replaces the fixed-band form (same
-    # precedent as minhash/near-dup: the gate config stays
-    # correctness-pinned, the bench times the scale path whose candidate
-    # admission tracks corpus size before the Levenshtein kernel)
-    "doc_dedup_edit_verify_auto",
+    # r12: doc_dedup_edit_verify_auto left the headline with the other
+    # pair enumerators (r11 #4 skip-free wall) — auto banding bounds its
+    # candidate ADMISSION but the verified-pair OUTPUT is still
+    # quadratic in the duplicate mass; it stays correctness-gated at
+    # sf0.01 and the MinHash collapse twin carries the dedup family in
+    # the headline.
     "events_seasonal_anomaly",
     # drift report ranks only distinct (type, value) rows after a
     # map-side combine; the interval join is the bucketed equi-join

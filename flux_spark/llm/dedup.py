@@ -403,6 +403,84 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_collapse(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Per-document survivor output of MinHash-LSH dedup — the SCALE form
+    of :func:`minhash_lsh_pairs` (r12, VERDICT r11 #4).
+
+    Pair ENUMERATION is output-bound on duplicate-heavy corpora: d exact
+    copies of one document alone emit d(d-1)/2 verified pairs, so the
+    r9 output-bound law makes the pair form quadratic no matter how the
+    candidates are admitted (the three recorded sf100 wall skips). What
+    a curation pipeline actually consumes is one verdict per document —
+    this operator emits exactly that, in linear output:
+
+    1. exact dedup FIRST: one shuffle keyed on the 128-bit content
+       digest (16 B/doc regardless of doc size) collapses identical
+       texts onto their min-id canonical — the duplicate mass LSH would
+       otherwise re-discover pair-by-pair never reaches the bucket join;
+    2. MinHash-LSH (same signature/banding/verification as the pair
+       form, ``max_bucket_size`` skew guard ON by default — the
+       production posture doc_curation_pipeline uses) runs over
+       CANONICALS only;
+    3. greedy min-id survivor rule: a canonical with a verified
+       lower-id near-dup collapses onto the smallest such id.
+
+    Returns one row per input document:
+    (id, dup_of, reason 'exact'|'near'|NULL, is_kept). The pair form
+    stays correctness-gated at sf0.01; this is what the bench headline
+    times at scale (same precedent as the auto-banded/auto-plane twins).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__digest")
+    labeled = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__digest")
+    ).withColumn("__canon", F.min(id_col).over(w))
+    exact_out = labeled.where(F.col(id_col) != F.col("__canon")).select(
+        F.col(id_col),
+        F.col("__canon").alias("dup_of"),
+        F.lit("exact").alias("reason"),
+    )
+    surv = labeled.where(F.col(id_col) == F.col("__canon")).select(
+        id_col, text_col
+    )
+    pairs = minhash_lsh_pairs(
+        surv,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    near = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    near_out = near.select(
+        F.col(id_col), F.col("dup_of"), F.lit("near").alias("reason")
+    )
+    kept = surv.join(near, id_col, "left_anti").select(
+        F.col(id_col),
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(None).cast("string").alias("reason"),
+    )
+    return (
+        exact_out.unionByName(near_out)
+        .unionByName(kept)
+        .withColumn("is_kept", F.col("dup_of").isNull())
+    )
+
+
 def minhash_jaccard_estimate(
     df: DataFrame,
     text_col: str = "text",

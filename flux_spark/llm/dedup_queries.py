@@ -238,6 +238,93 @@ def doc_dedup_minhash_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_collapse_sql(
+    num_hashes: int = 16, threshold: float = 0.5, max_bucket_size: int = 500
+) -> str:
+    """Oracle of dedup.minhash_collapse: exact collapse onto the min-id
+    canonical per text, auto-banded LSH (rows derived from the SURVIVOR
+    count) with the production bucket cap over canonicals only, greedy
+    min-id near-dup survivor rule, one row per input document."""
+    mins = ", ".join(
+        f"list_min(list_transform(hs, m -> "
+        f"(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substring(m, 17, 8)) AS BIGINT)) % 4294967296))"
+        for i in range(num_hashes)
+    )
+    return (
+        _CORPUS_CTE
+        + """
+, __can AS (SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS m
+            FROM corpus)
+, surv AS (SELECT doc_id, text FROM __can WHERE doc_id = m)
+"""
+        + _SHINGLE_CTES.replace("FROM corpus", "FROM surv")
+        + f"""
+, params AS (
+  SELECT CASE WHEN cnt <= 4096 THEN 4 ELSE 8 END AS rws,
+         CASE WHEN cnt <= 4096 THEN 4 ELSE 2 END AS nb
+  FROM (SELECT COUNT(*) AS cnt FROM surv))
+, __hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM __sized)
+, __sigs AS (SELECT doc_id, [{mins}] AS sig FROM __hashed)
+, __bh AS (
+  SELECT s.doc_id, r.band,
+         md5(array_to_string(list_transform(
+           s.sig[r.band*p.rws+1 : r.band*p.rws+p.rws],
+           v -> CAST(v AS VARCHAR)), '|')) AS bhash
+  FROM __sigs s, params p, (SELECT range AS band FROM range(0, 4)) r
+  WHERE r.band < p.nb
+  QUALIFY COUNT(*) OVER (PARTITION BY r.band, bhash) <= {max_bucket_size})
+, __cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __bh a JOIN __bh b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+, __ex AS (SELECT doc_id, n_sh, unnest(sh) AS g FROM __sized)
+, __common AS (
+  SELECT c.id_a, c.id_b, ea.n_sh AS na, eb.n_sh AS nb, COUNT(*) AS cc
+  FROM __cand c
+  JOIN __ex ea ON ea.doc_id = c.id_a
+  JOIN __ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+  GROUP BY 1, 2, 3, 4)
+, __dups AS (
+  SELECT id_b AS doc_id, MIN(id_a) AS dup_of FROM __common
+  WHERE CAST(cc AS DOUBLE) / (na + nb - cc) >= {threshold}
+  GROUP BY id_b)
+SELECT c.doc_id,
+       CASE WHEN c.doc_id <> c.m THEN c.m ELSE d.dup_of END AS dup_of,
+       CASE WHEN c.doc_id <> c.m THEN 'exact'
+            WHEN d.dup_of IS NOT NULL THEN 'near' END AS reason,
+       (c.doc_id = c.m AND d.dup_of IS NULL) AS is_kept
+FROM __can c LEFT JOIN __dups d ON d.doc_id = c.doc_id
+"""
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "doc_dedup_minhash_collapse",
+    _minhash_collapse_sql(),
+    "per-document MinHash-LSH dedup verdicts — the SCALE form of the "
+    "pair enumerators (r12, VERDICT r11 #4): pair output is inherently "
+    "quadratic on duplicate-heavy corpora (d copies -> d(d-1)/2 pairs, "
+    "the r9 output-bound law behind the three sf100 wall skips), while "
+    "what a pipeline consumes is one verdict per doc. Exact dedup "
+    "collapses identical texts first (digest groupBy — the duplicate "
+    "mass never reaches the bucket join), auto-banded LSH with the "
+    "production 500-doc bucket cap runs over canonicals only, and the "
+    "greedy min-id rule labels every doc (dup_of, reason exact|near, "
+    "is_kept). Linear output; replaces the pair forms in the bench "
+    "headline (they stay correctness-gated here at sf0.01)",
+)
+def doc_dedup_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir)
+    n_surv = corpus.select("text").distinct().count()
+    rows = dedup.auto_band_rows(n_surv)
+    return dedup.minhash_collapse(
+        corpus, threshold=0.5, num_hashes=16, bands=16 // rows,
+        max_bucket_size=500,
+    )
+
+
 def _minhash_est_sql(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
     mins = ", ".join(

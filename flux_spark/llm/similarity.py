@@ -283,6 +283,17 @@ def occupancy_p99(sig_counts: DataFrame, count_col: str = "count") -> int:
     the driver — the collect is histogram-sized, never bucket-count-sized
     (a 1B-vector corpus at 26 planes has ~60M occupied buckets but only
     ~10^3 distinct occupancy values)."""
+    return occupancy_stats(sig_counts, count_col)[0]
+
+
+def occupancy_stats(
+    sig_counts: DataFrame, count_col: str = "count"
+) -> tuple[int, int]:
+    """(p99, max) bucket occupancy from ONE histogram-sized aggregate —
+    see :func:`occupancy_p99` for the scale shape. The max rides along
+    for free and lets the fused auto-cap lane prove the slot filter is
+    an IDENTITY on healthy corpora (max <= cap) and skip its window
+    shuffle entirely (r12, VERDICT r11 #6)."""
     hist = sorted(
         (int(r["occ"]), int(r["n_buckets"]))
         for r in sig_counts.groupBy(F.col(count_col).alias("occ"))
@@ -291,14 +302,14 @@ def occupancy_p99(sig_counts: DataFrame, count_col: str = "count") -> int:
     )
     total = sum(n for _, n in hist)
     if total == 0:
-        return 0
+        return 0, 0
     rank = math.ceil(0.99 * total)
     seen = 0
     for occ, n in hist:
         seen += n
         if seen >= rank:
-            return occ
-    return hist[-1][0]
+            return occ, hist[-1][0]
+    return hist[-1][0], hist[-1][0]
 
 
 def auto_bucket_cap(
@@ -727,8 +738,19 @@ def lsh_topk(
         # bucket join below both read the checkpointed frame instead of
         # re-running the per-plane interpreted dot folds over the corpus
         c = c.localCheckpoint()
-        p99 = occupancy_p99(c.groupBy("__sig").count())
+        p99, max_occ = occupancy_stats(c.groupBy("__sig").count())
         bucket_cap = max(4 * k, min(p99, 4 * target_bucket))
+        if max_occ <= bucket_cap:
+            # the slot filter would keep every row — provably an identity
+            # from the SAME histogram aggregate, so skip its per-signature
+            # window (a full shuffle+sort of the corpus side) outright.
+            # Healthy corpora take this branch (sf0.1: max 40 <= cap 40);
+            # duplicated-mass corpora (the sf100 replica catch: max 2,092
+            # > cap 64) still pay the cap that saves them. Result-
+            # identical either way, so the autocap oracle is unaffected
+            # (r12, VERDICT r11 #6 — the knowingly-paid +1.2 s at sf0.1
+            # was mostly this never-engaging window).
+            bucket_cap = None
     if bucket_cap is not None:
         # Known bound (advisor r10): this window ranks each signature's
         # FULL bucket in one task — O(m log m) on one core for an m-row

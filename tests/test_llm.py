@@ -76,6 +76,27 @@ def test_minhash_lsh_finds_dups(spark, docs):
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
+def test_minhash_collapse_per_doc_verdicts(spark, docs):
+    """The collapsing scale form: exact copies collapse onto the min-id
+    canonical (reason 'exact', never re-discovered by LSH), near-dup
+    canonicals collapse onto their smallest verified partner (reason
+    'near'), everything else is kept — one row per input doc."""
+    # 16 one-row bands: any shared minhash admits a candidate, so the
+    # (1, 3) near-dup (trigram Jaccard 0.75) is guaranteed admission —
+    # the 4x4 gate banding misses it on this 5-doc fixture
+    out = {
+        r.doc_id: r for r in dedup.minhash_collapse(docs, bands=16).collect()
+    }
+    assert len(out) == docs.count()
+    assert out[2].dup_of == 1 and out[2].reason == "exact"
+    assert not out[2].is_kept
+    assert out[3].dup_of == 1 and out[3].reason == "near"  # near dup of 1
+    assert out[1].is_kept and out[1].dup_of is None and out[1].reason is None
+    assert out[4].is_kept and out[5].is_kept
+    # verdict partition: kept + exact + near == corpus
+    assert sum(1 for r in out.values() if r.is_kept) == 3
+
+
 def test_ngram_jaccard_exact_scores(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard

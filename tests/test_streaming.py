@@ -403,14 +403,109 @@ def test_rocksdb_state_store_stateful_gates(spark, sf_dir):
         n: sorted(map(tuple, fn(spark, sf_dir).collect()))
         for n, fn in qs.items()
     }
-    streaming.use_rocksdb_state_store(spark)
-    try:
-        assert (
-            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
-            == streaming.ROCKSDB_STATE_STORE
+    # both RocksDB modes must be result-identical to the HDFS default:
+    # full-snapshot commits AND changelog checkpointing (r12 — the
+    # delta-only commit mode a 100 TB deployment actually runs)
+    for changelog in (False, True):
+        streaming.use_rocksdb_state_store(
+            spark, changelog_checkpointing=changelog
         )
-        for n, fn in qs.items():
-            got = sorted(map(tuple, fn(spark, sf_dir).collect()))
-            assert got == baseline[n], n
+        try:
+            assert (
+                spark.conf.get(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+                == streaming.ROCKSDB_STATE_STORE
+            )
+            assert spark.conf.get(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            ) == ("true" if changelog else "false")
+            for n, fn in qs.items():
+                got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+                assert got == baseline[n], (n, changelog)
+        finally:
+            streaming.use_rocksdb_state_store(spark, enabled=False)
+
+
+def test_rocksdb_changelog_large_state_soak(spark, tmp_path):
+    """1M-distinct-key streaming aggregation under RocksDB + changelog
+    checkpointing (r12, VERDICT r11 #5): the checkpoint actually
+    contains .changelog files (delta-only commits engaged), and a
+    RESTART from the same checkpoint recovers the full keyed state —
+    the incremental drain emits count=3 for re-sent keys, which is only
+    possible if all prior state survived the stop/start cycle."""
+    import glob
+    import time
+
+    n_keys = 1_000_000
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_range(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "CAST(id AS STRING) AS key", "id AS value"
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        """One AvailableNow run; returns {emitted count value: n_rows}
+        merged across microbatches (memory sink cannot recover from a
+        checkpoint, so the recoverable foreachBatch sink carries the
+        restart legs). The assertions below hold under ANY batching:
+        counts are monotone per key, and update mode emits a given
+        (key, value) pair at most once per drain."""
+        hist: dict[int, int] = {}
+
+        def sink(df, _bid):
+            for r in df.groupBy("count").agg(
+                F.count("*").alias("n")
+            ).collect():
+                hist[r["count"]] = hist.get(r["count"], 0) + r["n"]
+
+        q = (
+            spark.readStream.schema("key string, value long")
+            .parquet(src)
+            .groupBy("key")
+            .count()
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        return hist
+
+    streaming.use_rocksdb_state_store(spark, changelog_checkpointing=True)
+    try:
+        add_range(0, n_keys)
+        add_range(0, 1_000)  # keys 0..999 arrive twice in the initial load
+        t0 = time.time()
+        h1 = drain()
+        t_initial = time.time() - t0
+        # every re-sent key reaches (and emits) count=2 exactly once; no
+        # key exceeds 2; every key emits its count=1 state at least once
+        # unless both arrivals landed in one batch
+        assert max(h1) == 2 and h1[2] == 1_000, h1
+        assert h1[1] >= n_keys - 1_000
+        # delta-only commits actually engaged
+        assert glob.glob(f"{ckpt}/state/**/*.changelog", recursive=True)
+        # restart #1: 1k re-sent keys against the recovered 1M-key state
+        add_range(0, 1_000)
+        t0 = time.time()
+        h2 = drain()
+        t_recover = time.time() - t0
+        assert h2 == {3: 1_000}, h2  # 2 + 1 — prior state survived
+        # restart #2: keys NEVER re-sent before must also have survived
+        # both stop/start cycles (breadth spot check deep in the space)
+        add_range(500_000, 501_000)
+        add_range(n_keys - 1, n_keys)
+        h3 = drain()
+        assert h3 == {2: 1_001}, h3
+        print(
+            f"rocksdb-changelog soak: initial {n_keys + 1_000} rows / "
+            f"{n_keys} keys in {t_initial:.1f}s; restart + 1k-key "
+            f"incremental drain {t_recover:.1f}s"
+        )
     finally:
         streaming.use_rocksdb_state_store(spark, enabled=False)
