@@ -1034,7 +1034,9 @@ def emb_knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_vote_ivf_hier_sql(k: int = 5, nprobe: int = 2) -> str:
+def _knn_vote_ivf_hier_sql(
+    k: int = 5, nprobe: int = 2, q_pred: str = "vec_id % 4 = 0"
+) -> str:
     """Two-level twin of :func:`_knn_vote_ivf_sql` for the auto-K lane:
     (k, b) derive from the seed-set COUNT(*); fine centroids group under
     their max-cosine representative (proximity branches, cbr); the seed
@@ -1056,7 +1058,7 @@ def _knn_vote_ivf_hier_sql(k: int = 5, nprobe: int = 2) -> str:
     lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
             FROM embeddings WHERE vec_id % 4 <> 0),
     q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-          FROM embeddings WHERE vec_id % 4 = 0),
+          FROM embeddings WHERE {q_pred}),
     lroute AS (
       SELECT neighbor_id, lv, nl, branch FROM (
         SELECT l.*, r.branch,
@@ -1135,6 +1137,125 @@ def emb_knn_label_vote_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
         hierarchical=True,
+    )
+
+
+@register(
+    LLM_QUERIES,
+    "emb_hier_vote_recall",
+    f"""
+    WITH ivf AS ({_knn_vote_ivf_hier_sql(
+        q_pred="vec_id % 4 = 0 AND vec_id < 4000"
+    ).replace(chr(10), chr(10) + '    ')}),
+    lab AS (SELECT vec_id AS neighbor_id, embedding AS lv, label AS nl
+            FROM embeddings WHERE vec_id % 4 <> 0),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+          FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 4000),
+    scored AS (
+      SELECT q.query_id, l.neighbor_id, l.nl,
+             {similarity.sql_cosine("q.qv", "l.lv", _DIM)} AS cos_sim
+      FROM q CROSS JOIN lab l WHERE l.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored),
+    votes AS (
+      SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rnk <= 5 GROUP BY query_id, nl),
+    win AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nl ASC) AS vr
+      FROM votes),
+    brute AS (
+      SELECT w.query_id, w.nl AS predicted_label,
+             w.nl = q.true_label AS correct
+      FROM win w JOIN q USING (query_id) WHERE vr = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN i.predicted_label = b.predicted_label
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN i.predicted_label = b.predicted_label
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS agree_rate,
+           CAST(SUM(CASE WHEN i.correct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct_ivf,
+           CAST(SUM(CASE WHEN b.correct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct_brute
+    FROM ivf i JOIN brute b USING (query_id)
+    """,
+    "hier-routing quality audit (r12 — the emb_label_vote_ivf_recall "
+    "companion for the two-level auto-K lane): per-vector prediction "
+    "agreement between the hierarchical-routed auto-K IVF vote and the "
+    "exact brute-force vote over a bounded probe set, plus both "
+    "accuracy counts — the measurement that tells a pipeline owner "
+    "whether 2-branch routing retains enough recall to trust propagated "
+    "labels at scales where brute force (and flat n*K assignment) are "
+    "unaffordable",
+)
+def emb_hier_vote_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    labeled = e.where(F.col("vec_id") % 4 != 0)
+    unlabeled = e.where((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 4000))
+    k_c = similarity.auto_centroids(labeled.count(), target_cluster=256)
+    centroids = e.where(F.col("vec_id") < k_c).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    ivf = similarity.knn_label_vote_ivf(
+        labeled, unlabeled, centroids, k=5, nprobe=2, hierarchical=True
+    ).select("query_id", "predicted_label", "correct")
+    lab = labeled.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("__nl"),
+    )
+    q = unlabeled.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(lab))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            similarity.pair_cosine_arrow(F.col("__qv"), F.col("__cv")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= 5)
+        .groupBy("query_id", "true_label", "__nl")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("__nl")
+    )
+    brute = (
+        votes.withColumn("__vr", F.row_number().over(w2))
+        .where(F.col("__vr") == 1)
+        .select(
+            "query_id",
+            F.col("__nl").alias("b_pred"),
+            (F.col("__nl") == F.col("true_label")).alias("b_correct"),
+        )
+    )
+    joined = ivf.join(brute, "query_id")
+    agree = F.sum(
+        F.when(F.col("predicted_label") == F.col("b_pred"), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        agree.alias("n_agree"),
+        (agree.cast("double") / F.count("*")).alias("agree_rate"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct_ivf"),
+        F.sum(F.when(F.col("b_correct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct_brute"),
     )
 
 
