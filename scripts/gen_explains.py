@@ -242,6 +242,24 @@ SHOWCASE = [
         "the inverted-index self-join — candidate volume <= cap x corpus "
         "(linear), denominators keep the full per-doc shingle counts",
     ),
+    (
+        "doc_dedup_minhash_collapse",
+        "collapsing MinHash dedup (r12): one digest-keyed window "
+        "collapses exact duplicates BEFORE the LSH bucket join (the "
+        "duplicate mass never becomes candidate pairs), the capped "
+        "band self-join + verification run over canonicals only, and "
+        "the output is one verdict row per document — linear output "
+        "where pair enumeration is quadratic in duplicate mass",
+    ),
+    (
+        "emb_semantic_dedup_auto",
+        "hierarchical auto-K assignment (r12): the Arrow kernel routes "
+        "each vector through ceil(sqrt(K)) proximity-grouped branch "
+        "representatives then scores only 2 branches' fine centroids — "
+        "ONE narrow corpus pass (no join, no window) feeding the "
+        "persisted assignment that both pair-join sides and the final "
+        "left join reuse; n*~3sqrt(K) where flat scoring is n*K",
+    ),
 ]
 
 
