@@ -285,18 +285,10 @@ def main() -> None:
 
     spark = get_spark(
         app_name="flux-spark-bench",
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            # Shuffle files live in spark.local.dir until the
-            # ContextCleaner's periodic driver GC releases them — at the
-            # 30 min default, a multi-query wall at sf100 accumulates
-            # >100 GB of dead shuffle state and can fill the disk before
-            # a single cleanup fires (r12: the first skip-free sf100 wall
-            # attempt died ENOSPC mid orders_bucketed_join for exactly
-            # this). 2 min bounds transient disk by a few queries' worth;
-            # at sf0.1 the GC is a no-op-sized pause.
-            "spark.cleaner.periodicGC.interval": "2min",
-        },
+        # periodic shuffle-state GC (2min) is get_spark's own default
+        # as of r13 — the ENOSPC failure mode it prevents is user-facing,
+        # not a bench quirk (see flux_spark/session.py docstring).
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
     # Spark job latency on a shared box is jittery; best-of-N absorbs it

@@ -329,6 +329,27 @@ class PollResult:
             )
         return self._df
 
+    def __repr__(self) -> str:  # dataclass-parity: this was a @dataclass
+        # until the lazy ``records`` property replaced the generated
+        # __repr__/__eq__; keep print/compare behavior stable.
+        return (
+            f"PollResult(count={self.count}, "
+            f"should_continue={self.should_continue}, "
+            f"rows={'<spark-lane>' if self.rows is None else len(self.rows)})"
+        )
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, PollResult):
+            return NotImplemented
+        return (
+            self.count == other.count
+            and self.should_continue == other.should_continue
+            and self.rows == other.rows
+            and (self.rows is not None or self._df is other._df)
+        )
+
+    __hash__ = None  # mutable value object, like the old eq=True dataclass
+
 
 @dataclass
 class RebalanceEvent:
@@ -616,6 +637,18 @@ class FluxConsumer:
                             t, p, starts[p], max_records=ends[p] - starts[p]
                         )
                     )
+            if len(rows) != total_new:
+                # Positions were already advanced from the planned HWMs;
+                # an under-delivering read (pruning bug, file removed
+                # between planning and read after retries) would
+                # otherwise skip records permanently and silently. The
+                # Spark lane surfaces such failures at action time —
+                # make the fast lane equally loud.
+                raise RuntimeError(
+                    f"fast poll under-delivered: planned {total_new} "
+                    f"records, read {len(rows)}; positions not trusted — "
+                    "seek() to the last committed offsets and re-poll"
+                )
             return PollResult(
                 rows=rows,
                 spark=self.store.spark,

@@ -438,6 +438,20 @@ def minhash_collapse(
     (id, dup_of, reason 'exact'|'near'|NULL, is_kept). The pair form
     stays correctness-gated at sf0.01; this is what the bench headline
     times at scale (same precedent as the auto-banded/auto-plane twins).
+
+    .. note:: ``dup_of`` is the GREEDY parent, not necessarily a kept
+       row: an exact duplicate collapses onto its content canonical,
+       but that canonical may itself have near-collapsed onto a lower
+       id (and near chains B->A, C->B likewise). Consumers that need
+       the surviving representative must chain-follow ``dup_of`` until
+       an ``is_kept`` row (bounded: every hop strictly decreases the
+       id), or run one connected-components pass over the
+       (id, dup_of) edges. Emitting the greedy parent is deliberate —
+       it is one groupBy per document, preserves WHY each doc was
+       dropped (reason column pairs with the direct parent), and the
+       SQL oracle replays the identical rule; transitive resolution is
+       an iterative join whose depth is data-dependent, which would
+       make the operator's cost unbounded on adversarial chains.
     """
     from pyspark.sql import Window
 

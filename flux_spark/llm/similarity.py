@@ -1091,6 +1091,17 @@ def _centroid_assign_hier_arrow(cents: list[tuple[int, list[float]]]):
             )
             best_cos[idx[upd]] = val[upd]
             best_cid[idx[upd]] = cand[upd]
+        sentinel = best_cid == np.iinfo(np.int64).max
+        if sentinel.any():
+            # Degenerate routing: both routed branches were empty (only
+            # possible when duplicate representative vectors leave a
+            # branch memberless). Fall back to the flat argmax over ALL
+            # centroids for those rows — same dimension-loop fold, same
+            # ties->lowest-id rule — so the kernel never emits the
+            # sentinel and stays aligned with the oracle's route-join
+            # (which scores real centroids only).
+            cos = _dimloop_cosine(A[sentinel], C)
+            best_cid[sentinel] = ids[np.argmax(cos, axis=1)]
         return pd.Series(best_cid)
 
     return _assign
@@ -2497,34 +2508,51 @@ def power_iteration_top_component(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xd")
     ).persist()
     try:
-        v = [1.0] * dim
-        last = None
-        for _ in range(iterations):
-            varr = F.array(*[F.lit(float(x)) for x in v])
-            s = F.aggregate(
-                F.zip_with(F.col("__xd"), varr, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            contrib = F.transform(
-                F.col("__xd"),
-                lambda x: F.floor(x * s * F.lit(1e6)).cast("long"),
-            )
-            sums = (
-                proj.select(F.posexplode(contrib).alias("dim_idx", "__q"))
-                .groupBy("dim_idx")
-                .agg(F.sum("__q").cast("bigint").alias("__sq"))
-                .collect()
-            )
-            last = {int(r["dim_idx"]): int(r["__sq"]) for r in sums}
-            m = max(abs(x) for x in last.values())
-            v = [last[j] / m if m else 0.0 for j in range(dim)]
+        last, v = _power_iterate(proj, dim, iterations)
     finally:
         proj.unpersist()
     out = [(j, last[j], v[j]) for j in range(dim)]
     return df.sparkSession.createDataFrame(
         out, "dim_idx int, u_q long, u_val double"
     )
+
+
+def _power_iterate(proj: DataFrame, dim: int, iterations: int):
+    """The iteration loop over a prebuilt ``__xd`` projection: each pass
+    is ONE scalar aggregate of ``dim`` int64 sums — the per-row quantized
+    contribution array is projected once, then each dimension feeds its
+    own map-side-combined SUM. No posexplode: the r12 shape pushed
+    ``dim`` x n rows through a 64-group hash aggregate; this pushes n
+    rows through a fused codegen stage (same int64 order-free sums, so
+    the result is bit-identical — only the pass got cheaper). Returns
+    ({dim_idx: raw int64 sum}, next iterate as python floats)."""
+    v = [1.0] * dim
+    last = None
+    for _ in range(iterations):
+        varr = F.array(*[F.lit(float(x)) for x in v])
+        s = F.aggregate(
+            F.zip_with(F.col("__xd"), varr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        contrib = F.transform(
+            F.col("__xd"),
+            lambda x: F.floor(x * s * F.lit(1e6)).cast("long"),
+        )
+        row = (
+            proj.select(contrib.alias("__c"))
+            .select(
+                *[
+                    F.sum(F.col("__c")[j]).cast("bigint").alias(f"s{j}")
+                    for j in range(dim)
+                ]
+            )
+            .collect()[0]
+        )
+        last = {j: int(row[f"s{j}"]) for j in range(dim)}
+        m = max(abs(x) for x in last.values())
+        v = [last[j] / m if m else 0.0 for j in range(dim)]
+    return last, v
 
 
 def remove_top_component(
@@ -2685,25 +2713,51 @@ def power_iteration_top2(
     oracle's list_reduce); u2 then re-quantizes, so BOTH directions
     hash-match the DuckDB unrolled recomputation. Output: one row per
     (component, dim_idx).
+
+    Fused plan (r13, VERDICT r12 #3): ONE parquet scan and ONE cached
+    projection serve both chains. The r12 shape re-scanned the corpus
+    and cached a second full-width residual copy for u2 (2 x corpus
+    bytes pinned at sf100); here the deflation is folded into u2's
+    aggregate as codegen over the SAME cache — the residual is a
+    64-mult zip_with recomputed per pass, which is cheaper than
+    materializing (and spilling) a second 100M-row cache. The
+    arithmetic is expression-identical to remove_top_component, so
+    both directions stay bit-exact against the unchanged oracle.
     """
-    c1 = power_iteration_top_component(
-        df, vec_col=vec_col, dim=dim, iterations=iterations
-    )
-    rows = sorted(c1.collect(), key=lambda r: r["dim_idx"])
-    u1 = [r["u_val"] for r in rows]
-    res = remove_top_component(df, u1, vec_col=vec_col, out_col="__res")
-    c2 = power_iteration_top_component(
-        res, vec_col="__res", dim=dim, iterations=iterations
-    )
-    return c1.select(
-        F.lit(1).cast("int").alias("component"), "dim_idx", "u_q", "u_val"
-    ).unionByName(
-        c2.select(
-            F.lit(2).cast("int").alias("component"),
-            "dim_idx",
-            "u_q",
-            "u_val",
+    spark = df.sparkSession
+    proj = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xd")
+    ).persist()
+    try:
+        last1, u1 = _power_iterate(proj, dim, iterations)
+        # deflation folded over the cached projection: same expression
+        # tree as remove_top_component, but reading __xd (already
+        # double) instead of re-casting from a second parquet scan
+        u = F.array(*[F.lit(float(x)) for x in u1])
+        xu = F.aggregate(
+            F.zip_with(F.col("__xd"), u, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+        uu = F.aggregate(
+            F.zip_with(u, u, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        coef = xu / uu
+        resproj = proj.select(
+            F.zip_with(F.col("__xd"), u, lambda a, b: a - coef * b).alias(
+                "__xd"
+            )
+        )
+        last2, u2 = _power_iterate(resproj, dim, iterations)
+    finally:
+        proj.unpersist()
+    rows = [(1, j, last1[j], u1[j]) for j in range(dim)] + [
+        (2, j, last2[j], u2[j]) for j in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, dim_idx int, u_q long, u_val double"
     )
 
 

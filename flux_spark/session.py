@@ -31,7 +31,20 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    periodic_gc: str | None = "2min",
 ) -> SparkSession:
+    """Build a session with scale-appropriate defaults.
+
+    ``periodic_gc`` sets ``spark.cleaner.periodicGC.interval`` (pass
+    ``None`` to keep Spark's 30 min default). Shuffle files live in
+    ``spark.local.dir`` until the ContextCleaner's periodic driver GC
+    releases them; at the 30 min default a long-lived session running
+    many queries accumulates dead shuffle state — 100+ GB at sf100 —
+    and can fill the disk before a single cleanup fires (a wall run
+    died ENOSPC exactly this way). 2 min bounds transient disk to a
+    few queries' worth and is a no-op-sized pause on small sessions,
+    so it is the engine default, not a bench-only posture.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -65,6 +78,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if periodic_gc is not None:
+        b = b.config("spark.cleaner.periodicGC.interval", periodic_gc)
     if master.startswith("local"):
         # Local test files are MBs, not the 128 MB+ a lake produces, so the
         # default 4 MB open-cost floor collapses every small table to ONE
