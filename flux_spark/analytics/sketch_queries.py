@@ -1074,3 +1074,103 @@ def events_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.25) * F.col("exact_users").cast("double")
         ).alias("est_within_tol"),
     )
+
+
+@register(
+    ANALYTICS_QUERIES,
+    "events_rolling_distinct_7d_registers",
+    """
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ev),
+    h AS (
+      SELECT day,
+        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS hv
+      FROM ev),
+    reg AS (
+      SELECT day, hv >> 52 AS bucket,
+        strpos(lpad(bin(hv & 4503599627370495), 52, '0'), '1') AS pos
+      FROM h),
+    daily AS (
+      SELECT day, CAST(bucket AS BIGINT) AS bucket,
+        CAST(MAX(CASE WHEN pos = 0 THEN 53 ELSE pos END) AS BIGINT)
+          AS max_rho
+      FROM reg GROUP BY 1, 2),
+    merged AS (
+      SELECT d.day, r.bucket, CAST(MAX(r.max_rho) AS BIGINT) AS max_rho
+      FROM days d JOIN daily r ON r.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1, 2)
+    SELECT day,
+      CAST(SUM(bucket * 64 + max_rho) AS BIGINT) AS register_checksum,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      CAST(SUM((CAST(1 AS BIGINT) << CAST(53 - max_rho AS INTEGER)))
+           AS BIGINT) AS s_int
+    FROM merged GROUP BY day
+    """,
+    "register-only SCALE twin of events_rolling_distinct_7d (r13, "
+    "VERDICT r12 #2): daily 256-register HLL builds + the trailing "
+    "7-day MAX-merge + integer-exact register checksum and estimator "
+    "numerator (s_int) — WITHOUT the exact COUNT(DISTINCT) validation "
+    "leg, whose 7x re-join of the distinct fact table dominated the "
+    "sf100 wall entry (389.1 s) while the registers themselves are "
+    "sketch-sized. Same precedent as the pair-enumerator collapse "
+    "twins: the exact-vs-estimate 25%-tolerance gate stays pinned at "
+    "sf0.01 via events_rolling_distinct_7d; the headline times what a "
+    "production rollup actually runs — one fact scan into daily "
+    "registers, then 7-way merges of 256-row sketches. All output "
+    "columns are BIGINT, so the oracle match is bit-exact with no "
+    "float leg at all.",
+)
+def events_rolling_distinct_7d_registers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production shape of sliding-window distinct at 100 TB: raw
+    events are scanned ONCE into per-day (bucket, max_rho) registers
+    (map-side combinable groupBy, <= days x 256 rows), and every
+    trailing window is a MAX-merge of 7 register sets. Emits the
+    integer-exact register state (checksum + linear-counting numerator)
+    per day; estimate-vs-exact tolerance is the gate query's job."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    days = ev.select("day").distinct()
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    pos = F.instr(
+        F.lpad(F.bin(hv.bitwiseAND(F.lit(4503599627370495))), 52, "0"), "1"
+    )
+    reg = ev.select(
+        "day",
+        F.shiftright(hv, 52).cast("bigint").alias("bucket"),
+        F.when(pos == 0, 53).otherwise(pos).alias("rho"),
+    )
+    daily = reg.groupBy("day", "bucket").agg(
+        F.max("rho").cast("bigint").alias("max_rho")
+    )
+    merged = (
+        days.alias("d")
+        .join(
+            daily.alias("r"),
+            (F.col("r.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("r.day") <= F.col("d.day")),
+        )
+        .groupBy(
+            F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket")
+        )
+        .agg(F.max("r.max_rho").cast("bigint").alias("max_rho"))
+    )
+    return merged.groupBy("day").agg(
+        F.sum(F.col("bucket") * 64 + F.col("max_rho"))
+        .cast("bigint")
+        .alias("register_checksum"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - max_rho AS INT))")
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )

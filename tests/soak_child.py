@@ -66,15 +66,29 @@ def run_producer(warehouse: str, ctrl: str, pid: int, n_batches: int, rows: int)
     spark.stop()
 
 
-def run_consumer(warehouse: str, ctrl: str, group: str, n_producers: int):
+def run_consumer(
+    warehouse: str,
+    ctrl: str,
+    group: str,
+    n_producers: int,
+    fast: bool = False,
+):
     from flux_spark.consumer import FluxConsumer
     from flux_spark.log import LogStore
 
     spark = _spark(f"soak-cons-{group}")
     store = LogStore(spark, warehouse)
-    cons = FluxConsumer(store, group)
+    # fast=True (r13, VERDICT r12 #7): raise fast_path_max so every drain
+    # this soak produces is served by the driver-side pyarrow lane
+    # (poll() -> read_since) — proving its transient-missing-file retry
+    # composes with aggressive compaction swaps, under commit load, at
+    # the same exactly-once bar as the Spark lane.
+    cons = FluxConsumer(
+        store, group, fast_path_max=1_000_000 if fast else 2_000
+    )
     cons.subscribe(["soak"])
     seen: list[tuple[int, int, str]] = []
+    fast_polls = spark_polls = 0
     empty_after_done = 0
     deadline = time.time() + 480
     while time.time() < deadline:
@@ -86,12 +100,20 @@ def run_consumer(warehouse: str, ctrl: str, group: str, n_producers: int):
             time.sleep(0.2)
             continue
         if res.count:
-            seen.extend(
-                (r["partition"], r["offset"], r["value"])
-                for r in res.records.select(
-                    "partition", "offset", "value"
-                ).collect()
-            )
+            if res.rows is not None:
+                fast_polls += 1
+                seen.extend(
+                    (r["partition"], r["offset"], r["value"])
+                    for r in res.rows
+                )
+            else:
+                spark_polls += 1
+                seen.extend(
+                    (r["partition"], r["offset"], r["value"])
+                    for r in res.records.select(
+                        "partition", "offset", "value"
+                    ).collect()
+                )
             cons.commit_offsets()
             empty_after_done = 0
         elif _producers_done(ctrl, n_producers):
@@ -103,7 +125,10 @@ def run_consumer(warehouse: str, ctrl: str, group: str, n_producers: int):
             time.sleep(0.3)
     cons.close()
     with open(os.path.join(ctrl, f"consumer-{group}.out"), "w") as fh:
-        json.dump(seen, fh)
+        json.dump(
+            {"seen": seen, "fast_polls": fast_polls, "spark_polls": spark_polls},
+            fh,
+        )
     spark.stop()
 
 
@@ -133,7 +158,13 @@ def main() -> None:
     if role == "producer":
         run_producer(warehouse, ctrl, int(sys.argv[4]), int(sys.argv[5]), int(sys.argv[6]))
     elif role == "consumer":
-        run_consumer(warehouse, ctrl, sys.argv[4], int(sys.argv[5]))
+        run_consumer(
+            warehouse,
+            ctrl,
+            sys.argv[4],
+            int(sys.argv[5]),
+            fast=len(sys.argv) > 6 and sys.argv[6] == "fast",
+        )
     elif role == "maintenance":
         run_maintenance(warehouse, ctrl, int(sys.argv[4]))
     else:

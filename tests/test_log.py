@@ -960,7 +960,7 @@ def test_concurrent_soak_produce_consume_maintenance(spark, store):
     # every group saw every record exactly once, offsets gap-free per group
     for g in groups:
         with open(os.path.join(ctrl, f"consumer-{g}.out")) as fh:
-            seen = json.load(fh)
+            seen = json.load(fh)["seen"]
         assert {v for _, _, v in seen} == expected, g
         per_part = {}
         for part, off, _ in seen:
@@ -980,6 +980,80 @@ def test_concurrent_soak_produce_consume_maintenance(spark, store):
     with open(os.path.join(ctrl, "maintenance.out")) as fh:
         maint = json.load(fh)
     assert maint["mid_traffic"] >= 1 and maint["passes"] >= maint["mid_traffic"]
+
+
+def test_concurrent_soak_fastlane_under_maintenance(spark, store):
+    """r13 (VERDICT r12 #7): the ms-class consumer fast poll under
+    maintenance contention. One committing group drains EVERY poll via
+    the driver-side pyarrow lane (fast_path_max raised above the soak's
+    batch sizes) while producers write and an aggressive compaction loop
+    swaps segment directories underneath it. Proves read_since's
+    transient-missing-file retry composes with the fast lane at the same
+    exactly-once, gap-free, zero-lag bar as the Spark lane — and asserts
+    the polls actually WERE fast-lane served, so the test cannot
+    silently degrade into re-covering the Spark path."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    n_producers, n_batches, rows = 2, 4, 150
+    store.catalog.create_topic("soak", 3)
+    ctrl = os.path.join(store.warehouse, "_soak_ctrl")
+    os.makedirs(ctrl, exist_ok=True)
+    child = os.path.join(os.path.dirname(__file__), "soak_child.py")
+
+    def launch(*args):
+        return subprocess.Popen(
+            [_sys.executable, child, store.warehouse, ctrl, *map(str, args)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+
+    procs = (
+        [launch("producer", i, n_batches, rows) for i in range(n_producers)]
+        + [launch("consumer", "soak-fast", n_producers, "fast")]
+        + [launch("maintenance", n_producers)]
+    )
+    fails = []
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        if p.returncode != 0:
+            fails.append((i, p.returncode, err.decode()[-2000:]))
+    assert not fails, fails
+
+    expected = {
+        f"p{c}-b{b}-r{r}"
+        for c in range(n_producers)
+        for b in range(n_batches)
+        for r in range(rows)
+    }
+    with open(os.path.join(ctrl, "consumer-soak-fast.out")) as fh:
+        data = json.load(fh)
+    seen = data["seen"]
+    # every poll that returned records was served by the fast lane
+    assert data["fast_polls"] >= 1 and data["spark_polls"] == 0, data
+    assert {v for _, _, v in seen} == expected
+    per_part = {}
+    for part, off, _ in seen:
+        per_part.setdefault(part, []).append(off)
+    for p_, offs in per_part.items():
+        assert sorted(offs) == list(range(len(offs))), p_
+    # lag drained to zero through fast-lane commits
+    from flux_spark.consumer import OffsetStore
+
+    hwm = store.high_water_marks("soak")
+    committed = OffsetStore(store).fetch("soak-fast")
+    for (topic, part), next_off in committed.items():
+        assert topic == "soak" and next_off == hwm[part], part
+    with open(os.path.join(ctrl, "maintenance.out")) as fh:
+        maint = json.load(fh)
+    assert maint["mid_traffic"] >= 1
 
 
 def test_route_to_dlq_quarantines_with_reason_and_contiguous_offsets(
