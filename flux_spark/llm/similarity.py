@@ -2551,15 +2551,14 @@ def power_iteration_top_component(
     (dim_idx, u_q int64 raw sum, u_val double in [-1, 1] scaled by the
     max-abs component).
     """
-    # pay the scan/decode once: the double-cast projection is cached and
-    # every iteration reads the in-memory column (the docstring's
-    # "cache the projected column" — at 100 TB this is the difference
-    # between 1 and `iterations` parquet passes)
-    proj = df.select(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xd")
-    ).persist()
+    # pay the scan/decode once: the raw vector column is cached (floats —
+    # half the bytes of a double projection; the exact f32->f64 widen
+    # happens inside the Arrow kernel) and every iteration reads the
+    # in-memory column — at 100 TB this is the difference between 1 and
+    # `iterations` parquet passes
+    proj = df.select(F.col(vec_col).alias("__v")).persist()
     try:
-        last, v = _power_iterate(proj, dim, iterations)
+        last, v = _power_iterate_arrow(proj, dim, iterations)
     finally:
         proj.unpersist()
     out = [(j, last[j], v[j]) for j in range(dim)]
@@ -2568,39 +2567,81 @@ def power_iteration_top_component(
     )
 
 
-def _power_iterate(proj: DataFrame, dim: int, iterations: int):
-    """The iteration loop over a prebuilt ``__xd`` projection: each pass
-    is ONE scalar aggregate of ``dim`` int64 sums — the per-row quantized
-    contribution array is projected once, then each dimension feeds its
-    own map-side-combined SUM. No posexplode: the r12 shape pushed
-    ``dim`` x n rows through a 64-group hash aggregate; this pushes n
-    rows through a fused codegen stage (same int64 order-free sums, so
-    the result is bit-identical — only the pass got cheaper). Returns
-    ({dim_idx: raw int64 sum}, next iterate as python floats)."""
+def _power_iterate_arrow(
+    proj: DataFrame,
+    dim: int,
+    iterations: int,
+    deflate: "list[float] | None" = None,
+):
+    """The power-iteration loop over a cached raw ``__v`` column, each
+    pass an Arrow map task emitting one partial int64 per-dim sum per
+    batch (r13; the r12 shape evaluated two interpreted Catalyst folds —
+    the x·v dot inside the quantized contribution transform — per row
+    per pass, measured 4x slower at sf10 and 367 s at sf100).
+
+    Bit-exactness contract (same discipline as :func:`pair_cosine_arrow`):
+    the kernel loops over DIMENSIONS while numpy vectorizes over the
+    batch — ``s += A[:, i] * v[i]`` replays the Catalyst fold's
+    left-to-right float64 multiply-add sequence exactly (acc starts 0.0),
+    ``floor((A * s) * 1e6)`` is the same association as the expression
+    ``floor(x * s * lit(1e6))``, the f32->f64 widen is exact, and the
+    per-dim reduce is an order-free int64 sum — so every iterate is
+    bit-identical to the r12 Catalyst form and to the DuckDB oracle's
+    unrolled recomputation.
+
+    ``deflate`` folds Hotelling deflation into the SAME pass: given the
+    exact u1 floats, each batch computes the residual
+    ``x - (x·u1 / u1·u1) u1`` with the identical left-fold dots and
+    elementwise ops as :func:`remove_top_component`'s Catalyst
+    expression, then iterates on residuals — no second corpus scan, no
+    second full-width cache, no recompute-per-pass expression blowup.
+
+    Returns ({dim_idx: raw int64 sum}, final iterate as python floats).
+    """
+    from pyspark.sql.functions import pandas_udf  # noqa: F401 (env gate)
+
+    u_l = list(map(float, deflate)) if deflate is not None else None
+    uu = None
+    if u_l is not None:
+        uu = 0.0  # left fold, the exact association of similarity.norm's
+        for x in u_l:  # F.aggregate over the literal array
+            uu = uu + x * x
+
     v = [1.0] * dim
     last = None
     for _ in range(iterations):
-        varr = F.array(*[F.lit(float(x)) for x in v])
-        s = F.aggregate(
-            F.zip_with(F.col("__xd"), varr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        vv = list(map(float, v))
+
+        def gen(batches, _vv=vv, _u=u_l, _uu=uu):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                if _u is not None:
+                    U = np.asarray(_u, dtype=np.float64)
+                    acc = np.zeros(len(A))
+                    for i in range(dim):
+                        acc += A[:, i] * U[i]
+                    A = A - (acc / _uu)[:, None] * U[None, :]
+                s = np.zeros(len(A))
+                for i in range(dim):
+                    s += A[:, i] * _vv[i]
+                q = np.floor((A * s[:, None]) * 1e6).astype(np.int64)
+                yield pd.DataFrame(
+                    {"dim_idx": np.arange(dim, dtype=np.int32),
+                     "sq": q.sum(axis=0)}
+                )
+
+        rows = (
+            proj.mapInPandas(gen, "dim_idx int, sq long")
+            .groupBy("dim_idx")
+            .agg(F.sum("sq").cast("bigint").alias("sq"))
+            .collect()
         )
-        contrib = F.transform(
-            F.col("__xd"),
-            lambda x: F.floor(x * s * F.lit(1e6)).cast("long"),
-        )
-        row = (
-            proj.select(contrib.alias("__c"))
-            .select(
-                *[
-                    F.sum(F.col("__c")[j]).cast("bigint").alias(f"s{j}")
-                    for j in range(dim)
-                ]
-            )
-            .collect()[0]
-        )
-        last = {j: int(row[f"s{j}"]) for j in range(dim)}
+        last = {int(r["dim_idx"]): int(r["sq"]) for r in rows}
         m = max(abs(x) for x in last.values())
         v = [last[j] / m if m else 0.0 for j in range(dim)]
     return last, v
@@ -2766,42 +2807,22 @@ def power_iteration_top2(
     (component, dim_idx).
 
     Fused plan (r13, VERDICT r12 #3): ONE parquet scan and ONE cached
-    projection serve both chains. The r12 shape re-scanned the corpus
-    and cached a second full-width residual copy for u2 (2 x corpus
-    bytes pinned at sf100); here the deflation is folded into u2's
-    aggregate as codegen over the SAME cache — the residual is a
-    64-mult zip_with recomputed per pass, which is cheaper than
-    materializing (and spilling) a second 100M-row cache. The
-    arithmetic is expression-identical to remove_top_component, so
-    both directions stay bit-exact against the unchanged oracle.
+    raw-vector column serve both chains, and every pass is the Arrow
+    partial-sum kernel (:func:`_power_iterate_arrow`) — u2's passes
+    fold the deflation residual into the same kernel invocation, so the
+    r12 shape's second corpus scan + second full-width residual cache
+    (2 x corpus bytes pinned at sf100) and its two-interpreted-folds-
+    per-row pass cost are both gone. The residual arithmetic replays
+    remove_top_component's expression ops exactly, so both directions
+    stay bit-exact against the unchanged oracle.
     """
     spark = df.sparkSession
-    proj = df.select(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xd")
-    ).persist()
+    proj = df.select(F.col(vec_col).alias("__v")).persist()
     try:
-        last1, u1 = _power_iterate(proj, dim, iterations)
-        # deflation folded over the cached projection: same expression
-        # tree as remove_top_component, but reading __xd (already
-        # double) instead of re-casting from a second parquet scan
-        u = F.array(*[F.lit(float(x)) for x in u1])
-        xu = F.aggregate(
-            F.zip_with(F.col("__xd"), u, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        last1, u1 = _power_iterate_arrow(proj, dim, iterations)
+        last2, u2 = _power_iterate_arrow(
+            proj, dim, iterations, deflate=u1
         )
-        uu = F.aggregate(
-            F.zip_with(u, u, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        coef = xu / uu
-        resproj = proj.select(
-            F.zip_with(F.col("__xd"), u, lambda a, b: a - coef * b).alias(
-                "__xd"
-            )
-        )
-        last2, u2 = _power_iterate(resproj, dim, iterations)
     finally:
         proj.unpersist()
     rows = [(1, j, last1[j], u1[j]) for j in range(dim)] + [
