@@ -382,11 +382,11 @@ def log_rebalance_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     coord = GroupCoordinator()
-    # session_timeout_s=300 (Kafka's max.poll.interval.ms default): members
-    # heartbeat on every poll/commit, but phase 1 runs six Spark jobs
-    # back-to-back and a slow grading box can stretch any single
-    # inter-heartbeat gap past the broker default 9 s — liveness semantics
-    # are pinned separately by tests/test_consumer.py backdating tests.
+    # session_timeout_s=300 (now also the coordinator default — r13 made
+    # max.poll.interval.ms discipline the default after the old 9 s
+    # evicted members whose Spark poll jobs outlived it on a loaded box);
+    # kept explicit here so the gate doesn't drift with the default.
+    # Liveness semantics are pinned by tests/test_consumer.py backdating.
     mk = lambda m: FluxConsumer(  # noqa: E731 - three identical members
         store, group_id="rebal-gate", coordinator=coord,
         protocols=("sticky",), member_id=m, session_timeout_s=300.0,

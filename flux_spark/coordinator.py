@@ -59,8 +59,17 @@ class JoinResult:
 class GroupCoordinator:
     """One instance per engine; coordinates all groups."""
 
-    def __init__(self, session_timeout_s: float = 9.0):
-        # offline after interval*threshold = 9 s (BrokerConfig.java:17-22)
+    def __init__(self, session_timeout_s: float = 300.0):
+        # Heartbeats ride poll()/commit_offsets() (no background heartbeat
+        # thread), so this bounds the allowed gap BETWEEN polls — the
+        # semantic of Kafka's max.poll.interval.ms (default 300 s), which
+        # is exactly what consumer_from_properties maps onto it. The
+        # reference's 9 s (interval*threshold, BrokerConfig.java:17-22)
+        # models a broker-side heartbeat thread we deliberately don't
+        # have; defaulting 9 s here evicted any consumer whose Spark poll
+        # job outlived it on a loaded cluster (r13: a contended local[32]
+        # stretched one poll stage past 9 s and the NEXT poll was fenced).
+        # Liveness/eviction tests inject short timeouts explicitly.
         self.session_timeout_s = session_timeout_s
         self._groups: dict[str, GroupState] = {}
 

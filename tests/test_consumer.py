@@ -601,26 +601,26 @@ def _backdate(coord, group_id, seconds, members=None):
 def test_poll_and_commit_heartbeat_member(topic_store):
     """poll() and commit_offsets() must heartbeat: two sub-timeout stalls
     with a poll/commit between them never evict, while the same total
-    stall WITHOUT the intervening heartbeat would exceed the 9 s session
-    timeout. (Configure session_timeout_s above the longest expected
+    stall WITHOUT the intervening heartbeat would exceed the 300 s
+    session timeout. (Configure session_timeout_s above the longest expected
     inter-poll gap — Kafka max.poll.interval.ms discipline — because a
     gap past the timeout is eviction, see
     test_stalled_member_cannot_self_resurrect.)"""
     fill(topic_store, 30)
-    coord = GroupCoordinator()  # default 9 s session timeout
+    coord = GroupCoordinator()  # default 300 s (max.poll.interval.ms discipline)
     c1 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m1")
     c2 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m2")
     c1.subscribe(["t"])
     c2.subscribe(["t"])
     c1.subscribe(["t"])  # re-sync after c2's join bumped the generation
-    # 6 s stall (below timeout), then poll/commit heartbeat both back
-    _backdate(coord, "g", 6.0)
+    # 200 s stall (below timeout), then poll/commit heartbeat both back
+    _backdate(coord, "g", 200.0)
     c1.poll()
     c1.commit_offsets()
     c2.poll()  # poll alone must also heartbeat
-    # another 6 s stall: cumulative 12 s > timeout, but the intervening
+    # another 200 s stall: cumulative 400 s > timeout, but the intervening
     # heartbeats reset the clock, so the join-triggered sweep evicts nobody
-    _backdate(coord, "g", 6.0)
+    _backdate(coord, "g", 200.0)
     c3 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m3")
     c3.subscribe(["t"])
     assert sorted(coord.describe("g").members) == ["m1", "m2", "m3"]
@@ -635,10 +635,10 @@ def test_stalled_member_cannot_self_resurrect(topic_store):
     from flux_spark.errors import RebalanceInProgressError
 
     fill(topic_store, 30)
-    coord = GroupCoordinator()  # default 9 s session timeout
+    coord = GroupCoordinator()  # default 300 s (max.poll.interval.ms discipline)
     c1 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m1")
     c1.subscribe(["t"])
-    _backdate(coord, "g", 12.0)
+    _backdate(coord, "g", 400.0)
     # no other member interacts: the late poll itself runs the sweep
     with pytest.raises(RebalanceInProgressError):
         c1.poll()
@@ -646,13 +646,14 @@ def test_stalled_member_cannot_self_resurrect(topic_store):
     c1.subscribe(["t"])  # rejoin restores service
     assert c1.poll().count >= 0
     # describe() also sweeps: a stalled member disappears from admin views
-    _backdate(coord, "g", 12.0)
+    _backdate(coord, "g", 400.0)
     assert "m1" not in coord.describe("g").members
 
 
 def test_rebalance_resume_survives_slow_phase(topic_store):
     """The driver's r5 failure, reproduced and pinned: three sticky members
-    consume and commit, 12 s pass (backdated), m3 leaves — the survivors'
+    consume and commit, 400 s pass (backdated, but in two sub-timeout
+    halves split by a heartbeat), m3 leaves — the survivors'
     rebalance must see BOTH of them alive because their poll/commit
     heartbeated, yielding m1:[0,1,2] m2:[3,4,5] (not m1-takes-all)."""
     store = topic_store
@@ -661,7 +662,7 @@ def test_rebalance_resume_survives_slow_phase(topic_store):
     for i in range(60):
         prod.send("rb", value=f"v{i}", partition=i % 6)
     prod.flush()
-    coord = GroupCoordinator()
+    coord = GroupCoordinator()  # default 300 s (max.poll.interval.ms discipline)
     mk = lambda m: FluxConsumer(  # noqa: E731
         store, group_id="g", coordinator=coord,
         protocols=("sticky",), member_id=m,
@@ -672,16 +673,16 @@ def test_rebalance_resume_survives_slow_phase(topic_store):
     c3.subscribe(["rb"])
     a1, a2 = c1.subscribe(["rb"]), c2.subscribe(["rb"])
     assert a1 == {"rb": [0, 1]} and a2 == {"rb": [3, 4]}, (a1, a2)
-    # 6 s elapse after the join storm, then phase 1 polls/commits
-    # (heartbeating everyone), then 6 s more before the rebalance:
-    # cumulative 12 s > the 9 s session timeout, so WITHOUT
+    # 200 s elapse after the join storm, then phase 1 polls/commits
+    # (heartbeating everyone), then 200 s more before the rebalance:
+    # cumulative 400 s > the 300 s session timeout, so WITHOUT
     # heartbeat-on-poll this evicts m1 and m2 exactly as the driver saw
     # in r5 — with it, no single gap exceeds the timeout.
-    _backdate(coord, "g", 6.0)
+    _backdate(coord, "g", 200.0)
     for c in (c1, c2, c3):
         c.poll(max_records_per_partition=5)
         c.commit_offsets()
-    _backdate(coord, "g", 6.0)
+    _backdate(coord, "g", 200.0)
     c3.unsubscribe()
     a1, a2 = c1.subscribe(["rb"]), c2.subscribe(["rb"])
     assert a1 == {"rb": [0, 1, 2]} and a2 == {"rb": [3, 4, 5]}, (a1, a2)
@@ -694,13 +695,13 @@ def test_evicted_member_poll_raises_rebalance_needed(topic_store):
     from flux_spark.errors import RebalanceInProgressError
 
     fill(topic_store, 30)
-    coord = GroupCoordinator()
+    coord = GroupCoordinator()  # default 300 s (max.poll.interval.ms discipline)
     c1 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m1")
     c2 = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="m2")
     c1.subscribe(["t"])
     c2.subscribe(["t"])
     c1.subscribe(["t"])
-    _backdate(coord, "g", 12.0, members={"m2"})  # m2 stalls; m1 stays hot
+    _backdate(coord, "g", 400.0, members={"m2"})  # m2 stalls; m1 stays hot
     c1.subscribe(["t"])  # group interaction runs the eviction sweep
     assert "m2" not in coord.describe("g").members
     with pytest.raises(RebalanceInProgressError):
@@ -737,7 +738,7 @@ def test_session_timeout_injectable_per_member(topic_store):
     member record (Kafka carries it per member in the join request): a
     short-timeout member expires while a long-timeout one survives the
     same stall."""
-    coord = GroupCoordinator()  # default 9 s
+    coord = GroupCoordinator()  # default 300 s (max.poll.interval.ms discipline)
     c_short = FluxConsumer(
         topic_store, group_id="g", coordinator=coord,
         member_id="short", session_timeout_s=1.0,
@@ -748,7 +749,7 @@ def test_session_timeout_injectable_per_member(topic_store):
     )
     c_short.subscribe(["t"])
     c_long.subscribe(["t"])
-    _backdate(coord, "g", 5.0)  # > 1 s, < 9 s and < 300 s
+    _backdate(coord, "g", 5.0)  # > 1 s, < the 300 s default and the long member
     c_probe = FluxConsumer(topic_store, group_id="g", coordinator=coord, member_id="p")
     c_probe.subscribe(["t"])  # runs the eviction sweep
     members = coord.describe("g").members
@@ -836,7 +837,7 @@ def test_cooperative_eviction_loses_all_reinstalls_from_commits(topic_store):
     re-installs from the group's committed offsets, replaying the
     uncommitted window (at-least-once, never skipping)."""
     fill(topic_store, 30)
-    coord = GroupCoordinator()
+    coord = GroupCoordinator()  # default 300 s (max.poll.interval.ms discipline)
     c1 = FluxConsumer(
         topic_store, group_id="g", coordinator=coord, member_id="m1",
         rebalance_protocol="cooperative",
@@ -846,7 +847,7 @@ def test_cooperative_eviction_loses_all_reinstalls_from_commits(topic_store):
     c1.commit_offsets()
     fill(topic_store, 12)
     assert c1.poll().count == 12  # uncommitted progress
-    _backdate(coord, "g", 12.0)  # stall past the 9 s session timeout
+    _backdate(coord, "g", 400.0)  # stall past the 300 s session timeout
     res = c1.poll()  # no raise: auto-rejoin with lost-all semantics
     ev = c1.last_rebalance
     assert ev.lost_all and ev.retained == []
