@@ -1035,13 +1035,20 @@ def emb_knn_label_vote_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_vote_ivf_hier_sql(
-    k: int = 5, nprobe: int = 2, q_pred: str = "vec_id % 4 = 0"
+    k: int = 5,
+    nprobe: int = 2,
+    q_pred: str = "vec_id % 4 = 0",
+    coarse_probes: int = 3,
 ) -> str:
     """Two-level twin of :func:`_knn_vote_ivf_sql` for the auto-K lane:
     (k, b) derive from the seed-set COUNT(*); fine centroids group under
     their max-cosine representative (proximity branches, cbr); the seed
-    assignment and the corpus probe both route through their 2 best
-    representatives and rank over the union of those branches' members
+    assignment and the corpus probe both route through their
+    ``coarse_probes`` best representatives (3 for the vote lane — r13,
+    VERDICT r12 #5: the vote argmax is more routing-sensitive than the
+    dedup threshold, and the 3-probe widening is the gated fallback;
+    the assignment-only lanes keep 2) and rank over the union of those
+    branches' members
     (exact rule of similarity._centroid_{assign,probe}_hier_arrow — the
     probe takes the ``nprobe`` nearest over the union, fewer when the
     routed branches hold fewer centroids)."""
@@ -1065,7 +1072,7 @@ def _knn_vote_ivf_hier_sql(
                ROW_NUMBER() OVER (PARTITION BY l.neighbor_id
                                   ORDER BY {similarity.sql_cosine("l.lv", "r.cv", _DIM)} DESC,
                                            r.branch ASC) AS rn
-        FROM lab l CROSS JOIN reps r) WHERE rn <= 2),
+        FROM lab l CROSS JOIN reps r) WHERE rn <= {coarse_probes}),
     lasg AS (
       SELECT neighbor_id, lv, nl, cid AS bucket FROM (
         SELECT t.neighbor_id, t.lv, t.nl, c.cid,
@@ -1079,7 +1086,7 @@ def _knn_vote_ivf_hier_sql(
                ROW_NUMBER() OVER (PARTITION BY z.query_id
                                   ORDER BY {similarity.sql_cosine("z.qv", "r.cv", _DIM)} DESC,
                                            r.branch ASC) AS rn
-        FROM q z CROSS JOIN reps r) WHERE rn <= 2),
+        FROM q z CROSS JOIN reps r) WHERE rn <= {coarse_probes}),
     probes AS (
       SELECT query_id, qv, cid AS bucket FROM (
         SELECT t.query_id, t.qv, c.cid,
@@ -1118,8 +1125,10 @@ def _knn_vote_ivf_hier_sql(
     "hierarchical routing (r12, the r11 sf100 wall catch: flat "
     "assign/probe score n*K = n^2/256 — 1,678 s at sf100, ~24x wall at "
     "10x data; routing via ceil(sqrt(K)) proximity-grouped branch "
-    "representatives then the 2 best branches is n*~3sqrt(K), back to "
-    "~linear). The oracle re-derives K, b and the proximity grouping "
+    "representatives then the 3 best branches is n*~4sqrt(K), back to "
+    "~linear; 3 coarse probes, not the dedup lanes' 2, because the "
+    "vote argmax is routing-sensitive — r13 audit). "
+    "The oracle re-derives K, b and the proximity grouping "
     "from COUNT(*) in SQL and replays both routing stages; vote/rank "
     "tie rules identical to emb_knn_label_vote_ivf",
 )

@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.data/sf10"
 
+    from flux_spark.llm import queries as _llm_queries  # noqa: F401
+    # imported first: the llm query modules resolve their intra-package
+    # imports through llm.queries' registration order (direct import of
+    # similarity_queries alone is circular)
     from flux_spark.llm import similarity
     from flux_spark.llm.similarity_queries import (
         LLM_QUERIES,
@@ -55,7 +59,44 @@ def main():
         "n_correct_brute": row["n_correct_brute"],
         "sec": round(time.monotonic() - t0, 1),
     }
-    print("vote:", out["vote"], flush=True)
+    print("vote (hier IVF vs brute):", out["vote"], flush=True)
+
+    # hier-vs-FLAT control (the isolating comparison): both sides are IVF
+    # at the same k/nprobe, so any disagreement here is attributable to
+    # the 2-branch hierarchical ROUTING of the assignment stage alone —
+    # the hier-vs-brute number above additionally folds in plain IVF
+    # nprobe truncation, which flat pays identically.
+    from flux_spark.analytics.registry import load_table as _lt
+
+    e = _lt(spark, sf_dir, "embeddings")
+    labeled = e.where(F.col("vec_id") % 4 != 0)
+    unlabeled = e.where((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 4000))
+    k_c = similarity.auto_centroids(labeled.count(), target_cluster=256)
+    cents = e.where(F.col("vec_id") < k_c).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    t0 = time.monotonic()
+    preds = {}
+    for mode, hier in (("hier", True), ("flat", False)):
+        preds[mode] = (
+            similarity.knn_label_vote_ivf(
+                labeled, unlabeled, cents, k=5, nprobe=2, hierarchical=hier
+            )
+            .select("query_id", F.col("predicted_label").alias(mode))
+            .localCheckpoint()
+        )
+    both = preds["hier"].join(preds["flat"], "query_id")
+    agg = both.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("hier") == F.col("flat")).cast("long")).alias("same"),
+    ).collect()[0]
+    out["vote_hier_vs_flat"] = {
+        "n_queries": agg["n"],
+        "n_agree": agg["same"],
+        "agree_rate": agg["same"] / agg["n"] if agg["n"] else None,
+        "sec": round(time.monotonic() - t0, 1),
+    }
+    print("vote (hier vs flat IVF):", out["vote_hier_vs_flat"], flush=True)
 
     corpus = _aug_embeddings(spark, sf_dir).localCheckpoint()
     n = corpus.count()

@@ -927,6 +927,40 @@ def test_hier_probe_union_of_routed_branches(spark):
         assert len(got[i]) == min(3, len(union))
 
 
+def test_vote_lane_three_probe_degenerates_to_flat(spark):
+    """The label-vote lane routes through 3 coarse branches (r13, VERDICT
+    r12 #5 — the vote argmax is more routing-sensitive than the dedup
+    threshold), so for b <= 3 (K <= 9) every branch is probed and
+    hierarchical IVF voting must equal flat IVF voting EXACTLY — the
+    degeneracy rule the sf0.01 oracle gate leans on."""
+    import numpy as np
+
+    from flux_spark.llm.similarity import knn_label_vote_ivf
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(120, 6)
+    rows = [
+        (i, [float(x) for x in X[i]], f"l{i % 3}") for i in range(len(X))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, label string")
+    labeled = df.where(F.col("vec_id") % 4 != 0)
+    unlabeled = df.where(F.col("vec_id") % 4 == 0)
+    for k_c in (5, 9):  # b = 3 both times -> all 3 branches probed
+        cen = spark.createDataFrame(
+            [(j, [float(x) for x in X[j]]) for j in range(k_c)],
+            "centroid_id long, v array<double>",
+        )
+        kw = dict(
+            k=3, nprobe=2, vec_col="v", label_col="label",
+            centroid_id_col="centroid_id",
+        )
+        flat = knn_label_vote_ivf(labeled, unlabeled, cen, **kw).collect()
+        hier = knn_label_vote_ivf(
+            labeled, unlabeled, cen, hierarchical=True, **kw
+        ).collect()
+        assert sorted(map(tuple, flat)) == sorted(map(tuple, hier)), k_c
+
+
 def test_perplexity_buckets_per_language(spark):
     """CCNet bucketing: NTILE is per-language (ranks are not comparable
     across languages) and bucket 1 is the most-fluent head."""
