@@ -183,12 +183,14 @@ ANALYTICS_HEADLINE = [
     # is a cell groupBy + 9-way broadcast equi-probes; kNN outliers use
     # the Arrow-scored top-k machinery
     "events_attribution",
-    # r13 (VERDICT r12 #2): the register-only twin replaces the gated
-    # form in the headline — the exact COUNT(DISTINCT) validation leg
-    # (a 7x range re-join of the distinct fact table) was 389.1 s of
-    # the sf100 wall while the register path is sketch-sized. The
-    # exact-vs-estimate tolerance gate stays correctness-pinned at
-    # sf0.01 via events_rolling_distinct_7d.
+    # r13 (VERDICT r12 #2): the register-only twin joins the headline —
+    # the exact COUNT(DISTINCT) validation leg (a 7x range re-join of
+    # the distinct fact table) was 389.1 s of the sf100 wall while the
+    # register path is sketch-sized. The gated form STAYS in the
+    # headline too (bench contract: entries are never removed); at
+    # sf0.1 its exact leg costs <1 s, and the sf100 wall now points at
+    # the register twin as the production form.
+    "events_rolling_distinct_7d",
     "events_rolling_distinct_7d_registers",
     "doc_centroid_langid",
     "doc_pmi_collocations",
