@@ -661,14 +661,27 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         bin_id.alias("bin_id"),
     ).agg(F.count("*").alias("n"))
-    # register merge: SUM across days (per topic) and across topics (ALL)
-    per_topic = shards.groupBy("event_type", "bin_id").agg(
-        F.sum("n").alias("n")
+    # register merge: SUM across days (per topic) and across topics (ALL).
+    # ONE grouping-sets aggregation replaces the former per_topic/all_regs
+    # pair (two aggs + union = two exchanges and two passes over the
+    # shard table): integer SUMs are order-free so the merged registers
+    # are identical, and grouping() tags the ALL rows (r13, guide §2.4).
+    merged = (
+        shards.groupingSets(
+            [["event_type", "bin_id"], ["bin_id"]], "event_type", "bin_id"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.grouping("event_type").alias("_g"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            "bin_id",
+            "n",
+        )
     )
-    all_regs = shards.groupBy("bin_id").agg(F.sum("n").alias("n")).select(
-        F.lit("ALL").alias("event_type"), "bin_id", "n"
-    )
-    merged = per_topic.unionByName(all_regs)
 
     def extract(regs: DataFrame, est_name: str) -> DataFrame:
         w_cum = (
@@ -721,34 +734,48 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = extract(merged, "est_value")
     # recompute proof: registers built DIRECTLY (no day sharding) must
     # yield the bit-identical estimate — a lost/double-counted shard
-    # breaks this boolean before it breaks the tolerance one
-    direct_topic = e.groupBy("event_type", bin_id.alias("bin_id")).agg(
-        F.count("*").alias("n")
+    # breaks this boolean before it breaks the tolerance one. Same
+    # grouping-sets collapse as `merged`: one events pass builds the
+    # per-topic AND global direct registers (was two scans + union).
+    direct_regs = (
+        e.select("event_type", bin_id.alias("bin_id"))
+        .groupingSets(
+            [["event_type", "bin_id"], ["bin_id"]], "event_type", "bin_id"
+        )
+        .agg(F.count("*").alias("n"), F.grouping("event_type").alias("_g"))
+        .select(
+            F.when(F.col("_g") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            "bin_id",
+            "n",
+        )
     )
-    direct_all = e.groupBy(bin_id.alias("bin_id")).agg(
-        F.count("*").alias("n")
-    ).select(F.lit("ALL").alias("event_type"), "bin_id", "n")
-    direct = extract(direct_topic.unionByName(direct_all), "est_direct").select(
+    direct = extract(direct_regs, "est_direct").select(
         "event_type", "q", "est_direct"
     )
     # exact side (tolerance booleans only — cross-engine percentile
-    # interpolation rounds differently)
-    def exacts(df: DataFrame, label_col) -> DataFrame:
-        agg = df.groupBy(label_col.alias("event_type")).agg(
+    # interpolation rounds differently). rollup(event_type) computes the
+    # per-topic groups and the global group in ONE events pass (the
+    # global percentile sees the identical full value multiset, so the
+    # exact values are unchanged); grouping() tags the ALL row.
+    ex = (
+        e.rollup("event_type")
+        .agg(
             F.expr("percentile(value, 0.5)").alias("p50"),
             F.expr("percentile(value, 0.9)").alias("p90"),
             F.expr("percentile(value, 0.99)").alias("p99"),
+            F.grouping("event_type").alias("_g"),
         )
-        return agg.select(
-            "event_type",
+        .select(
+            F.when(F.col("_g") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
             F.expr(
                 "stack(3, CAST(0.5 AS DOUBLE), p50, CAST(0.9 AS DOUBLE), p90,"
                 " CAST(0.99 AS DOUBLE), p99) AS (q, ev)"
             ),
         )
-
-    ex = exacts(e, F.col("event_type")).unionByName(
-        exacts(e, F.lit("ALL"))
     )
     return (
         est.join(direct, ["event_type", "q"])

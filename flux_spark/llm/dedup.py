@@ -374,24 +374,39 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    ex = sh.select(id_col, "__n_sh", F.explode("__shingles").alias("__s"))
-    ea = ex.select(
-        F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__na"), "__s"
+    # Verification (r13, guide §2.3): fetch each candidate's DISTINCT
+    # shingle ARRAY via two id-equi-joins and intersect per pair in one
+    # codegen'd projection (size(array_intersect)) — the former
+    # inverted-index form exploded the corpus to (id, shingle) rows,
+    # shuffled it twice (hash by id_a + sort by (id_b, shingle)) and then
+    # aggregated |pairs| x |intersection| expanded rows, the largest
+    # intermediate in the plan. The arrays are distinct-element by
+    # construction, so size(array_intersect) is the identical exact
+    # intersection count. join1 builds on the narrow candidate pairs
+    # (shuffled hash, ~16 B/row); join2's corpus side is kept sort-merge,
+    # which spills instead of OOMing (the old eb posture — broadcast off
+    # bogus cached-relation stats cannot be built at 100x).
+    sha = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__n_sh").alias("__na"),
+        F.col("__shingles").alias("__sa"),
     )
-    eb = ex.select(
-        F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"), "__s"
+    shb = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__n_sh").alias("__nb"),
+        F.col("__shingles").alias("__sb"),
     )
-    # join1 builds on the narrow candidate pairs (shuffled hash, ~16 B/row);
-    # join2's smaller side is the exploded shingle index — too big to hash-
-    # build 32x concurrently in one local heap, so force sort-merge, which
-    # spills instead of OOMing (broadcast, the static planner's pick off
-    # bogus cached-relation stats, cannot be built at all at 100x)
     common = (
         cand.hint("shuffle_hash")
-        .join(ea, "id_a")
-        .join(eb.hint("merge"), ["id_b", "__s"])
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count("*").alias("__common"))
+        .join(sha, "id_a")
+        .join(shb.hint("merge"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "__na",
+            "__nb",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__common"),
+        )
     )
     jac = F.col("__common").cast("double") / (
         F.col("__na") + F.col("__nb") - F.col("__common")
@@ -661,23 +676,64 @@ def containment_pairs(
     sh = df.select(
         F.col(id_col), word_shingles(text_col, k).alias("__shingles")
     ).withColumn("__n_sh", F.size("__shingles"))
-    ex = sh.select(id_col, "__n_sh", F.explode("__shingles").alias("__s")).persist()
+    ex = sh.select(id_col, "__n_sh", F.explode("__shingles").alias("__s"))
     if max_doc_freq is not None:
-        rare = (
+        # Capped path (r13, guide §2.3/§2.4): the df cap bounds every
+        # shingle bucket at max_doc_freq docs, so the pairs expand
+        # IN-ARRAY from one groupBy on the shingle — replacing the old
+        # persist + df-groupBy + df-join + sort-merge self-join chain
+        # (four wide stages, index shuffled twice) with groupBy + two
+        # generates + the pair aggregate (same expansion as
+        # operators.pairs_from_basket). The size filter IS the df
+        # filter: the index holds one row per (doc, distinct shingle).
+        # Pair set and counts are identical — array_sort orders each
+        # bucket by doc_id, and anchor-before-suffix enumeration is
+        # exactly the join form's id_a < id_b. The uncapped path keeps
+        # the join form: one hot shingle there would collect an
+        # unbounded bucket into a single row/task.
+        buckets = (
             ex.groupBy("__s")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_doc_freq)
-            .select("__s")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col), F.col("__n_sh")))
+                ).alias("__ds")
+            )
+            .where(F.size("__ds") <= max_doc_freq)
         )
-        ex = ex.join(rare, "__s")
-    ea = ex.select(F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__na"), "__s")
-    eb = ex.select(F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"), "__s")
-    common = (
-        ea.join(eb.hint("merge"), "__s")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count("*").alias("__common"))
-    )
+        anchors = buckets.select(
+            "__ds", F.posexplode("__ds").alias("__pos", "__a")
+        )
+        common = (
+            anchors.select(
+                F.col("__a")[id_col].alias("id_a"),
+                F.col("__a.__n_sh").alias("__na"),
+                F.explode(
+                    F.expr("slice(__ds, __pos + 2, size(__ds) - __pos - 1)")
+                ).alias("__b"),
+            )
+            .select(
+                "id_a",
+                "__na",
+                F.col("__b")[id_col].alias("id_b"),
+                F.col("__b.__n_sh").alias("__nb"),
+            )
+            .groupBy("id_a", "id_b", "__na", "__nb")
+            .agg(F.count("*").alias("__common"))
+        )
+    else:
+        ex = ex.persist()
+        ea = ex.select(
+            F.col(id_col).alias("id_a"), F.col("__n_sh").alias("__na"), "__s"
+        )
+        eb = ex.select(
+            F.col(id_col).alias("id_b"), F.col("__n_sh").alias("__nb"), "__s"
+        )
+        common = (
+            ea.join(eb.hint("merge"), "__s")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "__na", "__nb")
+            .agg(F.count("*").alias("__common"))
+        )
     c_ab = F.col("__common").cast("double") / F.col("__na")
     c_ba = F.col("__common").cast("double") / F.col("__nb")
     jac = F.col("__common").cast("double") / (

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..analytics.registry import load_table, register
 from . import dedup
-from .queries import LLM_QUERIES, _CORPUS_CTE, _hexval, dup_corpus
+from .queries import LLM_QUERIES, _CORPUS_CTE, _hexval, dup_corpus, dup_corpus_count
 
 # distinct word-3-gram shingles, SQL twin of dedup.word_shingles(k=3)
 _SHINGLE_CTES = """
@@ -232,7 +232,7 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_dedup_minhash_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dup_corpus(spark, sf_dir)
-    rows = dedup.auto_band_rows(corpus.count())
+    rows = dedup.auto_band_rows(dup_corpus_count(spark, sf_dir))
     return dedup.minhash_lsh_pairs(
         corpus, threshold=0.5, num_hashes=16, bands=16 // rows
     )
@@ -317,7 +317,15 @@ FROM __can c LEFT JOIN __dups d ON d.doc_id = c.doc_id
 )
 def doc_dedup_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dup_corpus(spark, sf_dir)
-    n_surv = corpus.select("text").distinct().count()
+    # survivor count via the digest the collapse itself keys on (md5
+    # equality IS the operator's text-equality), as ONE partial-aggregated
+    # count-distinct — .distinct().count() on raw text shuffled full
+    # document bytes to derive a scalar (r13, guide §2.3)
+    n_surv = int(
+        corpus.select(F.md5("text").alias("__d"))
+        .agg(F.count_distinct("__d"))
+        .first()[0]
+    )
     rows = dedup.auto_band_rows(n_surv)
     return dedup.minhash_collapse(
         corpus, threshold=0.5, num_hashes=16, bands=16 // rows,
@@ -464,7 +472,7 @@ def doc_containment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         corpus,
         threshold=0.8,
-        max_doc_freq=dedup.auto_max_doc_freq(corpus.count()),
+        max_doc_freq=dedup.auto_max_doc_freq(dup_corpus_count(spark, sf_dir)),
     )
 
 
@@ -1111,7 +1119,7 @@ def doc_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_dedup_edit_verify_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dup_corpus(spark, sf_dir)
-    rows = dedup.auto_band_rows(corpus.count())
+    rows = dedup.auto_band_rows(dup_corpus_count(spark, sf_dir))
     return dedup.edit_verified_pairs(corpus, bands=16 // rows)
 
 

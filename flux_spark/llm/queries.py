@@ -52,6 +52,24 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+def dup_corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """COUNT(*) of :func:`dup_corpus` from ONE documents scan (r13): the
+    union branches only replicate filtered base rows, so the corpus count
+    is count + count_if(%17) + count_if(%23) — identical value, one scan
+    and one job instead of three union legs (auto-derivation parameters
+    are query-construction cost, inside every bench timing)."""
+    row = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.count("*").alias("n"),
+            F.count_if(F.col("doc_id") % 17 == 0).alias("n17"),
+            F.count_if(F.col("doc_id") % 23 == 0).alias("n23"),
+        )
+        .first()
+    )
+    return int(row["n"] + row["n17"] + row["n23"])
+
+
 # SQL helpers -----------------------------------------------------------------
 
 
