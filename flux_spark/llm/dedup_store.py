@@ -202,6 +202,13 @@ class MinHashDedupStore:
         """Lazy verdict plan for a new batch's signature table against the
         CURRENT store state (separated from ingest so plan tests can
         assert the store side reads signatures, never text)."""
+        # r13 (guide §2.4): the candidate ``.distinct()`` both lanes used
+        # to run is gone — the terminal MIN-aggregation already collapses
+        # a pair that matches in several bands, and re-scoring the
+        # duplicate is a 16-element zip, far cheaper than the extra
+        # full-width exchange the distinct cost (the wide rows carried
+        # both 16-int64 signatures). One exchange per join side + one for
+        # the aggregation, nothing else.
         banded = self._cap_buckets(
             sig.select(
                 "doc_id",
@@ -223,19 +230,12 @@ class MinHashDedupStore:
                 & (F.col("a.__bhash") == F.col("b.__bhash"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                F.col("a.sig").alias("__sa"),
-                F.col("b.sig").alias("__sb"),
-            )
-            .distinct()
             .where(
-                self._est_jaccard(F.col("__sa"), F.col("__sb"))
+                self._est_jaccard(F.col("a.sig"), F.col("b.sig"))
                 >= self.threshold
             )
-            .groupBy("id_b")
-            .agg(F.min("id_a").alias("__dup_batch"))
+            .groupBy(F.col("b.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("a.doc_id")).alias("__dup_batch"))
         )
 
         # cross-store candidates: new bands vs stored bands
@@ -252,8 +252,6 @@ class MinHashDedupStore:
                 banded.join(
                     sb.hint("shuffle_hash"), ["__band", "__bhash"]
                 )
-                .select("doc_id", "sig", "__sid", "__ssig")
-                .distinct()
                 .where(
                     self._est_jaccard(F.col("sig"), F.col("__ssig"))
                     >= self.threshold
@@ -264,9 +262,7 @@ class MinHashDedupStore:
         else:
             store_dups = None
 
-        verdict = sig.select("doc_id").join(
-            batch_dups.withColumnRenamed("id_b", "doc_id"), "doc_id", "left"
-        )
+        verdict = sig.select("doc_id").join(batch_dups, "doc_id", "left")
         if store_dups is not None:
             verdict = verdict.join(store_dups, "doc_id", "left")
             dup_of = F.least(F.col("__dup_store"), F.col("__dup_batch"))
