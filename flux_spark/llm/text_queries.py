@@ -1555,7 +1555,7 @@ def doc_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Spark 4 and DuckDB both speak WITH RECURSIVE) — vocab derivation, the
 # longest-match table, and the greedy walk are engine-portable, so the
 # tokenizer itself (not a re-implementation) is what the oracle checks.
-_WP_CORE = """
+_WP_BEST = """
 positions AS (SELECT pos FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7))
               AS t(pos)),
 wp AS (SELECT word, pos FROM words CROSS JOIN positions
@@ -1577,16 +1577,27 @@ best AS (
                               ORDER BY v.len DESC, v.piece ASC) AS r
     FROM wp JOIN vocab v
       ON substr(wp.word, wp.pos + 1, v.len) = v.piece) q
-  WHERE r = 1),
+  WHERE r = 1)"""
+
+_WP_WALK = """
 walk AS (
   SELECT word, CAST(0 AS INT) AS pos, CAST(0 AS INT) AS k,
          substr(word, 1, 0) AS piece
-  FROM words
+  FROM {words}
   UNION ALL
-  SELECT w.word, CAST(w.pos + b.len AS INT), CAST(w.k + 1 AS INT), b.piece
-  FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+  SELECT /*+ BROADCAST(b) */
+         w.word, CAST(w.pos + b.len AS INT), CAST(w.k + 1 AS INT), b.piece
+  FROM walk w JOIN {best} b ON b.word = w.word AND b.pos = w.pos
   WHERE w.pos < length(w.word))
 """
+
+# the composed core the DuckDB oracle executes — byte-identical to the
+# pre-r13 text; Spark executes the same two fragments but materializes
+# ``words``/``best`` ONCE each (guide §2.4): left inline, every
+# UnionLoop iteration of the recursive walk re-executed the whole vocab
+# derivation + longest-match join, scanning documents.parquet 4x per
+# recursion step (up to 9 steps at word length <= 8).
+_WP_CORE = _WP_BEST + ",\n" + _WP_WALK.format(words="words", best="best")
 
 
 @register(
@@ -1631,15 +1642,28 @@ def doc_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("widx", "word")
     )
-    words_sql = (
-        "(SELECT DISTINCT word FROM (SELECT explode(split(text, ' ')) "
-        f"AS word FROM parquet.`{sf_dir}/documents.parquet`))"
-    )
+    # r13 (guide §2.4/§1.1): materialize the vocabulary and the
+    # longest-match table ONCE each before entering the recursion —
+    # inline, Spark's UnionLoop re-executed the whole `best` subtree
+    # (4 documents scans + trigram top-10 sort + match join + window)
+    # on EVERY recursion step. Both tables are vocabulary-sized;
+    # localCheckpoint pins them and the walk loop body shrinks to
+    # loop-ref JOIN best.
+    wv, bv = "__wp_words_r13", "__wp_best_r13"
+    words_df = spark.sql(
+        "SELECT DISTINCT word FROM (SELECT explode(split(text, ' ')) "
+        f"AS word FROM parquet.`{sf_dir}/documents.parquet`)"
+    ).localCheckpoint(eager=True)
+    words_df.createOrReplaceTempView(wv)
+    best_df = spark.sql(
+        f"WITH words AS (SELECT word FROM {wv}),\n"
+        + _WP_BEST
+        + "\nSELECT word, pos, piece, len FROM best"
+    ).localCheckpoint(eager=True)
+    best_df.createOrReplaceTempView(bv)
     pieces = spark.sql(
-        "WITH RECURSIVE\nwords AS "
-        + words_sql
-        + ",\n"
-        + _WP_CORE
+        "WITH RECURSIVE\n"
+        + _WP_WALK.format(words=wv, best=bv)
         + "\nSELECT word, k, piece FROM walk WHERE piece <> ''"
     )
     wtok = pieces.groupBy("word").agg(
