@@ -306,29 +306,48 @@ def _lp_round_sql(prev: str, out: str) -> str:
 )
 def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, half = _copurchase_edges(spark, sf_dir)
+    # Round 1 specialization (r13, guide §2.4): l0 assigns every node
+    # its own id as label, so edges JOIN l0 ON l0.node = src yields
+    # exactly (dst, lab=src, w) — and edges are already unique per
+    # (src, dst), making the (node, lab) pre-aggregation an identity
+    # too. Round 1 is therefore ONE groupBy(dst) argmax over the cached
+    # edge set: no l0 checkpoint, no join, no pre-aggregation shuffle.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lab"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.min(
+                F.struct((-F.col("w")).alias("nw"), F.col("src").alias("lab"))
+            ).alias("__s")
+        )
+        .select("node", F.col("__s.lab").alias("lab"))
         .localCheckpoint(eager=True)
     )
     try:
-        for _ in range(3):
-            win = Window.partitionBy("node").orderBy(
-                F.col("wsum").desc(), F.col("lab")
-            )
+        for _ in range(2):
             # localCheckpoint per round (connected_components pattern):
             # without it round N's plan CONTAINS rounds 1..N-1 and
-            # re-executes them
+            # re-executes them. Argmax via min(struct(-wsum, lab))
+            # instead of a row_number window (r13, guide §2.4): same
+            # "highest weight, ties to the smaller label" rule, but the
+            # second-level aggregate partial-combines map-side (at most
+            # one row per node per partition crosses the wire) where
+            # the window had to sort and co-locate EVERY (node, lab)
+            # row. wsum >= 1 and lab is a partkey, so -wsum is safe.
             labels = (
                 edges.join(
                     labels.select(F.col("node").alias("src"), "lab"), "src"
                 )
                 .groupBy(F.col("dst").alias("node"), "lab")
                 .agg(F.sum("w").cast("bigint").alias("wsum"))
-                .withColumn("rn", F.row_number().over(win))
-                .where(F.col("rn") == 1)
-                .select("node", "lab")
+                .groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("wsum")).alias("nw"), F.col("lab")
+                        )
+                    ).alias("__s")
+                )
+                .select("node", F.col("__s.lab").alias("lab"))
                 .localCheckpoint(eager=True)
             )
     finally:

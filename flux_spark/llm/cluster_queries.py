@@ -94,6 +94,11 @@ def emb_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     project first — e.g. the JL/top-2-component operators in this
     repo — then grid the projection)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r13 (guide §2.3/§6): pts was inlined 3x (cell counts, probes,
+    # final join), re-reading the full 64-dim embedding column each
+    # time for a 2-dim projection (array columns can't be
+    # element-pruned at the scan). Checkpoint the narrow (vec_id, cx,
+    # cy) projection once — one wide scan, three narrow reuses.
     pts = e.select(
         "vec_id",
         F.floor(F.element_at("embedding", 1).cast("double") / _EPS)
@@ -102,7 +107,7 @@ def emb_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.element_at("embedding", 2).cast("double") / _EPS)
         .cast("bigint")
         .alias("cy"),
-    )
+    ).localCheckpoint(eager=True)
     cells = pts.groupBy("cx", "cy").agg(
         F.count("*").cast("bigint").alias("n")
     )
@@ -147,22 +152,33 @@ def emb_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("cy") + F.col("o.dy"))
         ).alias("probe_cell"),
     )
+    # r13 (guide §2.4): LEFT broadcast join keeps every point in the
+    # probe stream, so the per-point verdict falls out of the ONE
+    # groupBy(vec_id) — the old inner join + separate pts LEFT JOIN
+    # hits re-shuffled the full point set a second time just to
+    # reattach the misses. min/max ignore nulls; a probe row with no
+    # core match contributes nothing, exactly like the inner join.
     hits = (
         probes.join(
             F.broadcast(corec.withColumnRenamed("cell", "probe_cell")),
             "probe_cell",
+            "left",
         )
         .groupBy("vec_id")
         .agg(
             F.min("cluster").cast("bigint").alias("nb_cluster"),
             F.max(
-                F.when(F.col("probe_cell") == F.col("own_cell"), 1).otherwise(0)
+                F.when(
+                    (F.col("probe_cell") == F.col("own_cell"))
+                    & F.col("cluster").isNotNull(),
+                    1,
+                ).otherwise(0)
             )
             .cast("bigint")
             .alias("own_core"),
         )
     )
-    return pts.join(hits, "vec_id", "left").select(
+    return hits.select(
         "vec_id",
         F.coalesce("nb_cluster", F.lit(-1)).cast("bigint").alias("cluster"),
         (F.coalesce("own_core", F.lit(0)) == 1).alias("is_core"),
