@@ -434,7 +434,11 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
         ).alias("seg"),
-    ).localCheckpoint(eager=True)
+        # r13 (guide §1.2): lazy checkpoint — each round's argmax job
+        # materializes the previous round's re-segmentation as a side
+        # effect, halving the serial job count (the final round's
+        # segmentation, which nothing reads, is never computed at all).
+    ).localCheckpoint(eager=False)
     merges = []
     for rank in range(1, _N_MERGES + 1):
         pairs = seg.where(F.size("seg") >= 2).select(
@@ -509,7 +513,7 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 _SEP,
             ).alias("seg"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
     ).orderBy("merge_rank")
