@@ -470,17 +470,31 @@ def minhash_collapse(
     """
     from pyspark.sql import Window
 
+    # r13 (guide §8/§2.3): decide exact-dedup on NARROW rows and move
+    # the text once. The old form ran the min-id window over
+    # (id, text, digest) rows and re-executed that scan + full-text
+    # shuffle for each of its three consumers (exact_out, surv, kept).
+    # Now the window sees only (id, 16-byte digest); the resulting
+    # (id, canon) map is checkpointed (8+8 bytes/doc), every verdict
+    # leg reads it, and the only corpus-width movement left is the one
+    # survivor semi-join feeding the LSH signature build.
     w = Window.partitionBy("__digest")
-    labeled = df.select(
-        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__digest")
-    ).withColumn("__canon", F.min(id_col).over(w))
-    exact_out = labeled.where(F.col(id_col) != F.col("__canon")).select(
+    canon_map = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__digest"))
+        .withColumn("__canon", F.min(id_col).over(w))
+        .select(id_col, "__canon")
+        .localCheckpoint(eager=True)
+    )
+    exact_out = canon_map.where(F.col(id_col) != F.col("__canon")).select(
         F.col(id_col),
         F.col("__canon").alias("dup_of"),
         F.lit("exact").alias("reason"),
     )
-    surv = labeled.where(F.col(id_col) == F.col("__canon")).select(
-        id_col, text_col
+    surv_ids = canon_map.where(F.col(id_col) == F.col("__canon")).select(
+        id_col
+    )
+    surv = df.select(id_col, text_col).join(
+        surv_ids.hint("shuffle_hash"), id_col
     )
     pairs = minhash_lsh_pairs(
         surv,
@@ -498,7 +512,7 @@ def minhash_collapse(
     near_out = near.select(
         F.col(id_col), F.col("dup_of"), F.lit("near").alias("reason")
     )
-    kept = surv.join(near, id_col, "left_anti").select(
+    kept = surv_ids.join(near, id_col, "left_anti").select(
         F.col(id_col),
         F.lit(None).cast("long").alias("dup_of"),
         F.lit(None).cast("string").alias("reason"),
