@@ -108,25 +108,37 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wl).alias("rl"),
         F.count("*").over(wc).alias("n_t"),
     )
-    first = ranked.select(
+    # r13 (guide §2.4): the three models were a UNION of three
+    # projections of `ranked`, re-executing the purchase-touch join +
+    # windows once per model (plus once more for the direct anti-join:
+    # 4 executions of the join subtree). One explode of the per-model
+    # structs computes every share in a single pass — same rows, same
+    # values, and groupBy makes union order irrelevant.
+    touch_models = ranked.select(
         "touch_type",
-        F.lit("first_touch").alias("model"),
-        F.when(F.col("rf") == 1, F.col("value"))
-        .otherwise(F.lit(0.0))
-        .alias("share"),
-    )
-    last = ranked.select(
-        "touch_type",
-        F.lit("last_touch").alias("model"),
-        F.when(F.col("rl") == 1, F.col("value"))
-        .otherwise(F.lit(0.0))
-        .alias("share"),
-    )
-    linear = ranked.select(
-        "touch_type",
-        F.lit("linear").alias("model"),
-        (F.col("value") / F.col("n_t").cast("double")).alias("share"),
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.when(F.col("rf") == 1, F.col("value"))
+                    .otherwise(F.lit(0.0))
+                    .alias("share"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.when(F.col("rl") == 1, F.col("value"))
+                    .otherwise(F.lit(0.0))
+                    .alias("share"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    (F.col("value") / F.col("n_t").cast("double")).alias(
+                        "share"
+                    ),
+                ),
+            )
+        ).alias("__ms"),
+    ).select("touch_type", F.col("__ms.model"), F.col("__ms.share"))
     direct = (
         purchases.join(
             joined.select("p_id").distinct(), "p_id", "left_anti"
@@ -137,7 +149,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("share"),
         )
     )
-    shares = first.unionByName(last).unionByName(linear).unionByName(direct)
+    shares = touch_models.unionByName(direct)
     return shares.groupBy("touch_type", "model").agg(
         F.sum(F.col("share").cast(_DEC)).cast("double").alias(
             "attributed_revenue"

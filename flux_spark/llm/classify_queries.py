@@ -102,8 +102,15 @@ def doc_centroid_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = train.select(
         "lang", F.explode(F.split("text", " ")).alias("token")
     )
-    cnt = tok.groupBy("lang", "token").agg(
-        F.count("*").cast("bigint").alias("n_wc")
+    # r13 (guide §2.4): cnt is (vocab x langs)-sized and feeds three
+    # consumers (class totals, vocab, the weight grid's left join) —
+    # checkpoint it once instead of re-running the corpus scan +
+    # explode + groupBy per consumer (4 documents scans in the before
+    # plan, 1 after).
+    cnt = (
+        tok.groupBy("lang", "token")
+        .agg(F.count("*").cast("bigint").alias("n_wc"))
+        .localCheckpoint(eager=True)
     )
     tot = cnt.groupBy("lang").agg(F.sum("n_wc").cast("bigint").alias("n_c"))
     vocab = cnt.select("token").distinct()
@@ -307,7 +314,14 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuned for the gate SF; at corpus scale make it relative
     (n_ab >= alpha * N) so the floor tracks data volume."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    counts = text.bigram_counts(d).select("w1", "w2", "n_bigram", "n_w1")
+    # r13 (guide §2.4): bigram-vocab-sized and read by three consumers
+    # (grand total, right-word marginals, the lift projection) — one
+    # checkpoint replaces three corpus scans + bigram explodes.
+    counts = (
+        text.bigram_counts(d)
+        .select("w1", "w2", "n_bigram", "n_w1")
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(F.sum("n_bigram").cast("bigint").alias("n_pairs"))
     m2 = counts.groupBy("w2").agg(
         F.sum("n_bigram").cast("bigint").alias("n_w2")

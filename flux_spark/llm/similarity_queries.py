@@ -1708,10 +1708,15 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qs = list(_HYBRID_QS)
 
+    # r13 (guide §2.4): persist the posting table once — it feeds
+    # df_tab and both scored_terms consumers (query-term ranking + the
+    # lexical scoring join); same materialize-the-index shape as
+    # doc_bm25_retrieval and the LSH signature tables.
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored_terms = tf.join(F.broadcast(df_tab), "term")

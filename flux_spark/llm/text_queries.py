@@ -1785,10 +1785,15 @@ def doc_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     qs = list(_BM25_QS)
+    # r13 (guide §2.4): tf feeds dfr, the query-term ranking AND the
+    # scoring join — persist the posting table once (the "materialize
+    # the index" shape minhash_lsh_pairs already uses) instead of
+    # re-running the corpus explode + groupBy per consumer.
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist()
     )
     dfr = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     dl = d.select(
