@@ -1548,18 +1548,31 @@ def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    c = e.groupBy(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.hour("ts").alias("hr"),
-    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    # r13 (guide §2.4): one corpus scan instead of three — the
+    # (type, day, hr) count table is grid-sized, so checkpoint it once
+    # and derive the spine's distinct types/days FROM it (an observed
+    # (type,day) pair always has a counted row, so the distinct sets
+    # are identical to scanning events again). `full` (spine-sized) is
+    # checkpointed too: it feeds both the per-(type,hr) baseline stats
+    # and the final z-score join.
+    c = (
+        e.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hr"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
     spine = (
-        e.select("event_type").distinct()
-        .crossJoin(e.select(F.to_date("ts").alias("day")).distinct())
+        c.select("event_type").distinct()
+        .crossJoin(c.select("day").distinct())
         .crossJoin(spark.range(24).select(F.col("id").alias("hr")))
     )
-    full = spine.join(c, ["event_type", "day", "hr"], "left").fillna(
-        0, subset=["n_events"]
+    full = (
+        spine.join(c, ["event_type", "day", "hr"], "left")
+        .fillna(0, subset=["n_events"])
+        .localCheckpoint(eager=True)
     )
     stats = full.groupBy("event_type", "hr").agg(
         F.count("*").cast("bigint").alias("__n"),

@@ -890,12 +890,16 @@ def events_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
+    # r13 (guide §2.4): the sketch is at most 2 sides x 4 rows x 64
+    # cols = 512 rows, but its `a`/`b` halves each re-ran the corpus
+    # scan + 4-way explode + groupBy; checkpoint the sketch once.
     cells = (
         rows.select(
             "side", "sketch_row", F.pmod(h, F.lit(64)).alias("sketch_col")
         )
         .groupBy("side", "sketch_row", "sketch_col")
         .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
     )
     dec = "decimal(38,0)"
     a = cells.where(F.col("side") == 0).select(

@@ -1585,8 +1585,7 @@ walk AS (
          substr(word, 1, 0) AS piece
   FROM {words}
   UNION ALL
-  SELECT /*+ BROADCAST(b) */
-         w.word, CAST(w.pos + b.len AS INT), CAST(w.k + 1 AS INT), b.piece
+  SELECT w.word, CAST(w.pos + b.len AS INT), CAST(w.k + 1 AS INT), b.piece
   FROM walk w JOIN {best} b ON b.word = w.word AND b.pos = w.pos
   WHERE w.pos < length(w.word))
 """
