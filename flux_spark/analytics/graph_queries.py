@@ -405,24 +405,37 @@ def parts_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidir, half = _copurchase_edges(spark, sf_dir)
     edges = bidir.select("src", "dst")
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
-    pairs = (
-        edges.join(F.broadcast(deg), "src")
-        .select("dst", F.col("d").alias("x"))
-        .join(
-            F.broadcast(deg.select(F.col("src").alias("dst"),
-                                   F.col("d").alias("y"))),
-            "dst",
-        )
-        .select("x", "y")
-    )
     dec = "decimal(38,0)"
-    sums = pairs.agg(
-        F.count("*").cast("bigint").alias("k"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
-        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
-        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    # r13 (guide §2.3/§3): exploit edge-list symmetry — every directed
+    # edge is a half edge or its mirror, so with x = d(src), y = d(dst)
+    # on the HALF edges the directed-edge sums are
+    #   k = 2*COUNT,  sx = sy = SUM(x+y),  sxy = 2*SUM(x*y),
+    #   sxx = syy = SUM(x^2+y^2)
+    # — all integer-identical to aggregating the mirrored union, from
+    # ONE pass over half the rows with the same two broadcast degree
+    # joins (the old form joined degrees onto both directions of every
+    # edge and read the persisted half twice).
+    dsrc = deg.select(F.col("src").alias("__s"), F.col("d").alias("x"))
+    ddst = deg.select(F.col("src").alias("__d"), F.col("d").alias("y"))
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    sums = (
+        half.select("src", "dst")
+        .join(F.broadcast(dsrc), F.col("src") == F.col("__s"))
+        .join(F.broadcast(ddst), F.col("dst") == F.col("__d"))
+        .agg(
+            (F.lit(2) * F.count("*")).cast("bigint").alias("k"),
+            F.sum(F.col("x") + F.col("y")).cast("bigint").alias("sx"),
+            (F.lit(2).cast(dec) * F.sum(xd * yd)).cast(dec).alias("sxy"),
+            F.sum(xd * xd + yd * yd).cast(dec).alias("sxx"),
+        )
+        .select(
+            "k",
+            "sx",
+            F.col("sx").alias("sy"),
+            "sxy",
+            "sxx",
+            F.col("sxx").alias("syy"),
+        )
     )
     try:
         # pin the 1-row reduction so the edge cache can be released

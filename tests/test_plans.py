@@ -969,3 +969,29 @@ def test_session_owns_periodic_gc_default(spark):
     # long-lived session ENOSPC'd a sf100 wall. The 2 min bound is an
     # ENGINE default owned by get_spark, not a bench-only conf.
     assert spark.conf.get("spark.cleaner.periodicGC.interval") == "2min"
+
+
+def test_assortativity_moment_pass_reads_half_not_mirrored_union(spark, sf):
+    # r13: with x = d(src), y = d(dst) on the HALF edges, the directed
+    # sums are k = 2*COUNT, sx = sy = SUM(x+y), sxy = 2*SUM(x*y),
+    # sxx = syy = SUM(x^2+y^2) — so the moment aggregation joins degrees
+    # onto the half edge set ONCE; the mirrored union feeds only the
+    # degree count. Regression guard: disabling the result checkpoint
+    # must expose exactly two degree->half broadcast joins and fewer
+    # Union occurrences than the mirrored-pairs form (which unioned the
+    # edge list again for the x/y join pass).
+    import pyspark.sql.classic.dataframe as cdf
+    from flux_spark.analytics.graph_queries import ANALYTICS_QUERIES
+
+    orig = cdf.DataFrame.localCheckpoint
+    cdf.DataFrame.localCheckpoint = lambda self, eager=True: self
+    try:
+        df = ANALYTICS_QUERIES["parts_degree_assortativity"].fn(spark, sf)
+        plan = executed_plan(df)
+    finally:
+        cdf.DataFrame.localCheckpoint = orig
+        spark.catalog.clearCache()
+    assert plan.count("BroadcastHashJoin") == 2
+    # deg (unioned) appears once per broadcast side; the moment pass
+    # itself reads the un-mirrored half => exactly 2 Unions, not 3
+    assert plan.count("Union") == 2
