@@ -1222,8 +1222,21 @@ def emb_hier_vote_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__qv"),
         F.col("label").alias("true_label"),
     )
+    # r13 (guide §2.6): spread the bounded query batch across the
+    # cluster BEFORE fanning out against the broadcast seed set — a
+    # mid-size parquet reads as ONE input split, which otherwise pins
+    # |q| x |lab| pair scoring AND the per-query window sort to a
+    # single task (measured: the sf10 recall audit sat on one core for
+    # 37+ min). The partition count is EXPLICIT: the query batch is
+    # only ~KBs, so AQE would coalesce an un-pinned shuffle right back
+    # to one partition before the fan-out stage. Hashing on query_id
+    # also satisfies the window's required distribution, so no extra
+    # exchange is introduced.
     scored = (
-        q.crossJoin(F.broadcast(lab))
+        q.repartition(
+            spark.sparkContext.defaultParallelism, "query_id"
+        )
+        .crossJoin(F.broadcast(lab))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
@@ -1348,8 +1361,21 @@ def emb_label_vote_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__qv"),
         F.col("label").alias("true_label"),
     )
+    # r13 (guide §2.6): spread the bounded query batch across the
+    # cluster BEFORE fanning out against the broadcast seed set — a
+    # mid-size parquet reads as ONE input split, which otherwise pins
+    # |q| x |lab| pair scoring AND the per-query window sort to a
+    # single task (measured: the sf10 recall audit sat on one core for
+    # 37+ min). The partition count is EXPLICIT: the query batch is
+    # only ~KBs, so AQE would coalesce an un-pinned shuffle right back
+    # to one partition before the fan-out stage. Hashing on query_id
+    # also satisfies the window's required distribution, so no extra
+    # exchange is introduced.
     scored = (
-        q.crossJoin(F.broadcast(lab))
+        q.repartition(
+            spark.sparkContext.defaultParallelism, "query_id"
+        )
+        .crossJoin(F.broadcast(lab))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
