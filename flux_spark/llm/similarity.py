@@ -666,6 +666,68 @@ def lsh_near_dup_pairs(
     )
 
 
+def _bucket_grid_scores(q: DataFrame, c: DataFrame) -> DataFrame:
+    """Cogrouped per-bucket cosine grid for the self-ANN bucket join.
+
+    ``q``: (query_id, __qv, __qnorm, __sig) probe rows; ``c``:
+    (neighbor_id, __cv, __cnorm, __sig) capped corpus rows. Emits every
+    in-bucket (query, neighbor) pair with ``cos_sim`` bit-identical to
+    ``dot(__qv, __cv) / (__qnorm * __cnorm)``: the kernel widens the
+    float32 vectors to float64 FIRST (the fold casts each element before
+    multiplying) and accumulates dimension-by-dimension, so each pair sees
+    the same left-to-right float64 op sequence while numpy vectorizes
+    across the Q x C bucket grid. Group payloads are bounded by the
+    occupancy cap on the corpus side (<= cap rows) and by
+    probes x occupancy on the query side, so per-group memory is
+    O(Q x C) <= O(probes x occupancy x cap) — the same candidate mass the
+    pair join would materialize, held one bucket at a time.
+    """
+    id_t = dict(q.dtypes)["query_id"]
+    nid_t = dict(c.dtypes)["neighbor_id"]
+    out_schema = (
+        f"query_id {id_t}, neighbor_id {nid_t}, cos_sim double"
+    )
+
+    def _score(qpdf, cpdf):
+        import numpy as np
+        import pandas as pd
+
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        qm = np.stack(qpdf["__qv"].to_numpy()).astype(np.float64)
+        cm = np.stack(cpdf["__cv"].to_numpy()).astype(np.float64)
+        acc = np.zeros((qm.shape[0], cm.shape[0]), dtype=np.float64)
+        for d in range(qm.shape[1]):
+            acc += qm[:, d : d + 1] * cm[None, :, d]
+        denom = (
+            qpdf["__qnorm"].to_numpy()[:, None]
+            * cpdf["__cnorm"].to_numpy()[None, :]
+        )
+        cos = acc / denom
+        qid = np.repeat(qpdf["query_id"].to_numpy(), cm.shape[0])
+        nid = np.tile(cpdf["neighbor_id"].to_numpy(), qm.shape[0])
+        keep = qid != nid
+        return pd.DataFrame(
+            {
+                "query_id": qid[keep],
+                "neighbor_id": nid[keep],
+                "cos_sim": cos.ravel()[keep],
+            }
+        )
+
+    return (
+        q.groupBy("__sig")
+        .cogroup(c.groupBy("__sig"))
+        .applyInPandas(_score, out_schema)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -826,19 +888,38 @@ def lsh_topk(
     # sequential float64 order) at ~25x the throughput; flip it on when
     # candidate volume reaches tens of millions (same switch as
     # brute_force_topk)
-    joined = q.join(c, "__sig").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    if use_arrow:
-        scored = joined.withColumn(
-            "cos_sim", pair_cosine_arrow(F.col("__qv"), F.col("__cv"))
-        )
+    if self_query and not use_arrow:
+        # r13 (guide §8 / §4.2): in the self-ANN shape every corpus row is
+        # also 1 + n_planes probe rows, so candidate volume is
+        # n x occupancy x probes and a per-PAIR scorer must either ship
+        # 2 x dim float64s per pair across the Python boundary
+        # (pair_cosine_arrow: measured 188 s at sf10) or pay the
+        # interpreted fold per pair (dot: 133 s pre-norms, ~25 s after).
+        # Cogrouping by signature instead moves each vector across the
+        # boundary once per BUCKET MEMBERSHIP (corpus: once, query: once
+        # per probe) and scores the whole bucket as one numpy grid —
+        # acc += q[:, d] ⊗ c[:, d] in dimension order is, per pair,
+        # exactly the left-to-right float64 multiply-add sequence of the
+        # Catalyst fold, so scores stay bit-identical (sf10: 59.4M pairs,
+        # fold score+rank 38-41 s -> 9-10 s). Selective-query callers
+        # (ann_cosine_lsh's 5-vector batch) keep the broadcast equi-join
+        # below: cogroup would shuffle and ship the WHOLE corpus to
+        # Python where the join touches only the probed buckets.
+        scored = _bucket_grid_scores(q, c)
     else:
-        scored = joined.withColumn(
-            "cos_sim",
-            dot(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qnorm") * F.col("__cnorm")),
+        joined = q.join(c, "__sig").where(
+            F.col("neighbor_id") != F.col("query_id")
         )
+        if use_arrow:
+            scored = joined.withColumn(
+                "cos_sim", pair_cosine_arrow(F.col("__qv"), F.col("__cv"))
+            )
+        else:
+            scored = joined.withColumn(
+                "cos_sim",
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+            )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

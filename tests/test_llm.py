@@ -235,6 +235,43 @@ def test_lsh_topk_bucket_cap(spark, vecs):
     assert all(v <= 3 for v in per_q.values())
 
 
+def test_lsh_topk_grid_scorer_bit_identical(spark, vecs, monkeypatch):
+    """The self-query bucket-grid scorer (cogrouped numpy kernel) is
+    bit-identical to the per-pair Catalyst fold it replaced, and only the
+    self-query shape routes through it (selective-query callers keep the
+    broadcast equi-join)."""
+    # self-query goes through the grid path
+    plan = similarity.lsh_topk(
+        vecs, vecs, k=2, dim=4, n_planes=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    # selective query does not
+    sel_plan = similarity.lsh_topk(
+        vecs, vecs.where(F.col("vec_id") == 0), k=2, dim=4, n_planes=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in sel_plan
+    grid_rows = sorted(
+        map(tuple, similarity.lsh_topk(vecs, vecs, k=3, dim=4, n_planes=2).collect())
+    )
+
+    def fold_scores(q, c):
+        return (
+            q.join(c, "__sig")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cos_sim",
+                similarity.dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+            )
+        )
+
+    monkeypatch.setattr(similarity, "_bucket_grid_scores", fold_scores)
+    fold_rows = sorted(
+        map(tuple, similarity.lsh_topk(vecs, vecs, k=3, dim=4, n_planes=2).collect())
+    )
+    assert grid_rows == fold_rows  # exact floats, ids, ranks
+
+
 def test_auto_bucket_cap(spark, vecs):
     """occupancy_p99 is the exact rank-based percentile (histogram walk),
     and auto_bucket_cap applies the [k_mult*k, target_mult*target] rails:
