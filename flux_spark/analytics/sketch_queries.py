@@ -1033,15 +1033,28 @@ def events_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = ev.select("day").distinct()
     ud = ev.distinct()
+    # r13 (guide §2.3 "aggregate before you shuffle"): COUNT(DISTINCT) over
+    # the 7-day fan-out shuffled |ud| x 7 rows into an expand+dedup pass.
+    # Equivalent form with no dedup: a (user, day) pair is the user's LAST
+    # appearance inside the window ending at d iff day ∈ [d-6, d] and the
+    # user's next appearance is > d (or absent) — every user present in
+    # the window contributes exactly one such pair (if the next appearance
+    # were <= d it would itself lie in the window, contradicting "last"),
+    # so COUNT(*) over these pairs IS the distinct-user count, and the
+    # count partial-aggregates map-side: only (day, partial) rows reach
+    # the exchange instead of the fanned-out pairs.
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    last_in = ud.withColumn("__nxt", F.lead("day").over(w_u))
     exact_w = (
         days.alias("d")
         .join(
-            ud.alias("u"),
+            last_in.alias("u"),
             (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
-            & (F.col("u.day") <= F.col("d.day")),
+            & (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.__nxt").isNull() | (F.col("u.__nxt") > F.col("d.day"))),
         )
         .groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("u.user_id").cast("bigint").alias("exact_users"))
+        .agg(F.count("*").cast("bigint").alias("exact_users"))
     )
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
