@@ -666,6 +666,13 @@ def lsh_near_dup_pairs(
     )
 
 
+# Per-task bound on in-kernel cosine grids (float64 cells). Column chunks
+# are sized so one chunk never exceeds this many cells, keeping a
+# duplicate-heavy mega-cluster from OOMing its task (~256 MB at 32M).
+# Module-level so tests can force multi-chunk execution on small inputs.
+_GRID_CHUNK_TARGET = 32_000_000
+
+
 def _bucket_grid_scores(q: DataFrame, c: DataFrame) -> DataFrame:
     """Cogrouped per-bucket cosine grid for the self-ANN bucket join.
 
@@ -1603,19 +1610,77 @@ def semantic_dedup(
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster_id")
     ).persist()
-    a = assigned.select(
-        "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
-    b = assigned.select(
-        "cluster_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
+    # r13 (guide §8 / §4.2, same pattern as the lsh_topk bucket grid): the
+    # previous shuffle_hash self-join materialized Σ|cluster|² pair rows,
+    # each carrying BOTH vectors across the Python boundary into
+    # pair_cosine_arrow. A grouped kernel per cluster ships each vector
+    # ONCE, scores the in-cluster grid with the identical sequential
+    # float64 fold (norms accumulated dimension-by-dimension exactly as
+    # pair_cosine_arrow does per pair), and fuses the id_a < id_b filter,
+    # the >= threshold test and the MIN(id_a) verdict in-kernel — only
+    # (id, dup_of) rows for actual duplicates ever leave Python. Columns
+    # are processed in chunks sized to bound the grid at ~32M float64s so
+    # a duplicate-heavy mega-cluster cannot OOM a task.
+    id_t = dict(assigned.dtypes)[id_col]
+    # captured by value at construction time: the closure ships to Python
+    # workers, which re-import this module — a module-global reference
+    # would not see a test's monkeypatched value
+    chunk_target = _GRID_CHUNK_TARGET
+
+    def _cluster_dups(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "dup_of": pd.Series(dtype="int64"),
+                }
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.zeros(n, dtype=np.float64)
+        for d in range(V.shape[1]):
+            nrm += V[:, d] * V[:, d]
+        nrm = np.sqrt(nrm)
+        out_ids, out_dup = [], []
+        ch = max(1, min(4096, (chunk_target + n - 1) // n))
+        rows = np.arange(n)
+        for s in range(1, n, ch):
+            e = min(s + ch, n)
+            acc = np.zeros((n, e - s), dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc += V[:, d : d + 1] * V[s:e, d][None, :]
+            cos = acc / (nrm[:, None] * nrm[None, s:e])
+            cols = np.arange(s, e)
+            hit = (rows[:, None] < cols[None, :]) & (cos >= threshold)
+            any_b = hit.any(axis=0)
+            if any_b.any():
+                # rows are in ascending id order, so the first qualifying
+                # row index IS MIN(id_a)
+                first_a = hit.argmax(axis=0)
+                out_ids.append(ids[cols[any_b]])
+                out_dup.append(ids[first_a[any_b]])
+        if not out_ids:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "dup_of": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(out_ids),
+                "dup_of": np.concatenate(out_dup),
+            }
+        )
+
     dups = (
-        a.join(b.hint("shuffle_hash"), "cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", pair_cosine_arrow(F.col("__va"), F.col("__vb")))
-        .where(F.col("__cos") >= threshold)
-        .groupBy(F.col("id_b").alias(id_col))
-        .agg(F.min("id_a").alias("dup_of"))
+        assigned.groupBy("cluster_id")
+        .applyInPandas(_cluster_dups, f"{id_col} {id_t}, dup_of {id_t}")
     )
     return assigned.join(dups, id_col, "left").select(
         id_col,

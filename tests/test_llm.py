@@ -819,6 +819,43 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert out[20].cluster_id != out[10].cluster_id
 
 
+def test_semantic_dedup_grid_chunking_invariant(spark, monkeypatch):
+    """The in-kernel cluster grid processes columns in chunks; forcing
+    1-column chunks must produce the exact same verdicts as one big grid
+    (chunk boundaries cannot change MIN(id_a) or drop a duplicate)."""
+    import random
+
+    rnd = random.Random(7)
+    # one cluster: 12 vectors, several near-dup groups with interleaved ids
+    base = [[1.0, 0.0, 0.0, 0.0], [0.9, 0.43, 0.0, 0.0], [0.7, 0.7, 0.14, 0.0]]
+    rows = []
+    for i in range(12):
+        b = base[i % 3]
+        eps = [(rnd.random() - 0.5) * 1e-4 for _ in b]
+        rows.append((i, [x + e for x, e in zip(b, eps)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "centroid_id long, v array<double>"
+    )
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                similarity.semantic_dedup(
+                    corpus, cen, vec_col="v", threshold=0.98
+                ).collect(),
+            )
+        )
+
+    big = run()
+    monkeypatch.setattr(similarity, "_GRID_CHUNK_TARGET", 1)
+    tiny = run()
+    assert big == tiny
+    # sanity: the threshold actually split the groups (dups exist)
+    assert any(t[2] is not None for t in big)
+
+
 def test_auto_centroids_tracks_corpus_size():
     from flux_spark.llm.similarity import auto_centroids
 
