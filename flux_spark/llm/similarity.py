@@ -642,27 +642,76 @@ def lsh_near_dup_pairs(
     switch).
     """
     planes = hyperplanes(n_planes, dim)
-    # persisted: both sides of the bucket self-join read the signatures
     s = corpus.select(
         F.col(id_col), F.col(vec_col), signature_bits(F.col(vec_col), planes).alias("__sig")
-    ).persist()
-    a, b = s.alias("a"), s.alias("b")
-    # SHUFFLE_HASH: see minhash_lsh_pairs — corpus-scaled self-joins must
-    # never be planned as broadcasts off unreliable cached-relation stats
-    return (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.__sig") == F.col("b.__sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    # r13 (guide §8 / §4.2, same pattern as _bucket_grid_scores and the
+    # SemDeDup cluster kernel): the shuffle_hash self-join materialized
+    # every in-bucket candidate pair and shipped BOTH vectors per pair to
+    # pair_cosine_arrow. Grouping the bucket once ships each vector ONCE,
+    # scores the triangle as a numpy grid with the identical sequential
+    # float64 fold (f32 widened first, per-vector norms accumulated
+    # dimension-by-dimension exactly as pair_cosine_arrow does per pair),
+    # and applies id_a < id_b and the threshold in-kernel — only
+    # qualifying near-dup pairs leave Python. Column chunks bound the
+    # grid per task (duplicated-mass buckets cannot OOM).
+    id_t = dict(s.dtypes)[id_col]
+    chunk_target = _GRID_CHUNK_TARGET
+
+    def _bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.zeros(n, dtype=np.float64)
+        for d in range(V.shape[1]):
+            nrm += V[:, d] * V[:, d]
+        nrm = np.sqrt(nrm)
+        out_a, out_b, out_c = [], [], []
+        ch = max(1, min(4096, (chunk_target + n - 1) // n))
+        rows = np.arange(n)
+        for cs in range(1, n, ch):
+            ce = min(cs + ch, n)
+            acc = np.zeros((n, ce - cs), dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc += V[:, d : d + 1] * V[cs:ce, d][None, :]
+            cos = acc / (nrm[:, None] * nrm[None, cs:ce])
+            cols = np.arange(cs, ce)
+            hit = (rows[:, None] < cols[None, :]) & (cos >= threshold)
+            ri, ci = np.nonzero(hit)
+            if len(ri):
+                out_a.append(ids[ri])
+                out_b.append(ids[cols[ci]])
+                out_c.append(cos[ri, ci])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            pair_cosine_arrow(
-                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
+
+    return s.groupBy("__sig").applyInPandas(
+        _bucket_pairs, f"id_a {id_t}, id_b {id_t}, cos_sim double"
     )
 
 
