@@ -296,7 +296,14 @@ def main() -> None:
         # periodic shuffle-state GC (2min) is get_spark's own default
         # as of r13 — the ENOSPC failure mode it prevents is user-facing,
         # not a bench quirk (see flux_spark/session.py docstring).
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # diagnostics only (no effect on timings): a Python worker
+            # that dies mid-batch otherwise surfaces as an opaque
+            # "exited unexpectedly" with no traceback
+            "spark.python.worker.faulthandler.enabled": "true",
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+        },
     )
 
     # Spark job latency on a shared box is jittery; best-of-N absorbs it
@@ -468,6 +475,11 @@ def main() -> None:
         if name not in registry or name in skip:
             continue
         runs[name] = []
+        # progress to stderr (guide §1.5 — label jobs): the summary JSON
+        # on stdout is unchanged; on a multi-hour sf100 wall this is the
+        # only way to attribute a mid-run failure to its query
+        print(f"[bench] headline: {name}", file=sys.stderr, flush=True)
+        spark.sparkContext.setJobDescription(f"headline: {name}")
         for _ in range(rounds):
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).write.format("noop").mode(
