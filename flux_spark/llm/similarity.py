@@ -688,7 +688,14 @@ def lsh_near_dup_pairs(
                 acc += V[:, d : d + 1] * V[cs:ce, d][None, :]
             cos = acc / (nrm[:, None] * nrm[None, cs:ce])
             cols = np.arange(cs, ce)
-            hit = (rows[:, None] < cols[None, :]) & (cos >= threshold)
+            # Spark SQL orders NaN ABOVE every number, so the Catalyst
+            # filter this kernel replaces kept NaN cosines (zero-norm or
+            # NaN vectors); numpy's NaN >= t is False — replicate Spark's
+            # semantics so degenerate inputs cannot diverge from the
+            # previous path or the SQL oracle
+            hit = (rows[:, None] < cols[None, :]) & (
+                (cos >= threshold) | np.isnan(cos)
+            )
             ri, ci = np.nonzero(hit)
             if len(ri):
                 out_a.append(ids[ri])
@@ -1705,7 +1712,12 @@ def semantic_dedup(
                 acc += V[:, d : d + 1] * V[s:e, d][None, :]
             cos = acc / (nrm[:, None] * nrm[None, s:e])
             cols = np.arange(s, e)
-            hit = (rows[:, None] < cols[None, :]) & (cos >= threshold)
+            # NaN-is-greatest, matching Spark SQL's comparison semantics
+            # (see the near-dup kernel note): the Catalyst >= this fuses
+            # kept NaN cosines from zero-norm/NaN vectors
+            hit = (rows[:, None] < cols[None, :]) & (
+                (cos >= threshold) | np.isnan(cos)
+            )
             any_b = hit.any(axis=0)
             if any_b.any():
                 # rows are in ascending id order, so the first qualifying
