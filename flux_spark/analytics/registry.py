@@ -71,6 +71,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a table's parquet input (file or directory) —
+    the deterministic scale signal behind size-gated materialization
+    decisions (guide §2: derive scale knobs from input size, never from
+    a constant tuned for one deployment). Re-reads the filesystem every
+    call; no cross-run state."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+# Persisting/checkpointing a shared intermediate only pays once the scans
+# it saves outweigh the materialization cost: at bench SF the corpus scan
+# is milliseconds and an eager persist is pure overhead (VERDICT r13 #2
+# measured -39%/-47% on the two lanes that materialized unconditionally),
+# while at sf10+ the re-derivations dominate. 64 MB of table input is
+# the crossover measured at sf0.1 (<1 MB: persist loses) vs sf10
+# (~60 MB: persist wins); env-overridable for cluster tuning.
+PERSIST_MIN_INPUT_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_PERSIST_MIN_BYTES", str(64 * 1024 * 1024)
+    )
+)
+
+
 @dataclass
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analytics.registry import load_table, register
+from ..analytics.registry import (
+    PERSIST_MIN_INPUT_BYTES,
+    input_bytes,
+    load_table,
+    register,
+)
 from . import dedup, similarity
 from .dedup_queries import _minhash_lsh_sql
 from .queries import LLM_QUERIES, _CORPUS_CTE, dup_corpus
@@ -1737,13 +1742,17 @@ def doc_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.4): persist the posting table once — it feeds
     # df_tab and both scored_terms consumers (query-term ranking + the
     # lexical scoring join); same materialize-the-index shape as
-    # doc_bm25_retrieval and the LSH signature tables.
+    # doc_bm25_retrieval and the LSH signature tables. r14 (VERDICT r13
+    # #2): size-gated like bm25's — the unconditional persist REGRESSED
+    # the bench-SF lane; above the input-bytes threshold the saved
+    # corpus passes dominate and the persist stays.
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .persist()
     )
+    if input_bytes(sf_dir, "documents") >= PERSIST_MIN_INPUT_BYTES:
+        tf = tf.persist()
     df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored_terms = tf.join(F.broadcast(df_tab), "term")
     w_q = Window.partitionBy("doc_id").orderBy(

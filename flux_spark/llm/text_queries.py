@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analytics.registry import load_table, register
+from ..analytics.registry import (
+    PERSIST_MIN_INPUT_BYTES,
+    input_bytes,
+    load_table,
+    register,
+)
 from . import dedup, text
 from .dedup_queries import _minhash_lsh_sql
 from .queries import LLM_QUERIES, _CORPUS_CTE, dup_corpus
@@ -1787,13 +1792,18 @@ def doc_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.4): tf feeds dfr, the query-term ranking AND the
     # scoring join — persist the posting table once (the "materialize
     # the index" shape minhash_lsh_pairs already uses) instead of
-    # re-running the corpus explode + groupBy per consumer.
+    # re-running the corpus explode + groupBy per consumer. r14
+    # (VERDICT r13 #2): size-gated — at bench SF the explode+groupBy is
+    # milliseconds and the unconditional persist cost -39% (0.92 ->
+    # 1.29 s in the driver's own runs); above PERSIST_MIN_INPUT_BYTES
+    # the saved corpus passes dominate and the persist stays.
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
-        .persist()
     )
+    if input_bytes(sf_dir, "documents") >= PERSIST_MIN_INPUT_BYTES:
+        tf = tf.persist()
     dfr = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     dl = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
