@@ -629,17 +629,18 @@ def lsh_near_dup_pairs(
     threshold: float = 0.98,
 ) -> DataFrame:
     """Near-duplicate vector pairs: bucket on the full sign signature,
-    verify candidates with exact cosine >= threshold.
+    score each bucket's triangle in a grouped Arrow grid kernel.
 
-    The self-join is co-partitioned on the signature (one shuffle); at
-    100 TB bucket sizes stay ~n/2^n_planes, and raising n_planes (log2 of
-    the corpus size + a few bits) keeps candidate volume linear as the
-    corpus grows — with the planes FIXED, pairs grow ~n²/2^n_planes, which
-    is why this knob is exposed. Candidate verification uses the
-    Arrow-vectorized cosine (bit-identical to the fold): the pair set is
-    the one place volume is quadratic-in-bucket, so per-pair interpreter
-    cost is the scale cliff (measured 27× at a 10× corpus before the
-    switch).
+    Each bucket is grouped once on the signature (one shuffle) and its
+    pairs are scored as a numpy grid inside applyInPandas — every vector
+    crosses the Python boundary once per bucket, not once per pair, and
+    only pairs passing id_a < id_b AND cosine >= threshold leave the
+    kernel. At 100 TB bucket sizes stay ~n/2^n_planes, and raising
+    n_planes (log2 of the corpus size + a few bits) keeps candidate
+    volume linear as the corpus grows — with the planes FIXED, pairs grow
+    ~n²/2^n_planes, which is why this knob is exposed. Per-pair
+    arithmetic is the identical sequential float64 fold, so scores are
+    bit-identical to the Catalyst expression and the SQL oracle.
     """
     planes = hyperplanes(n_planes, dim)
     s = corpus.select(
@@ -662,15 +663,21 @@ def lsh_near_dup_pairs(
         import numpy as np
         import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
+        # empty frames inherit the id column's ACTUAL dtype from the
+        # input batch (ADVICE r13: a hardcoded int64 Series relied on an
+        # Arrow cast that non-int64 id columns may refuse at runtime)
+        def _empty():
             return pd.DataFrame(
                 {
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
+                    "id_a": pdf[id_col].iloc[0:0],
+                    "id_b": pdf[id_col].iloc[0:0],
                     "cos_sim": pd.Series(dtype="float64"),
                 }
             )
+
+        n = len(pdf)
+        if n < 2:
+            return _empty()
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -702,13 +709,7 @@ def lsh_near_dup_pairs(
                 out_b.append(ids[cols[ci]])
                 out_c.append(cos[ri, ci])
         if not out_a:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
-                    "cos_sim": pd.Series(dtype="float64"),
-                }
-            )
+            return _empty()
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
@@ -717,8 +718,17 @@ def lsh_near_dup_pairs(
             }
         )
 
-    return s.groupBy("__sig").applyInPandas(
-        _bucket_pairs, f"id_a {id_t}, id_b {id_t}, cos_sim double"
+    # null signatures (null/short embeddings) never matched in the
+    # equi-join this kernel replaced (NULL == NULL is not TRUE), but
+    # groupBy collects them into ONE group — filter them out so rows
+    # with null signatures cannot be scored against each other
+    # (ADVICE r13)
+    return (
+        s.where(F.col("__sig").isNotNull())
+        .groupBy("__sig")
+        .applyInPandas(
+            _bucket_pairs, f"id_a {id_t}, id_b {id_t}, cos_sim double"
+        )
     )
 
 
@@ -750,43 +760,68 @@ def _bucket_grid_scores(q: DataFrame, c: DataFrame) -> DataFrame:
     out_schema = (
         f"query_id {id_t}, neighbor_id {nid_t}, cos_sim double"
     )
+    # captured by value at construction time (see _cluster_dups): the
+    # closure ships to Python workers, which re-import this module
+    chunk_target = _GRID_CHUNK_TARGET
 
     def _score(qpdf, cpdf):
         import numpy as np
         import pandas as pd
 
         if qpdf.empty or cpdf.empty:
+            # empty frames inherit the id columns' ACTUAL dtypes from
+            # the input batches (ADVICE r13 — cogroup hands each side
+            # with its declared schema even when empty)
             return pd.DataFrame(
                 {
-                    "query_id": pd.Series(dtype="int64"),
-                    "neighbor_id": pd.Series(dtype="int64"),
+                    "query_id": qpdf["query_id"].iloc[0:0],
+                    "neighbor_id": cpdf["neighbor_id"].iloc[0:0],
                     "cos_sim": pd.Series(dtype="float64"),
                 }
             )
         qm = np.stack(qpdf["__qv"].to_numpy()).astype(np.float64)
         cm = np.stack(cpdf["__cv"].to_numpy()).astype(np.float64)
-        acc = np.zeros((qm.shape[0], cm.shape[0]), dtype=np.float64)
-        for d in range(qm.shape[1]):
-            acc += qm[:, d : d + 1] * cm[None, :, d]
-        denom = (
-            qpdf["__qnorm"].to_numpy()[:, None]
-            * cpdf["__cnorm"].to_numpy()[None, :]
-        )
-        cos = acc / denom
-        qid = np.repeat(qpdf["query_id"].to_numpy(), cm.shape[0])
-        nid = np.tile(cpdf["neighbor_id"].to_numpy(), qm.shape[0])
-        keep = qid != nid
-        return pd.DataFrame(
-            {
-                "query_id": qid[keep],
-                "neighbor_id": nid[keep],
-                "cos_sim": cos.ravel()[keep],
-            }
+        qn = qpdf["__qnorm"].to_numpy()
+        cn = cpdf["__cnorm"].to_numpy()
+        qid_all = qpdf["query_id"].to_numpy()
+        nid_all = cpdf["neighbor_id"].to_numpy()
+        nq = qm.shape[0]
+        # chunk the corpus side like the sibling kernels (ADVICE r13
+        # medium): lsh_topk's default bucket_cap=None means a self-query
+        # on a duplicated-mass corpus concentrates a whole hot bucket in
+        # one group — bound the grid (and the qid/nid expansion, built
+        # per chunk AFTER the keep mask) at ~chunk_target float64 cells
+        # per step instead of materializing Q x C in one shot
+        ch = max(1, min(cm.shape[0], (chunk_target + nq - 1) // nq))
+        outs = []
+        for cs in range(0, cm.shape[0], ch):
+            ce = min(cs + ch, cm.shape[0])
+            acc = np.zeros((nq, ce - cs), dtype=np.float64)
+            for d in range(qm.shape[1]):
+                acc += qm[:, d : d + 1] * cm[None, cs:ce, d]
+            cos = acc / (qn[:, None] * cn[None, cs:ce])
+            qid = np.repeat(qid_all, ce - cs)
+            nid = np.tile(nid_all[cs:ce], nq)
+            keep = qid != nid
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid[keep],
+                        "neighbor_id": nid[keep],
+                        "cos_sim": cos.ravel()[keep],
+                    }
+                )
+            )
+        return outs[0] if len(outs) == 1 else pd.concat(
+            outs, ignore_index=True
         )
 
+    # null signatures never matched in the equi-joins this kernel
+    # replaced — keep them out of the cogroup (ADVICE r13)
     return (
-        q.groupBy("__sig")
-        .cogroup(c.groupBy("__sig"))
+        q.where(F.col("__sig").isNotNull())
+        .groupBy("__sig")
+        .cogroup(c.where(F.col("__sig").isNotNull()).groupBy("__sig"))
         .applyInPandas(_score, out_schema)
     )
 
@@ -1656,13 +1691,13 @@ def semantic_dedup(
         else _centroid_assign_arrow(cents)
     )
     # persisted (MEMORY_AND_DISK): the assignment pass (corpus scan +
-    # K-centroid scoring) feeds the pair join's a-side, b-side, AND the
-    # final left join — without this it runs 3x (the r4 weak plan), same
-    # discipline as lsh_near_dup_pairs' signature persist above. The
-    # relation stays cached after the caller's action (it is part of the
-    # returned lazy plan, so this function cannot unpersist it);
-    # long-lived sessions rely on LRU eviction, and batch drivers that
-    # run many such queries (bench.py) clearCache() between them.
+    # K-centroid scoring) feeds TWO consumers — the grouped in-cluster
+    # dup kernel below and the final left join — so without the persist
+    # it runs twice. The relation stays cached after the caller's action
+    # (it is part of the returned lazy plan, so this function cannot
+    # unpersist it); long-lived sessions rely on LRU eviction, and batch
+    # drivers that run many such queries (bench.py) clearCache() between
+    # them.
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster_id")
     ).persist()
@@ -1687,14 +1722,19 @@ def semantic_dedup(
         import numpy as np
         import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
+        # empty frames inherit the id column's ACTUAL dtype from the
+        # input batch (ADVICE r13)
+        def _empty():
             return pd.DataFrame(
                 {
-                    id_col: pd.Series(dtype="int64"),
-                    "dup_of": pd.Series(dtype="int64"),
+                    id_col: pdf[id_col].iloc[0:0],
+                    "dup_of": pdf[id_col].iloc[0:0],
                 }
             )
+
+        n = len(pdf)
+        if n < 2:
+            return _empty()
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -1726,12 +1766,7 @@ def semantic_dedup(
                 out_ids.append(ids[cols[any_b]])
                 out_dup.append(ids[first_a[any_b]])
         if not out_ids:
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series(dtype="int64"),
-                    "dup_of": pd.Series(dtype="int64"),
-                }
-            )
+            return _empty()
         return pd.DataFrame(
             {
                 id_col: np.concatenate(out_ids),
@@ -1739,8 +1774,13 @@ def semantic_dedup(
             }
         )
 
+    # null cluster ids never matched in the self-join this kernel
+    # replaced (NULL == NULL is not TRUE) — keep them out of the group
+    # (ADVICE r13; the assign kernel never emits NULL, so this is a
+    # semantics pin, not a behavior change)
     dups = (
-        assigned.groupBy("cluster_id")
+        assigned.where(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
         .applyInPandas(_cluster_dups, f"{id_col} {id_t}, dup_of {id_t}")
     )
     return assigned.join(dups, id_col, "left").select(

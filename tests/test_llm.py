@@ -856,6 +856,47 @@ def test_semantic_dedup_grid_chunking_invariant(spark, monkeypatch):
     assert any(t[2] is not None for t in big)
 
 
+def test_bucket_grid_scores_chunking_and_null_sigs(spark, monkeypatch):
+    """r14: _bucket_grid_scores chunks the corpus side at
+    _GRID_CHUNK_TARGET cells (ADVICE r13 medium — an uncapped hot bucket
+    used to materialize the whole Q x C grid in one task). Forcing
+    1-cell chunks must yield identical (bit-exact) scores, and rows with
+    NULL signatures must never pair (the equi-join semantics the
+    cogroup replaced)."""
+    rows_c = [
+        (1, [1.0, 0.0], 1.0, 5),
+        (2, [0.8, 0.6], 1.0, 5),
+        (3, [0.0, 1.0], 1.0, 5),
+        (4, [0.5, 0.5], 0.7071067811865476, None),
+        (9, [0.5, 0.5], 0.7071067811865476, None),
+    ]
+    schema_c = (
+        "neighbor_id long, __cv array<double>, __cnorm double, __sig long"
+    )
+    c = spark.createDataFrame(rows_c, schema_c)
+    q = spark.createDataFrame(
+        [
+            (r[0], r[1], r[2], r[3])
+            for r in rows_c
+        ],
+        "query_id long, __qv array<double>, __qnorm double, __sig long",
+    )
+
+    def run():
+        return sorted(
+            map(tuple, similarity._bucket_grid_scores(q, c).collect())
+        )
+
+    big = run()
+    monkeypatch.setattr(similarity, "_GRID_CHUNK_TARGET", 1)
+    tiny = run()
+    assert big == tiny
+    # bucket 5 has 3 vectors -> 6 ordered non-self pairs; the two
+    # null-sig rows contribute nothing (old equi-join semantics)
+    assert len(big) == 6
+    assert all(qid != 4 and qid != 9 for qid, _, _ in big)
+
+
 def test_auto_centroids_tracks_corpus_size():
     from flux_spark.llm.similarity import auto_centroids
 

@@ -83,3 +83,39 @@ def test_bench_headline_names_resolve():
 
     missing = [n for n in bench.ANALYTICS_HEADLINE if n not in QUERY_NAMES]
     assert missing == [], f"bench headline names not in registry: {missing}"
+
+
+def test_query_persists_release_on_clear_cache(spark, sf_dir, monkeypatch):
+    """Unpersist hygiene (VERDICT r13 #8): CacheManager-backed persists
+    created inside registry queries must all release on
+    spark.catalog.clearCache() — the contract bench.py relies on between
+    headline reps, and the bound on storage-memory growth across a
+    92-entry wall run. Runs the lanes that persist query-local tables
+    (bm25/hybrid tf forced past their size gate, association rules'
+    basket build, near-dup signature path) and asserts the persistent-RDD
+    registry returns to its baseline."""
+    import __spark_entry__ as entry
+
+    from flux_spark.llm import similarity_queries, text_queries
+
+    monkeypatch.setattr(text_queries, "PERSIST_MIN_INPUT_BYTES", 0)
+    monkeypatch.setattr(similarity_queries, "PERSIST_MIN_INPUT_BYTES", 0)
+
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = jsc.getPersistentRDDs().size()
+
+    qs = entry.queries()
+    for name in (
+        "doc_bm25_retrieval",
+        "doc_hybrid_retrieval",
+        "orders_association_rules",
+        "emb_semantic_dedup_auto",
+    ):
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    assert jsc.getPersistentRDDs().size() > before  # persists were live
+    spark.catalog.clearCache()
+    assert jsc.getPersistentRDDs().size() <= before
